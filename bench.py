@@ -1,0 +1,66 @@
+"""Bench harness (SURVEY.md §6): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing discipline per BASELINE.md: one shared warm session (JVM startup
+excluded); each query runs twice and reports the second (warm) run, the
+same protocol the DuckDB baseline numbers were measured with.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nipd_spark import registry
+from nipd_spark.session import get_spark
+
+# registry name -> short bench key (mirrors BASELINE.md rows)
+HEADLINE = [
+    ("q1_pricing_summary", "q1"),
+    ("q3_shipping_priority", "q3"),
+    ("j6_broadcast_star", "q5"),
+    ("o4_pergroup_topk", "topk_window"),
+    ("t1_tumbling_hourly", "events_hourly"),
+    ("l6_token_tf", "token_tf"),
+    ("l4_knn_bruteforce", "knn_cosine"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("nipd-bench")
+    specs = registry.all_specs()
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        best = None
+        for _ in range(2):  # cold then warm; report warm
+            t0 = time.time()
+            spec.fn(spark, sf_dir).collect()
+            best = time.time() - t0
+        timings[key] = round(best, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Test-corpus catalog: load the driver-generated parquet tables.
+
+Tables and schemas: /root/repo/FIXTURES.md (verified from parquet footers).
+At 100 TB these would be partitioned/bucketed external tables; the loader
+keeps the access path identical (``spark.read.parquet``) so Catalyst's
+pushdown/pruning applies the same way at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins
+# (≤ 25 rows at every SF; nation/region are fixed-size).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan (SURVEY.md §2 S1): pushdown + pruning apply."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all corpus tables as temp views for the SQL API path."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

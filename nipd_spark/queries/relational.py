@@ -1,0 +1,615 @@
+"""Relational core: scans, projection/filter, joins, sorts (SURVEY.md §2.1-2.3, 2.6).
+
+Reference realization [PK]: pandas ``df[cols]`` / boolean masks /
+``pd.merge`` / ``sort_values`` chains in the NIPD analysis scripts
+(SURVEY.md §1.1). Re-expressed as lazy Spark DataFrame plans so Catalyst
+gets predicate pushdown, column pruning, and join selection for free.
+
+Scale notes (100 TB): every filter here reaches the parquet scan as a
+PushedFilter; dimension joins (nation/region/supplier ≤ MBs even at
+100 TB) are explicitly broadcast; fact-fact joins shuffle on their equi
+keys and AQE handles skew/coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
+from nipd_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (S1 + P2 + A1 + O1)
+# --------------------------------------------------------------------------
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dround("sum(l_quantity)")} AS sum_qty,
+       {dround("sum(l_extendedprice)")} AS sum_base_price,
+       {dround("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+       {dround("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+       {dround("avg(l_quantity)")} AS avg_qty,
+       {dround("avg(l_extendedprice)")} AS avg_price,
+       {dround("avg(l_discount)", 6)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", sql=Q1_SQL, tags=("S1", "P2", "A1", "O1"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed filter → hash agg (partial+final) → sort."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# P — projection / filter / predicates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p1_project_compute",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+    tags=("P1",),
+)
+def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + derived expressions (pandas df.assign analogue).
+
+    Per-row arithmetic is left unrounded: identical IEEE expression shape
+    on both engines is bit-deterministic (nipd_spark.oracle discipline).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@query(
+    "p2_filter_compare",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount > 0.05 AND NOT l_returnflag = 'A'
+    """,
+    tags=("P2",),
+)
+def p2_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicates with AND/NOT — pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_discount") > 0.05)
+        & ~(F.col("l_returnflag") == "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "p3_between",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+      AND o_totalprice BETWEEN 1000 AND 50000
+    """,
+    tags=("P3",),
+)
+def p3_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range predicates (position-window analogue)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between(
+            F.lit("1997-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+        & F.col("o_totalprice").between(1000, 50000)
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "p4_in_list",
+    sql="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+    """,
+    tags=("P4",),
+)
+def p4_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate (chrom ∈ set analogue)."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "FURNITURE")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "p5_null_handling",
+    sql="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS disc
+      FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           count(disc) AS n_nonnull,
+           count(*) - count(disc) AS n_null,
+           CAST(round(CAST(CAST((sum(coalesce(disc, 0.0))) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS sum_disc,
+           CAST(round(CAST(CAST((avg(disc)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS avg_disc_nonnull
+    FROM t
+    """,
+    tags=("P5",),
+)
+def p5_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL predicates + coalesce (missing-call handling analogue).
+
+    The corpus has zero nulls (FIXTURES.md), so nulls are introduced via
+    nullif — the same trick a VCF parser uses for './.' genotype calls.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"))
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("disc").alias("n_nonnull"),
+        (F.count("*") - F.count("disc")).alias("n_null"),
+        F.round(F.sum(F.coalesce("disc", F.lit(0.0))), 6).alias("sum_disc"),
+        F.round(F.avg("disc"), 6).alias("avg_disc_nonnull"),
+    )
+
+
+@query(
+    "p6_like_regex",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS id_digits
+    FROM customer
+    WHERE c_name LIKE 'Customer#%' AND regexp_matches(c_name, '0{3}')
+    """,
+    tags=("P6", "F1"),
+)
+def p6_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + regex predicates and extraction (sample-ID parsing analogue)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").like("Customer#%") & F.col("c_name").rlike("0{3}"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("id_digits"),
+        )
+    )
+
+
+@query(
+    "p7_distinct",
+    sql="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CASE WHEN l_quantity < 10 THEN 'SMALL' ELSE 'BULK' END AS l_shipmode
+          FROM lineitem)
+    """,
+    tags=("P7",),
+)
+def p7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projection (unique (chrom,pos) sites analogue)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_quantity") < 10, "SMALL").otherwise("BULK").alias("l_shipmode"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# J — joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_equi",
+    sql="""
+    SELECT n_name, count(*) AS n_orders, CAST(round(CAST(CAST((sum(o_totalprice)) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("J1", "J6"),
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi joins (trio-merge analogue); nation dim broadcast."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j2_left_outer",
+    sql="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           CAST(round(CAST(CAST((coalesce(sum(o_totalprice), 0.0)) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY c_custkey
+    """,
+    tags=("J2",),
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping unmatched left rows (plasma-sites analogue)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "j3_full_outer",
+    sql="""
+    WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    tags=("J3",),
+)
+def j3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join aligning two call sets (union-of-callsets analogue)."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    supp = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return (
+        cust.join(supp, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "j4_left_semi",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    tags=("J4",),
+)
+def j4_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS — sites-present-in-panel analogue)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j5_left_anti",
+    sql="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("J5",),
+)
+def j5_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS — novel-variants analogue)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "j6_broadcast_star",
+    sql="""
+    SELECT r_name AS region, n_name AS nation,
+           CAST(round(CAST(CAST((sum(l_extendedprice * (1 - l_discount))) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+    tags=("J6", "J1"),
+)
+def j6_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style star join: fact-fact shuffle join + broadcast dims.
+
+    Scale note: lineitem⋈orders shuffles on orderkey (both ~TB at 100 TB —
+    bucketing both on orderkey removes this shuffle); customer/nation/region
+    are broadcast so the big side never moves for them.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "j7_cross",
+    sql="""
+    SELECT r_name, seg.c_mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+    tags=("J7",),
+)
+def j7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (all-pairs scaffold for similarity ops)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    seg = load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(seg)
+
+
+@query(
+    "j10_theta_band",
+    sql="""
+    SELECT s1.s_suppkey AS a_suppkey, s2.s_suppkey AS b_suppkey,
+           s1.s_acctbal - s2.s_acctbal AS bal_gap
+    FROM supplier s1
+    JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey
+     AND s1.s_suppkey < s2.s_suppkey
+     AND abs(s1.s_acctbal - s2.s_acctbal) < 500
+    """,
+    tags=("J10", "J11"),
+)
+def j10_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality (theta) self join with an equi prefix.
+
+    Scale note: the nationkey equi conjunct keeps this a hash join with a
+    residual filter, not a BNLJ — the pattern to demand of every theta join.
+    """
+    s = load(spark, sf_dir, "supplier")
+    s1, s2 = s.alias("s1"), s.alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_suppkey") < F.col("s2.s_suppkey"))
+            & (F.abs(F.col("s1.s_acctbal") - F.col("s2.s_acctbal")) < 500),
+        )
+        .select(
+            F.col("s1.s_suppkey").alias("a_suppkey"),
+            F.col("s2.s_suppkey").alias("b_suppkey"),
+            (F.col("s1.s_acctbal") - F.col("s2.s_acctbal")).alias("bal_gap"),
+        )
+    )
+
+
+@query(
+    "j11_self_pairs",
+    sql="""
+    SELECT a.l_orderkey AS orderkey,
+           a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+           a.l_extendedprice + b.l_extendedprice AS pair_price
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    """,
+    tags=("J11",),
+)
+def j11_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join pairing lines within an order (consecutive-SNP analogue)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("orderkey"),
+            F.col("a.l_linenumber").alias("ln_a"),
+            F.col("b.l_linenumber").alias("ln_b"),
+            (F.col("a.l_extendedprice") + F.col("b.l_extendedprice")).alias(
+                "pair_price"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O — sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "o1_multikey_sort",
+    sql="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY o_orderpriority ASC, o_totalprice DESC
+    """,
+    tags=("O1",),
+)
+def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (chrom,pos-ordering analogue); hash is order-insensitive
+    but the plan exercises range-partitioned sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(F.col("o_orderpriority").asc(), F.col("o_totalprice").desc())
+    )
+
+
+@query(
+    "o3_global_topk",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("O2", "O3"),
+)
+def o3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort at scale).
+
+    Deterministic tie-break on the unique orderkey keeps the oracle stable.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "o4_pergroup_topk",
+    sql="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("O4", "W1"),
+)
+def o4_pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (most-informative-SNPs analogue)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    sql=f"""
+    SELECT l_orderkey,
+           {dround("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("J1", "A1", "O3"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: 3-way join, filtered, grouped, global top-10.
+
+    Scale note: customer is the small side (broadcast); lineitem⋈orders
+    shuffles on orderkey; top-10 via TakeOrderedAndProject (no full sort).
+    Deterministic tie-breaks (o_orderdate, l_orderkey) keep the oracle
+    stable at the LIMIT boundary.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+    )

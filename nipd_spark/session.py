@@ -1,0 +1,43 @@
+"""SparkSession factory with the cross-engine discipline from SURVEY.md §1.2/§4.2.
+
+Pins that keep the DuckDB differential oracle stable:
+  - session timezone UTC (parquet timestamps render identically both engines)
+  - ANSI mode on (Spark 4 default; DuckDB is ANSI-like)
+  - Arrow enabled (pandas-UDF / toPandas fast path)
+  - AQE on with partition coalescing (right-sizes tiny-SF shuffles and
+    re-plans skew/broadcast at 100 TB alike)
+
+Scale notes (100 TB): the same builder works on a cluster master; only
+``master``/memory change. Shuffle partition *count* is deliberately left
+to AQE (``advisoryPartitionSizeInBytes`` 64 MB) instead of a hard-coded
+number so plans survive a 1000× scale-up without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nipd_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("NIPD_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
