@@ -29,7 +29,21 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan (SURVEY.md §2 S1): pushdown + pruning apply."""
+    """Columnar parquet scan (SURVEY.md §2 S1): pushdown + pruning apply.
+
+    ``events.ts`` is ns-precision parquet (FIXTURES.md), which Spark 4.1
+    rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as long
+    (legacy conf — set here, not in the session factory, because the
+    driver calls queries with its own SparkSession) and floor-truncate
+    to µs TimestampType, matching DuckDB's ``ts::TIMESTAMP`` cast so
+    oracle comparisons line up (nipd_spark.oracle.ts_us).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

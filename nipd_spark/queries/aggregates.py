@@ -1,1 +1,390 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Aggregations (SURVEY.md §2.4, A1-A14).
+
+Reference realization [PK]: pandas ``groupby().agg()`` / ``describe`` /
+``value_counts`` over variant tables (per-block depth sums, genotype
+distributions, coverage percentiles). Spark gives partial+final hash
+aggregation (map-side combine) automatically for every query here.
+
+Scale notes (100 TB): all groupBys shuffle only the (small) group-key
+domain after partial aggregation; countDistinct expands then aggregates
+(use A4's HLL sketch when the distinct domain itself is huge); the
+grouped-pandas UDAF (A14) ships Arrow batches per group — keep group
+count ≫ core count and group size bounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
+from nipd_spark.registry import query
+
+
+@query(
+    "a2_global_agg",
+    sql=f"""
+    SELECT count(*) AS n_rows,
+           {dround("sum(l_quantity)")} AS total_qty,
+           {dround("avg(l_extendedprice)")} AS avg_price,
+           min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+    tags=("A2",),
+)
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) aggregate — total-reads / overall-rate analogue."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "a3_count_distinct",
+    sql="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A3",),
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (distinct-sites-per-sample analogue)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("a4_approx_count_distinct", sql=None, tags=("A4",))
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only: sketch estimates aren't
+    cross-engine hashable — SURVEY.md §2.4 A4).
+
+    Scale note: at 100 TB this replaces A3 whenever the distinct domain
+    doesn't fit the expand-shuffle; rsd=0.01 keeps ±1% error.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+@query(
+    "a5_having",
+    sql=f"""
+    SELECT l_suppkey, count(*) AS n_lines, {dround("sum(l_quantity)")} AS qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) >= 50 AND sum(l_quantity) > 1000
+    """,
+    tags=("A5",),
+)
+def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — groups passing QC thresholds (block SNP-count analogue).
+
+    The HAVING predicate filters on the *unrounded* aggregate in both
+    engines; only the emitted column is rounded.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").alias("_qty_raw"),
+        )
+        .filter((F.col("n_lines") >= 50) & (F.col("_qty_raw") > 1000))
+        .select("l_suppkey", "n_lines", F.round("_qty_raw", 4).alias("qty"))
+    )
+
+
+@query(
+    "a6_rollup",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n, {dround("sum(l_extendedprice)")} AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A6",),
+)
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity QC summary (per-sample/per-chrom/overall).
+
+    DuckDB ``grouping(a,b)`` produces the same bitmask as Spark's
+    ``grouping_id()`` (verified: 0/1/3 on the rollup levels).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
+@query(
+    "a6b_cube",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           {dround("sum(l_quantity)")} AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A6",),
+)
+def a6b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all granularity combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+    )
+
+
+@query(
+    "a7_pivot",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("sum(l_quantity) FILTER (l_linestatus = 'O')")} AS qty_O,
+           {dround("sum(l_quantity) FILTER (l_linestatus = 'F')")} AS qty_F,
+           count(*) FILTER (l_linestatus = 'O') AS n_O,
+           count(*) FILTER (l_linestatus = 'F') AS n_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A7",),
+)
+def a7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide (samples×metric matrix analogue); oracle uses
+    FILTER-per-column, the portable spelling of PIVOT."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_n").alias("n_O"),
+        F.col("F_n").alias("n_F"),
+    )
+
+
+@query(
+    "a8_collect_sorted",
+    sql="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A8",),
+)
+def a8_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined (SNP-list-per-block analogue).
+
+    sort_array + concat_ws makes the nondeterministic collection order
+    deterministic and string-hashable on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query(
+    "a9_percentiles",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("median(l_quantity)", 6)} AS med_qty,
+           {dround("quantile_cont(l_quantity, 0.25)", 6)} AS p25_qty,
+           {dround("quantile_cont(l_extendedprice, 0.95)", 6)} AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A9",),
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median (coverage p50/p95 QC analogue).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation; approx_percentile is covered rows-only by A4's family.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95_price"),
+    )
+
+
+@query(
+    "a10_stats",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("stddev_samp(l_quantity)", 6)} AS sd_qty,
+           {dround("var_samp(l_discount)", 6)} AS var_disc,
+           {dround("corr(l_extendedprice, l_quantity)", 6)} AS corr_pq,
+           {dround("covar_samp(l_extendedprice, l_quantity)", 4)} AS covar_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A10",),
+)
+def a10_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion + correlation (fetal-fraction dispersion analogue)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
+    )
+
+
+@query(
+    "a11_minmax_by",
+    sql="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A11",),
+)
+def a11_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by representative row per group (idxmax analogue).
+
+    Tie-free on this corpus (verified: exactly one row per group carries
+    the extreme o_totalprice at sf0.01 and sf0.1).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "a12_conditional_agg",
+    sql=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           count_if(event_type = 'purchase') AS n_purchase,
+           count_if(event_type = 'error') AS n_error,
+           {dround("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)")}
+             AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A12",),
+)
+def a12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (count-if-het / sum-if-ref analogue).
+
+    Scale note: events.user_id has 15 distinct keys (skew fixture) — the
+    partial agg collapses each partition to ≤15 rows before the shuffle,
+    so the skew never materializes; see composites for the salting
+    pattern when the per-key *state* is what's big.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+        F.count_if(F.col("event_type") == "error").alias("n_error"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            4,
+        ).alias("purchase_value"),
+    )
+
+
+@query(
+    "a13_histogram",
+    sql=f"""
+    SELECT CAST(floor(value / 50) * 50 AS DOUBLE) AS bin_lo,
+           count(*) AS n,
+           {dround("avg(value)", 6)} AS bin_avg
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A13",),
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-binned histogram (depth-histogram analogue)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.floor(F.col("value") / 50) * 50).cast("double").alias("bin_lo")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("bin_avg"),
+    )
+
+
+GEOMEAN_SCHEMA = "user_id long, n long, geomean_value double"
+
+
+@query(
+    "a14_udaf_geomean",
+    sql=f"""
+    SELECT user_id, count(*) AS n,
+           {dround("exp(avg(ln(value)))", 6)} AS geomean_value
+    FROM events
+    WHERE value > 0
+    GROUP BY user_id
+    """,
+    tags=("A14", "D4"),
+)
+def a14_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped pandas (SPRT-terminal-decision shape):
+    geometric mean per user, recomputable in SQL for the oracle.
+
+    Spark has no Python Aggregator; applyInPandas is the idiomatic
+    grouped-reduce (SURVEY.md §2.4 A14). Arrow-batched, one group per
+    pandas frame.
+    """
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "geomean_value": [round(float(np.exp(np.log(pdf["value"]).mean())), 6)],
+            }
+        )
+
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        geomean, GEOMEAN_SCHEMA
+    )

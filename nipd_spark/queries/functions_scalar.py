@@ -1,1 +1,195 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Scalar function families (SURVEY.md §2.8: F1 string, F2 date/time,
+F3 math, F4 conditional, F8 casts).
+
+Reference realization [PK]: pandas ``str.*`` accessors (genotype '0/1'
+parsing, locus keys), ``pd.to_datetime``/``.dt``, numpy log/abs/sqrt
+(log-likelihoods), ``np.select`` CASE ladders, ``astype``.
+
+Cross-engine notes: transcendental functions (ln/log10/exp/pow) may
+differ in the last ulp between JVM StrictMath and libm → rounded to
+6 dp; sqrt is IEEE-correctly-rounded → raw. Spark's double→int CAST
+truncates while DuckDB's rounds → the oracle spells Spark's semantics
+as CAST(trunc(x) AS INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.registry import query
+
+
+@query(
+    "f1_string_funcs",
+    sql="""
+    SELECT c_custkey,
+           c_mktsegment || ':' || lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS locus_key,
+           lower(c_name) AS name_lc,
+           right(c_name, 3) AS tail3,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer#', 'C') AS short_name,
+           split_part(c_mktsegment, 'I', 1) AS seg_head,
+           strpos(c_name, '#') AS hash_pos,
+           trim(upper(c_mktsegment)) AS seg_up
+    FROM customer
+    """,
+    tags=("F1",),
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: locus-key building, case, pad, substring, replace
+    (genotype-string parsing analogue)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            ":", "c_mktsegment", F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+        ).alias("locus_key"),
+        F.lower("c_name").alias("name_lc"),
+        F.right(F.col("c_name"), F.lit(3)).alias("tail3"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("short_name"),
+        F.split_part(F.col("c_mktsegment"), F.lit("I"), F.lit(1)).alias("seg_head"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.trim(F.upper(F.col("c_mktsegment"))).alias("seg_up"),
+    )
+
+
+@query(
+    "f2_datetime_funcs",
+    sql="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch0,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+    tags=("F2", "F8"),
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (run-date arithmetic / month bucketing analogue)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.date_add(F.col("o_orderdate").cast("date"), 30))
+        .cast("timestamp")
+        .alias("due_ts"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch0"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "f3_math_funcs",
+    sql=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(CAST((ln(l_extendedprice)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS ln_price,
+           CAST(round(CAST(CAST((log10(l_extendedprice)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS log10_price,
+           sqrt(l_quantity) AS sqrt_qty,
+           l_quantity * l_quantity AS qty_sq,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_quantity, 25.0) AS qty_hi,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+    tags=("F3",),
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (log-likelihood arithmetic analogue). sqrt is exact
+    (IEEE); ln/log10 rounded (libm-vs-JVM last-ulp)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@query(
+    "f4_case_ladder",
+    sql="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'DEBT'
+                WHEN c_acctbal < 1000 THEN 'LOW'
+                WHEN c_acctbal < 5000 THEN 'MID'
+                ELSE 'HIGH' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_nationkey % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS nation_parity
+    FROM customer
+    """,
+    tags=("F4",),
+)
+def f4_case_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE ladder — the RHDO genotype-category classification shape
+    (type A/B informative SNPs, Lo 2010; SURVEY.md §2.12)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "DEBT")
+        .when(F.col("c_acctbal") < 1000, "LOW")
+        .when(F.col("c_acctbal") < 5000, "MID")
+        .otherwise("HIGH")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, "EVEN").otherwise("ODD").alias(
+            "nation_parity"
+        ),
+    )
+
+
+@query(
+    "f8_casts",
+    sql="""
+    SELECT l_orderkey,
+           CAST(trunc(l_quantity) AS INT) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           try_cast('not a number' AS BIGINT) AS bad_cast
+    FROM lineitem
+    """,
+    tags=("F8",),
+)
+def f8_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family. Spark double→int truncates toward zero; DuckDB CAST
+    rounds — oracle uses CAST(trunc(x) AS INT) to express Spark's
+    semantics. try_cast yields NULL on both engines (ANSI escape hatch).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.try_to_number(F.lit("not a number"), F.lit("999")).cast("bigint").alias("bad_cast"),
+    )

@@ -1,1 +1,282 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Window functions (SURVEY.md §2.5, W1-W9).
+
+Reference realization [PK]: pandas ``groupby().cumcount/cumsum/shift/
+rolling/rank`` along genomic position order — the axis the RHDO/SPRT
+statistics run on (Lo et al. 2010, SURVEY.md §2.12). Spark windows need
+explicit deterministic ordering: every orderBy here carries a unique
+tie-breaker key (orderkey / event_id / linenumber).
+
+Scale notes (100 TB): a window is one shuffle on partitionBy keys + an
+in-partition sort; partitions here (custkey / user_id / suppkey) are
+bounded, so no single partition outgrows an executor. Cumulative frames
+are streamed (running accumulation), not O(n²). Partition-only windows
+(W8) broadcast nothing — they re-aggregate within the sorted run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.oracle import dround, ts_us
+from nipd_spark.registry import query
+
+# Deterministic per-customer order: date then unique orderkey.
+ORDERS_W = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+@query(
+    "w1_rank_family",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w_uniq AS rn,
+           rank() OVER w_pri AS rnk,
+           dense_rank() OVER w_pri AS drnk,
+           ntile(4) OVER w_uniq AS quartile
+    FROM orders
+    WINDOW w_uniq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_pri  AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    """,
+    tags=("W1",),
+)
+def w1_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile (SNP ordering within block)."""
+    o = load(spark, sf_dir, "orders")
+    w_pri = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(ORDERS_W).alias("rn"),
+        F.rank().over(w_pri).alias("rnk"),
+        F.dense_rank().over(w_pri).alias("drnk"),
+        F.ntile(4).over(ORDERS_W).alias("quartile"),
+    )
+
+
+@query(
+    "w2_lag_lead",
+    sql=f"""
+    SELECT event_id, user_id,
+           epoch_us({ts_us()}) - lag(epoch_us({ts_us()}))
+             OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    """,
+    tags=("W2",),
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — adjacent-SNP distance / inter-event gap analogue."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "w3_cumsum",
+    sql=f"""
+    SELECT o_custkey, o_orderkey,
+           {dround("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+             AS running_total
+    FROM orders
+    """,
+    tags=("W3",),
+)
+def w3_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum along an ordered partition — the SPRT cumulative-LLR
+    frame shape (Lo 2010 core computation; SURVEY.md §2.12)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                ORDERS_W.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_total"),
+    )
+
+
+@query(
+    "w4_moving_avg",
+    sql=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           {dround("avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 6)}
+             AS qty_ma7
+    FROM lineitem
+    """,
+    tags=("W4",),
+)
+def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average (rolling coverage smoothing analogue)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 6).alias("qty_ma7"),
+    )
+
+
+@query(
+    "w5_range_frame",
+    sql=f"""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(epoch_us({ts_us()}) // 1000000 AS BIGINT) AS sec
+      FROM events
+    )
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           {dround("sum(value) OVER w")} AS val_1h
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W5",),
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: trailing 1 h per user (±100 kb window analogue).
+
+    RANGE frames need a numeric order key; both engines floor ts to epoch
+    seconds first, so frame membership is identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id", "user_id", "value", (F.unix_micros("ts") / 1_000_000).cast("long")
+        .alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return t.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("val_1h"),
+    )
+
+
+@query(
+    "w6_first_last",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("W6",),
+)
+def w6_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the full partition (block boundary values)."""
+    o = load(spark, sf_dir, "orders")
+    w = ORDERS_W.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "w7_pct_rank_cume",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+    tags=("W7",),
+)
+def w7_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — empirical CDF of depth analogue.
+
+    Raw doubles are safe: both engines compute (rank-1)/(n-1) and
+    count≤/n from identical small integers.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "w8_zscore",
+    sql=f"""
+    SELECT event_id, event_type,
+           {dround("(value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type)", 6)}
+             AS z
+    FROM events
+    """,
+    tags=("W8",),
+)
+def w8_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-window z-score — the NIPT z-score screen normalization
+    (Chiu BMJ 2011 analogue; SURVEY.md §2.12). Rounded: partition
+    aggregates are order-dependent sums."""
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(wp)) / F.stddev_samp("value").over(wp)
+    return ev.select("event_id", "event_type", F.round(z, 6).alias("z"))
+
+
+@query(
+    "w9_threshold_crossing",
+    sql="""
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           min(CASE WHEN cum > 500000 THEN rn END) AS cross_at,
+           count(*) AS n_orders
+    FROM c
+    GROUP BY o_custkey
+    """,
+    tags=("W9", "W3", "W1"),
+)
+def w9_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPRT bound-crossing detection: first ordered index where the
+    cumulative statistic exits the threshold (Lo 2010 supplement shape).
+
+    The cumulative sum is compared UNROUNDED: both engines accumulate in
+    identical frame order, so the comparison is bit-deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    cum = F.sum("o_totalprice").over(ORDERS_W.rowsBetween(Window.unboundedPreceding, 0))
+    c = o.select(
+        "o_custkey",
+        F.row_number().over(ORDERS_W).alias("rn"),
+        cum.alias("cum"),
+    )
+    return c.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("cum") > 500000, F.col("rn"))).alias("cross_at"),
+        F.count("*").alias("n_orders"),
+    )
