@@ -1,0 +1,67 @@
+"""As-of join (SURVEY.md §2.3 J9, §4.3): each left row matches the
+latest right row with right_ts <= left_ts (per key).
+
+pandas ``merge_asof`` analogue [PK]; Spark SQL 4.1 has no ASOF JOIN, so
+this is the union-and-window algorithm:
+
+  1. tag right rows side=0, left rows side=1; union by a common layout
+  2. window per key ordered by (ts, side, right-tiebreak):
+     ``last(right_payload, ignorenulls)`` over unbounded-preceding..current
+     — at equal ts the right row sorts first, giving <= semantics
+  3. keep left rows; the carried payload is the as-of match
+
+Scale notes (100 TB): one shuffle on the key + in-partition sort —
+identical cost profile to any window op; no ordered merge ever
+materializes pairs. For bounded as-of (within Δ), add a residual filter
+on the gap; for huge partitions pre-bucket by (key, coarse time) as in
+range_join and stitch bucket boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join. Result = all left columns + right_payload columns
+    (null when no right row precedes). ``tiebreak`` orders equal-ts right
+    rows (last one wins); pass a unique right column for determinism."""
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).alias("__tb"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__match.{c}").alias(c) for c in right_payload],
+    )
+    return out

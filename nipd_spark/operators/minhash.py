@@ -1,0 +1,125 @@
+"""MinHash + banded LSH near-duplicate detection (SURVEY.md §2.9 L3,
+§4.3; Broder 1997 resemblance sketches, Leskovec et al. MMDS ch.3).
+
+Hand-rolled on DataFrame ops (no MLlib): the whole pipeline is
+equi-keyed — shingle explode → per-doc min-hash aggregation → band
+bucket self-join → exact-Jaccard verification on candidates only.
+No cross product anywhere.
+
+Parameters: P=32 permutations as B=16 bands × R=2 rows. Candidate
+probability 1-(1-j²)^16: j=0.5 → 0.99, j=0.2 → 0.48 (false positives
+are removed by the exact verify step; misses at j≥0.5 are ≈1%).
+
+Scale notes (100 TB): the band self-join shuffles on (band, hash) —
+uniform unless a bucket degenerates (identical docs); cap bucket width
+with a count filter if needed. Signatures are 32×8 bytes per doc —
+~0.3% of a 10 KB doc — so the pairwise stage touches no raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nipd_spark.operators import text
+
+N_PERM = 32
+N_BANDS = 16
+ROWS_PER_BAND = 2
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the resemblance set."""
+    return docs.select(
+        "doc_id", F.explode(text.shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+
+
+def signatures(shingled: DataFrame) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{P-1} via xxhash64(perm, shingle).
+
+    xxhash64 with the permutation index as a leading column gives P
+    independent deterministic hash families in one pass.
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"mh{p}")
+        for p in range(N_PERM)
+    ]
+    return shingled.groupBy("doc_id").agg(*mins)
+
+
+def band_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs (a_id < b_id) sharing ≥1 band bucket."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("bhash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    keyed = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def exact_jaccard(shingled: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact shingle Jaccard via equi-join on shingle (no cross product).
+
+    With ``pairs`` given, only candidate pairs are scored (the LSH verify
+    step); otherwise all co-shingled pairs (the brute-force anchor —
+    pairs sharing zero shingles have J=0 and never appear).
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingled.alias("sa")
+    b = shingled.alias("sb")
+    inter = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("a_id"), F.col("sb.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a_id", "b_id"], "inner")
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_inter",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Full LSH pipeline: shingle → sign → band join → verify ≥ threshold."""
+    sh = doc_shingles(docs, n)
+    cands = band_candidates(signatures(sh))
+    return exact_jaccard(sh, cands).filter(F.col("jaccard") >= threshold)

@@ -1,1 +1,149 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Array / map / JSON semi-structured functions (SURVEY.md §2.8 F5-F7).
+
+Reference realization [PK]: VCF INFO/FORMAT packed strings parsed with
+pandas str ops + json.loads (AD depth pairs → allele-fraction math).
+Spark equivalents: higher-order array functions, str_to_map, from_json —
+all JVM-side, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.operators import vector
+from nipd_spark.registry import query
+
+
+@query(
+    "f5_array_ops",
+    sql=f"""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           sqrt({vector.duck_sq_norm('embedding')}) AS l2_norm,
+           list_max(embedding) AS max_elem,
+           list_min(embedding) AS min_elem,
+           list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))
+             AS head8_sum,
+           list_count(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+    tags=("F5",),
+)
+def f5_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array ops over 64-d embeddings (AD-field math analogue).
+
+    All values bit-exact across engines (sequential double accumulation)
+    — no rounding needed.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        vector.l2_norm(emb).alias("l2_norm"),
+        F.array_max(emb).alias("max_elem"),
+        F.array_min(emb).alias("min_elem"),
+        F.aggregate(
+            F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head8_sum"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "f5b_posexplode",
+    sql="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+    WHERE vec_id < 10
+    """,
+    tags=("F5",),
+)
+def f5b_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode to long format (0-based pos, matching Spark)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@query(
+    "f6_map_ops",
+    sql="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           CAST(user_id AS VARCHAR) AS uid_from_map,
+           2 AS n_keys
+    FROM events
+    """,
+    tags=("F6",),
+)
+def f6_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: pack → str_to_map → element_at/map_keys (VCF
+    FORMAT key→value analogue). The oracle states the expected *values*
+    directly — DuckDB's MAP type isn't needed to validate extraction.
+    """
+    ev = load(spark, sf_dir, "events")
+    packed = F.concat_ws(
+        ";",
+        F.concat(F.lit("type="), F.col("event_type")),
+        F.concat(F.lit("uid="), F.col("user_id").cast("string")),
+    )
+    m = F.str_to_map(packed, F.lit(";"), F.lit("="))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "uid").alias("uid_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "f7_json_extract",
+    sql="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INT) > 50 AS k_gt50
+    FROM events
+    """,
+    tags=("F7",),
+)
+def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (both get_json_object-style
+    string path and from_json struct path on the Spark side)."""
+    ev = load(spark, sf_dir, "events")
+    k_struct = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_struct.getField("k").alias("k_int"),
+        (k_struct.getField("k") > 50).alias("k_gt50"),
+    )
+
+
+@query(
+    "f7b_json_agg",
+    sql=f"""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+           CAST(round(CAST(CAST((avg(CAST(json_extract_string(props, '$.k') AS INT))) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS k_avg
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("F7", "A1"),
+)
+def f7b_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-then-aggregate over JSON props (QC-json rollup analogue)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.round(F.avg(k), 6).alias("k_avg"),
+    )

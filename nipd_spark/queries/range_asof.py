@@ -1,1 +1,164 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Range / as-of / interval joins (SURVEY.md §2.3 J8-J9) — the genomics
+region-annotation and merge_asof semantics (§2.12), exercised on
+events.value bands and event-time sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nipd_spark.catalog import load
+from nipd_spark.operators.asof import asof_join
+from nipd_spark.operators.range_join import bucketed_range_join
+from nipd_spark.registry import query
+
+# Irregular, partially overlapping value bands (BED-like regions).
+# Literal in both engines; half-open [lo, hi).
+BANDS = [
+    ("tiny", 0.0, 15.0),
+    ("small", 10.0, 40.0),
+    ("low-mid", 35.0, 80.0),
+    ("mid", 60.0, 130.0),
+    ("high-mid", 120.0, 210.0),
+    ("high", 200.0, 500.0),
+]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in BANDS)
+
+
+@query(
+    "j8_range_join",
+    sql=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT band, count(*) AS n_events,
+           CAST(round(CAST(CAST((sum(value)) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+    tags=("J8",),
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed range-join operator
+    (BED-intersect / region-annotation analogue, SURVEY.md §2.12).
+
+    The oracle is the naive theta join — same relation, different
+    algorithm; the bucketed rewrite is the 100 TB path (hash join on
+    floor(value/width) instead of BNLJ).
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        BANDS,
+        T.StructType(
+            [
+                T.StructField("band", T.StringType(), False),
+                T.StructField("lo", T.DoubleType(), False),
+                T.StructField("hi", T.DoubleType(), False),
+            ]
+        ),
+    )
+    joined = bucketed_range_join(
+        ev, bands, point_col="value", lo_col="lo", hi_col="hi", width=50.0
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "j9_asof_join",
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value, c.click_id,
+           epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts
+    """,
+    tags=("J9",),
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (merge_asof / latest-QC-record analogue).
+
+    The oracle is DuckDB's native ASOF JOIN — an independent
+    implementation of the same semantics, validating the union+window
+    algorithm. (user_id, ts) is duplicate-free in the corpus (verified),
+    so the match is unique. Inner semantics: purchases with no prior
+    click are dropped on both sides.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        right_payload=["click_id", "cts"],
+        tiebreak="click_id",
+    )
+    return out.filter(F.col("click_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "value",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("cts")).alias("gap_us"),
+    )
+
+
+@query(
+    "j9b_asof_bounded",
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts
+    WHERE epoch_us(p.ts) - epoch_us(c.cts) <= 3600000000
+    """,
+    tags=("J9", "J10"),
+)
+def j9b_asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of: latest click within a trailing 1 h only."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        right_payload=["click_id", "cts"],
+        tiebreak="click_id",
+    )
+    return (
+        out.filter(
+            F.col("click_id").isNotNull()
+            & ((F.unix_micros("ts") - F.unix_micros("cts")) <= 3_600_000_000)
+        )
+        .select("event_id", "user_id", "click_id")
+    )

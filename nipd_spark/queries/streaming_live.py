@@ -1,1 +1,149 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Live Structured Streaming queries (SURVEY.md §2.10 T4-T8) — real
+readStream → StreamExecution → memory sink, driven to completion by the
+replay harness. Rows-only for the driver (no SQL twin of a stream run);
+tests/test_streaming.py reconciles them against the batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.registry import query
+from nipd_spark.streaming.harness import events_stream, run_to_completion
+
+
+@query("t4_stream_tumbling_watermark", sql=None, tags=("T4", "T1", "S7", "S8"))
+def t4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1's aggregation as a genuine stream with a 10-min watermark.
+
+    Complete mode keeps every window (the replay drains the source, so
+    batch-equality holds exactly — asserted in tests). With append mode
+    only watermark-closed windows would emit; both modes are exercised
+    in tests.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, "complete")
+
+
+@query("t5_stream_dedup", sql=None, tags=("T5",))
+def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark) → per-type counts of the deduped
+    stream. The corpus has unique event_ids, so this must equal the
+    plain batch count (asserted in tests)."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_to_completion(agg, "complete")
+
+
+@query("t6_stream_static_join", sql=None, tags=("T6",))
+def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: events stream joined to a static per-user
+    dimension (derived from the batch table), then aggregated.
+
+    The static side is broadcast into every micro-batch — the standard
+    dim-enrichment shape (at 100 TB: a slowly-changing dim refreshed per
+    trigger via foreachBatch).
+    """
+    static_dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+        .withColumn(
+            "user_bucket",
+            F.when(F.col("user_total") >= 70, "heavy").otherwise("light"),
+        )
+        .select("user_id", "user_bucket")
+    )
+    joined = events_stream(spark, sf_dir).join(F.broadcast(static_dim), "user_id")
+    agg = joined.groupBy("user_bucket", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return run_to_completion(agg, "complete")
+
+
+@query("t7_stream_session_window", sql=None, tags=("T7", "T3"))
+def t7_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) on the live stream — the
+    streaming realization of T3's sessionization (watermark closes
+    sessions; complete-mode replay keeps them all). Tests reconcile
+    session counts/membership with the batch lag-gap twin."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, "complete")
+
+
+@query("t8_stateful_user_tracker", sql=None, tags=("T8",))
+def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): a per-user
+    running tracker (event count, max value, purchase count) whose state
+    persists across 4 real micro-batches (maxFilesPerTrigger=1 over a
+    4-file replay).
+
+    Update mode emits one row per user per batch; the returned DataFrame
+    post-filters to each user's final state (max n_seen). Tests assert it
+    equals the batch groupBy. At 100 TB this is the funnel/state-machine
+    shape: state is per-key and bounded, the state store (RocksDB in
+    prod) holds it between triggers.
+    """
+    import pandas as pd
+
+    out_schema = "user_id long, n_seen long, max_value double, n_purchase long"
+    state_schema = "n long, mx double, np long"
+
+    def track(key, pdfs, state):
+        n, mx, np_ = state.get if state.exists else (0, float("-inf"), 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                np_ += int((pdf["event_type"] == "purchase").sum())
+        state.update((n, mx, np_))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n], "max_value": [mx], "n_purchase": [np_]}
+        )
+
+    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+    updates = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+    updated = run_to_completion(updates, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        updated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,1 +1,236 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Text-analysis / LLM-pipeline operators over `documents`
+(SURVEY.md §2.9: L1, L2, L6-L9; driver mandate BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.operators import text
+from nipd_spark.oracle import dround
+from nipd_spark.registry import query
+
+
+@query(
+    "l6_token_tf",
+    sql="""
+    SELECT token, count(*) AS tf
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("L6",),
+)
+def l6_token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20 (split → explode → count)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "l7_tfidf",
+    sql=f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf) GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tf.token AS token, tf,
+           {dround("tf * ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS tfidf
+    FROM tf, df, n
+    WHERE tf.token = df.token
+    ORDER BY tfidf DESC, doc_id ASC, tf.token ASC
+    LIMIT 100
+    """,
+    tags=("L7",),
+)
+def l7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-DataFrame TF-IDF (no MLlib): TF ⋈ DF with ln(N/df) weighting.
+
+    Scale note: DF is a token-domain aggregate (small) — broadcast it;
+    TF stays partitioned by doc. ln rounded (libm-vs-JVM ulp).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one job, reused in the plan as a literal
+    tf = (
+        text.doc_tokens(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "l8_ngrams",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bi
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 30
+    """,
+    tags=("L8",),
+)
+def l8_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram counts via higher-order fns (no MLlib NGram)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "l9_doc_stats",
+    sql=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           {dround("avg(n_chars)", 6)} AS avg_chars,
+           {dround("median(n_chars)", 6)} AS med_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("L9",),
+)
+def l9_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (language/source filtering + length
+    percentiles — quality-scoring input features)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.median("n_chars"), 6).alias("med_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "l9b_quality_score",
+    sql=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)
+             / len(list_distinct(string_split(text, ' '))) AS repetition,
+           {dround("length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE)", 6)}
+             AS avg_token_len,
+           length(text) = n_chars AS chars_consistent
+    FROM documents
+    """,
+    tags=("L9", "L6"),
+)
+def l9b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, repetition ratio (tokens /
+    distinct tokens), mean token length, metadata consistency — the
+    length/stopword-style heuristics of LLM-corpus quality scoring."""
+    docs = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_tok.cast("double") / F.size(F.array_distinct(toks))).alias("repetition"),
+        F.round(F.length("text") / n_tok.cast("double"), 6).alias("avg_token_len"),
+        (F.length("text") == F.col("n_chars")).alias("chars_consistent"),
+    )
+
+
+@query(
+    "l1_exact_dedup",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source,
+             list_aggregate(string_split(text, ' ')[1:5], 'string_agg', ' ')
+               AS head_key,
+             row_number() OVER (PARTITION BY
+                 list_aggregate(string_split(text, ' ')[1:5], 'string_agg', ' ')
+                 ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, head_key
+    FROM keyed WHERE rn = 1
+    """,
+    tags=("L1",),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a derived key (first-5-token shingle), deterministic
+    keep-lowest-doc_id via row_number — the reproducible spelling of
+    dropDuplicates (which keeps an arbitrary row).
+
+    The corpus has no full-text duplicates at small SF (FIXTURES.md), so
+    the key is a prefix shingle to actually exercise collision handling.
+    """
+    docs = load(spark, sf_dir, "documents")
+    head_key = F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 5))
+    w = Window.partitionBy("head_key").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", head_key.alias("head_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "l2_hash_dedup",
+    sql="""
+    WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS text_sha FROM documents)
+    SELECT count(*) AS n_docs,
+           count(DISTINCT text_sha) AS n_unique,
+           count(*) - count(DISTINCT text_sha) AS n_dups
+    FROM h
+    """,
+    tags=("L2",),
+)
+def l2_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup accounting: sha256 of normalized text.
+
+    Scale note: at 100 TB the 32-byte hash replaces the full text in the
+    dedup shuffle — this is the standard first pass before MinHash.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_sha"))
+    return h.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text_sha").alias("n_unique"),
+        (F.count("*") - F.countDistinct("text_sha")).alias("n_dups"),
+    )

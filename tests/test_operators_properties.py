@@ -1,0 +1,127 @@
+"""Property-based invariants (SURVEY.md §5.2.4) for custom operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.operators import lsh, minhash, vector
+
+
+def test_minhash_lsh_equals_exact_on_corpus(spark, sf_dir):
+    """LSH near-dup (candidates + verify) finds exactly the exact-Jaccard
+    pairs at τ=0.5 on this corpus (planted dups sit at J≈0.99 where the
+    banded-LSH miss probability is ~0)."""
+    from nipd_spark.queries.dedup import l3_jaccard_pairs, l3b_minhash_lsh
+
+    exact = {
+        (r.a_id, r.b_id) for r in l3_jaccard_pairs(spark, sf_dir).collect()
+    }
+    approx = {(r.a_id, r.b_id) for r in l3b_minhash_lsh(spark, sf_dir).collect()}
+    assert approx == exact
+    assert len(exact) > 0  # corpus plants near-dups; empty would be vacuous
+
+
+def test_lsh_verify_never_lies(spark, sf_dir):
+    """Every verified LSH pair carries the true Jaccard (no candidate
+    survives with a wrong score): spot-check via independent recompute."""
+    docs = load(spark, sf_dir, "documents")
+    got = minhash.near_dup_pairs(docs, threshold=0.5).collect()
+    sh = {
+        r.doc_id: set(r.s)
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(
+                __import__("nipd_spark.operators.text", fromlist=["text"]).shingles(
+                    F.col("text"), 3
+                )
+            ).alias("s"),
+        ).collect()
+    }
+    for r in got:
+        a, b = sh[r.a_id], sh[r.b_id]
+        true_j = len(a & b) / len(a | b)
+        assert abs(r.jaccard - true_j) < 1e-12
+
+
+def test_ann_rerank_is_exact_over_candidates(spark, sf_dir):
+    """L5's reported cosines must equal the exact cosine for those pairs,
+    and each query's rows must be sorted by (cosine desc, id asc)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "embedding", vector.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    ann = lsh.ann_topk(emb.select("vec_id", "embedding"),
+                       emb.select("vec_id", "embedding").filter(F.col("vec_id") < 20),
+                       k=5).collect()
+    # exact cosines for the returned pairs, recomputed independently
+    rows = {(r.vec_id): (r.embedding, r.nrm) for r in e.collect()}
+
+    def cos(a, b):
+        ea, na = rows[a]
+        eb, nb = rows[b]
+        s = 0.0
+        for x, y in zip(ea, eb):
+            s += float(x) * float(y)
+        return s / (na * nb)
+
+    per_q: dict[int, list] = {}
+    for r in ann:
+        assert abs(r.cosine - cos(r.q_id, r.neighbor_id)) < 1e-9
+        assert r.q_id != r.neighbor_id
+        per_q.setdefault(r.q_id, []).append((r.rn, r.cosine, r.neighbor_id))
+    for q, lst in per_q.items():
+        lst.sort()
+        cosines = [c for _, c, _ in lst]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """L1 ∘ L1 = L1 (SURVEY.md §5.2.4 dedup idempotence)."""
+    from nipd_spark.queries.text_llm import l1_exact_dedup
+
+    once = l1_exact_dedup(spark, sf_dir)
+    keys_once = sorted(r.head_key for r in once.collect())
+    assert len(keys_once) == len(set(keys_once))
+
+
+def test_join_partition_invariant(spark, sf_dir):
+    """J4 semi + J5 anti partition the left input (SURVEY.md §5.2.4)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_setop_partition_invariant(spark, sf_dir):
+    """U3 + U4 partition the distinct left set."""
+    from nipd_spark.queries.setops import _callset_a, _callset_b
+
+    a = _callset_a(spark, sf_dir)
+    b = _callset_b(spark, sf_dir)
+    n_a_distinct = a.distinct().count()
+    n_inter = a.intersect(b).count()
+    n_except = a.subtract(b).count()
+    assert n_inter + n_except == n_a_distinct
+
+
+def test_window_cumsum_consistent_with_groupby(spark, sf_dir):
+    """W3's final cumulative value per group equals the A1 group sum."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = o.select(
+        "o_custkey",
+        F.sum("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+    ).filter(F.col("rn") == F.col("n"))
+    agg = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    joined = cum.join(agg, "o_custkey").select(
+        (F.abs(F.col("cum") - F.col("s")) < 1e-6).alias("ok")
+    )
+    assert all(r.ok for r in joined.collect())
