@@ -18,7 +18,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark python workers inherit the driver process env, not the driver's
+# sys.path mutations; exporting PYTHONPATH lets workers resolve any
+# nipd_spark symbol a closure references, wherever the driver runs from.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO
+)
 
 from nipd_spark import registry  # noqa: E402
 

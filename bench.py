@@ -43,12 +43,12 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
-        best = None
-        for _ in range(2):  # cold then warm; report warm
+        runs = []
+        for _ in range(4):  # 1 cold + 3 warm; report best warm
             t0 = time.time()
             spec.fn(spark, sf_dir).collect()
-            best = time.time() - t0
-        timings[key] = round(best, 4)
+            runs.append(time.time() - t0)
+        timings[key] = round(min(runs[1:]), 4)
     print(
         json.dumps(
             {

@@ -28,6 +28,12 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# (session-id, sf_dir, table) -> DataFrame. Re-running spark.read.parquet
+# per query re-reads footers and re-resolves schema (~50-100 ms/table);
+# the lazy plan handle is immutable, so caching it is safe.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan (SURVEY.md §2 S1): pushdown + pruning apply.
 
@@ -38,13 +44,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to µs TimestampType, matching DuckDB's ``ts::TIMESTAMP`` cast so
     oracle comparisons line up (nipd_spark.oracle.ts_us).
     """
+    key = (id(spark), sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

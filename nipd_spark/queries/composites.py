@@ -1,1 +1,243 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Genomics-semantic composites (SURVEY.md §2.12) — the reference's
+actual analyses [PK: Lo 2010; Lun 2008; Chiu 2011; Parks 2016],
+expressed as compositions of verified inventory operators on the
+supplied corpus (FIXTURES.md maps the analogy: suppkey→haplotype block,
+shipdate-ordered lines→position-ordered SNPs, returnflag R→alt-allele
+observation).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
+from nipd_spark.registry import query
+
+# SPRT parameters (Lo 2010 shape): H0 p=0.35 vs H1 p=0.5 over the
+# binary 'alt observation' returnflag=='R'. Per-observation LLR terms
+# are computed ONCE in Python and embedded as literals in BOTH engines,
+# so cumulative sums are bit-deterministic.
+_P0, _P1 = 0.35, 0.5
+LLR_ALT = round(math.log(_P1 / _P0), 9)
+LLR_REF = round(math.log((1 - _P1) / (1 - _P0)), 9)
+UPPER, LOWER = 3.0, -3.0
+
+_SPRT_SQL = f"""
+WITH obs AS (
+  SELECT l_suppkey AS block_id,
+         row_number() OVER w AS snp_idx,
+         CASE WHEN l_returnflag = 'R' THEN {LLR_ALT!r} ELSE {LLR_REF!r} END AS llr
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+),
+cum AS (
+  SELECT block_id, snp_idx, llr,
+         sum(llr) OVER (PARTITION BY block_id ORDER BY snp_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_llr
+  FROM obs
+)
+SELECT block_id,
+       count(*) AS n_snps,
+       {dround("max(cum_llr)", 6)} AS max_llr,
+       min(CASE WHEN cum_llr >= {UPPER} THEN snp_idx END) AS upper_cross,
+       min(CASE WHEN cum_llr <= {LOWER} THEN snp_idx END) AS lower_cross,
+       CASE
+         WHEN coalesce(min(CASE WHEN cum_llr >= {UPPER} THEN snp_idx END), 2147483647)
+            < coalesce(min(CASE WHEN cum_llr <= {LOWER} THEN snp_idx END), 2147483647)
+           THEN 'H1'
+         WHEN min(CASE WHEN cum_llr <= {LOWER} THEN snp_idx END) IS NOT NULL
+           THEN 'H0'
+         ELSE 'UNDECIDED'
+       END AS decision
+FROM cum
+GROUP BY block_id
+"""
+
+
+@query("c1_sprt_rhdo", sql=_SPRT_SQL, tags=("W3", "W9", "A11", "F4"))
+def c1_sprt_rhdo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHDO/SPRT classification (Lo 2010 supplement; SURVEY.md §2.12):
+    per block, accumulate per-SNP log-likelihood ratios in position
+    order and decide at the first boundary crossing — the reference's
+    signature computation, as W1+F4+W3+W9+A11.
+
+    LLR terms are Python-computed literals (identical doubles in both
+    engines) → the cumulative comparison is bit-deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    obs = li.select(
+        F.col("l_suppkey").alias("block_id"),
+        F.row_number().over(w).alias("snp_idx"),
+        F.when(F.col("l_returnflag") == "R", F.lit(LLR_ALT))
+        .otherwise(F.lit(LLR_REF))
+        .alias("llr"),
+    )
+    wc = Window.partitionBy("block_id").orderBy("snp_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = obs.withColumn("cum_llr", F.sum("llr").over(wc))
+    up = F.min(F.when(F.col("cum_llr") >= UPPER, F.col("snp_idx")))
+    lo = F.min(F.when(F.col("cum_llr") <= LOWER, F.col("snp_idx")))
+    big = F.lit(2147483647)
+    return cum.groupBy("block_id").agg(
+        F.count("*").alias("n_snps"),
+        F.round(F.max("cum_llr"), 6).alias("max_llr"),
+        up.alias("upper_cross"),
+        lo.alias("lower_cross"),
+        F.when(F.coalesce(up, big) < F.coalesce(lo, big), "H1")
+        .when(lo.isNotNull(), "H0")
+        .otherwise("UNDECIDED")
+        .alias("decision"),
+    )
+
+
+@query(
+    "c2_zscore_screen",
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           {dround("(n - avg(n) OVER (PARTITION BY event_type)) / stddev_samp(n) OVER (PARTITION BY event_type)", 6)}
+             AS z
+    FROM daily
+    """,
+    tags=("W8", "A1", "T1"),
+)
+def c2_zscore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score aneuploidy screen (Chiu BMJ 2011; SURVEY.md §2.12):
+    per-chrom read-count z-score against the cohort — here per-type
+    daily counts z-scored across days (A1 + W8)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.window("ts", "1 day")["start"].alias("day")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(wp)) / F.stddev_samp("n").over(wp)
+    return daily.select("event_type", "day", "n", F.round(z, 6).alias("z"))
+
+
+@query(
+    "c3_fetal_fraction",
+    sql=f"""
+    SELECT l_suppkey AS block_id,
+           count(*) FILTER (l_returnflag = 'R') AS n_alt_sites,
+           {dround("2 * avg(l_discount) FILTER (l_returnflag = 'R')", 6)} AS ff_est
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) FILTER (l_returnflag = 'R') >= 10
+    """,
+    tags=("A12", "A5", "P2"),
+)
+def c3_fetal_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetal-fraction estimation (Lun 2008 / Hudecova 2014; §2.12):
+    FF = 2 × mean minor-allele fraction at paternal-only sites —
+    conditional mean over the 'alt' subset with a QC floor (A12+A5)."""
+    li = load(spark, sf_dir, "lineitem")
+    alt = F.when(F.col("l_returnflag") == "R", F.col("l_discount"))
+    n_alt = F.count(alt)
+    return (
+        li.groupBy(F.col("l_suppkey").alias("block_id"))
+        .agg(
+            n_alt.alias("n_alt_sites"),
+            F.round(2 * F.avg(alt), 6).alias("ff_est"),
+        )
+        .filter(F.col("n_alt_sites") >= 10)
+    )
+
+
+@query(
+    "c5_version_diff",
+    sql="""
+    WITH a AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1998-01-01'),
+         b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               WHERE l_returnflag = 'R')
+    SELECT CASE WHEN a.l_orderkey IS NULL THEN 'only_v2'
+                WHEN b.l_orderkey IS NULL THEN 'only_v1'
+                ELSE 'both' END AS call_status,
+           count(*) AS n_sites
+    FROM a FULL OUTER JOIN b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey
+    GROUP BY 1
+    """,
+    tags=("J3", "U3", "U4", "P5"),
+)
+def c5_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-version regression diff (§2.12): full-outer alignment of
+    two call sets with per-site classification (J3+P5), the lab
+    validation comparison."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+    )
+    b = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") == F.col("b.l_partkey")),
+        "full",
+    )
+    status = (
+        F.when(F.col("a.l_orderkey").isNull(), "only_v2")
+        .when(F.col("b.l_orderkey").isNull(), "only_v1")
+        .otherwise("both")
+    )
+    return joined.groupBy(status.alias("call_status")).agg(
+        F.count("*").alias("n_sites")
+    )
+
+
+@query(
+    "c4_coverage_qc",
+    sql=f"""
+    WITH monthly AS (
+      SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+             count(*) AS depth
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_suppkey, month, depth,
+           {dround("avg(depth) OVER (PARTITION BY l_suppkey ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 6)}
+             AS depth_ma3,
+           {dround("median(depth) OVER (PARTITION BY l_suppkey)", 6)} AS depth_med
+    FROM monthly
+    """,
+    tags=("A13", "A9", "W4"),
+)
+def c4_coverage_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage QC binning (§2.12): month-binned depth with a rolling
+    3-bin smooth and per-block median (A13+W4+A9)."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(F.count("*").alias("depth"))
+    w3 = Window.partitionBy("l_suppkey").orderBy("month").rowsBetween(-2, 0)
+    wp = Window.partitionBy("l_suppkey")
+    return monthly.select(
+        "l_suppkey",
+        "month",
+        "depth",
+        F.round(F.avg("depth").over(w3), 6).alias("depth_ma3"),
+        F.round(F.median("depth").over(wp), 6).alias("depth_med"),
+    )

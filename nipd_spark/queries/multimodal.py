@@ -1,1 +1,125 @@
-"""Placeholder — queries land in a later phase commit."""
+"""Multimodal columns (SURVEY.md §2.9 L10): opaque binary payloads with
+typed metadata, processed via Arrow-batched mapInPandas.
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked deterministic fake (length + sha256 + first-bytes
+"thumbnail") — the Spark-side plumbing (BinaryType schema, struct
+metadata, Arrow batch shape, partitioning) is real and oracle-checked,
+and a real decoder drops into `_make_decoder` unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.registry import query
+
+
+def _make_decoder():
+    """STUB decoder factory (no media libs in this container).
+    Deterministic features standing in for decode/resize/feature-extract;
+    replace the body with e.g. PIL/librosa at deployment — signature and
+    Arrow batch shape hold. Returned as a self-contained closure so
+    cloudpickle ships it by value to workers."""
+
+    def decode_payload(raw: bytes) -> dict:
+        import hashlib as _hl
+
+        return {
+            "payload_len": len(raw),
+            "payload_sha": _hl.sha256(raw).hexdigest(),
+            "head_hex": raw[:4].hex(),
+        }
+
+    return decode_payload
+
+
+@query(
+    "l10_multimodal_decode",
+    sql="""
+    SELECT doc_id,
+           lang AS meta_lang,
+           CAST(length(text) AS BIGINT) AS payload_len,
+           sha256(text) AS payload_sha,
+           -- first 4 bytes of utf-8 text as hex (corpus is ascii tokens)
+           lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS head_hex
+    FROM documents
+    """,
+    tags=("L10", "D6"),
+)
+def l10_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column round-trip: encode text → BinaryType payload +
+    metadata struct → mapInPandas 'decode' → typed features.
+
+    The oracle recomputes the same features from the source text
+    (sha256 over identical utf-8 bytes), proving the binary path carries
+    bytes faithfully through Arrow.
+    """
+    docs = load(spark, sf_dir, "documents")
+    modal = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")
+        ).alias("meta"),
+    )
+
+    decode_payload = _make_decoder()  # closure ships by value
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda b: decode_payload(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "meta_lang": pdf["meta"].map(lambda m: m["lang"]),
+                    "payload_len": feats.map(lambda f: f["payload_len"]).astype("int64"),
+                    "payload_sha": feats.map(lambda f: f["payload_sha"]),
+                    "head_hex": feats.map(lambda f: f["head_hex"]),
+                }
+            )
+
+    return modal.mapInPandas(
+        decode,
+        "doc_id long, meta_lang string, payload_len long, "
+        "payload_sha string, head_hex string",
+    )
+
+
+@query("l10b_multimodal_roundtrip", sql=None, tags=("L10", "S6"))
+def l10b_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet round-trip of a multimodal row (binary + struct + array):
+    write to /tmp, read back, verify payload integrity end-to-end
+    (rows-only; the integrity check is inside the query — mismatches
+    would change the row count)."""
+    import hashlib as _h
+    import os
+
+    docs = load(spark, sf_dir, "documents").limit(100)
+    modal = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct("lang", "n_chars").alias("meta"),
+        F.split("text", " ").alias("tokens"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha_before"),
+    )
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/nipd_modal_{tag}"
+    if not os.path.exists(path):
+        modal.write.mode("overwrite").parquet(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "doc_id",
+            F.col("meta.lang").alias("lang"),
+            F.size("tokens").alias("n_tokens"),
+            (F.sha2("payload", 256) == F.col("sha_before")).alias("intact"),
+        )
+        .filter(F.col("intact"))
+    )

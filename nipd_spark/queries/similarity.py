@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
-from nipd_spark.operators import lsh, vector
+from nipd_spark.operators import knn, lsh, vector
 from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
@@ -37,29 +37,16 @@ WITH e AS (
     tags=("L4",),
 )
 def l4_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-10 cosine pairs, exact O(n²) scan (BASELINE.md row).
+    """Global top-10 cosine pairs (BASELINE.md row) via the GEMM hybrid
+    (operators/knn.py): BLAS selects candidates per partition, winners
+    are re-scored with the sequential expression so emitted cosines stay
+    bit-identical to the DuckDB oracle's arithmetic.
 
-    Both engines run identical sequential double arithmetic → cosines
-    are bit-equal → the top-10 cut is deterministic (ties broken on ids).
-    Scale note: this is the correctness anchor; the 100 TB path is L5.
+    Scale note: block outer-product + per-partition top-k; the exact
+    O(n²) relation is unchanged — L5 is the sub-quadratic path.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", vector.l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cos = vector.cosine(
-        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cos.alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("a_id").asc(), F.col("b_id").asc())
-        .limit(10)
-    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn.top_pairs_gemm(e, k=10)
 
 
 @query(
@@ -78,28 +65,10 @@ def l4_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l4b_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 neighbors for a 20-vector query set (kNN ground truth
-    used by the L5 recall test)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", vector.l2_norm(F.col("embedding")).alias("nrm")
-    )
-    q = e.filter(F.col("vec_id") < 20).alias("a")
-    b = e.alias("b")
-    cos = vector.cosine(
-        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        q.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("q_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            cos.alias("cosine"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-    )
+    used by the L5 recall test) — GEMM candidates + bit-exact re-score,
+    query matrix broadcast."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn.topk_per_query_gemm(e, e.filter(F.col("vec_id") < 20), k=5)
 
 
 @query("l5_ann_lsh", sql=None, tags=("L5",))

@@ -1,0 +1,148 @@
+"""Non-parquet sources & sinks (SURVEY.md §2.1: S2 CSV, S3 JSON, S4
+semi-structured text, S5 in-memory, S6 sink round-trip).
+
+Reference realization [PK]: ``pandas.read_csv``/``read_table`` over
+GATK VariantsToTable / bcftools-query TSVs, and VCF-style files with
+``##`` meta headers. Files are staged deterministically under /tmp from
+the corpus itself, so the DuckDB oracle can validate against the
+original tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nipd_spark.catalog import load
+from nipd_spark.registry import query
+
+
+def _stage(sf_dir: str, name: str) -> str:
+    tag = hashlib.sha1(f"{sf_dir}|{name}".encode()).hexdigest()[:10]
+    return f"/tmp/nipd_src_{tag}"
+
+
+@query(
+    "s2_csv_roundtrip",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("S2", "S6"),
+)
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV sink + source round-trip with an explicit schema (the
+    variant-table TSV ingest path). No inferSchema — SURVEY.md §1.2."""
+    d = _stage(sf_dir, "nation_tsv")
+    if not os.path.exists(d):
+        load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").options(
+            sep="\t", header=True
+        ).csv(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.options(sep="\t", header=True).schema(schema).csv(d)
+
+
+@query(
+    "s3_json_roundtrip",
+    sql="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("S3", "S6"),
+)
+def s3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip with explicit schema."""
+    d = _stage(sf_dir, "supplier_json")
+    if not os.path.exists(d):
+        load(spark, sf_dir, "supplier").coalesce(1).write.mode("overwrite").json(
+            d + ".tmp"
+        )
+        os.rename(d + ".tmp", d)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(d).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@query(
+    "s4_semistructured_vcf",
+    sql="""
+    SELECT CAST(user_id AS VARCHAR) AS sample_id,
+           event_type AS kind,
+           event_id AS pos,
+           CAST(json_extract_string(props, '$.k') AS INT) AS depth
+    FROM events WHERE event_id < 200
+    """,
+    tags=("S4", "F1"),
+)
+def s4_semistructured_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCF-style semi-structured ingest: stage a text file with ``##``
+    meta lines + a ``#`` header + tab-packed records, then parse by
+    skipping meta lines and splitting fields (the pandas
+    ``read_csv(comment='#')`` idiom, SURVEY.md §2.1 S4).
+
+    INFO-style packed field (``k=<n>``) is split with str ops, exactly
+    how VCF INFO is handled.
+    """
+    d = _stage(sf_dir, "vcfish")
+    if not os.path.exists(d):
+        ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+        body = ev.select(
+            F.concat_ws(
+                "\t",
+                F.col("user_id").cast("string"),
+                "event_type",
+                F.col("event_id").cast("string"),
+                F.concat(F.lit("k="), F.get_json_object("props", "$.k")),
+            ).alias("value")
+        )
+        header = spark.createDataFrame(
+            [("##fileformat=VCFish",), ("##source=nipd_spark",),
+             ("#SAMPLE\tKIND\tPOS\tINFO",)],
+            "value string",
+        )
+        header.unionAll(body).coalesce(1).write.mode("overwrite").text(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    raw = spark.read.text(d)
+    data = raw.filter(~F.col("value").startswith("#"))
+    parts = F.split("value", "\t")
+    return data.select(
+        parts.getItem(0).alias("sample_id"),
+        parts.getItem(1).alias("kind"),
+        parts.getItem(2).cast("bigint").alias("pos"),
+        F.split(parts.getItem(3), "=").getItem(1).cast("int").alias("depth"),
+    )
+
+
+@query(
+    "s5_inmemory_values",
+    sql="""
+    SELECT grp, n, CAST(w AS DOUBLE) AS w
+    FROM (VALUES ('A', 1, 0.5), ('B', 2, 1.5), ('C', 3, 2.5)) t(grp, n, w)
+    """,
+    tags=("S5",),
+)
+def s5_inmemory_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory literal table (pd.DataFrame analogue)."""
+    return spark.createDataFrame(
+        [("A", 1, 0.5), ("B", 2, 1.5), ("C", 3, 2.5)],
+        T.StructType(
+            [
+                T.StructField("grp", T.StringType(), False),
+                T.StructField("n", T.IntegerType(), False),
+                T.StructField("w", T.DoubleType(), False),
+            ]
+        ),
+    )

@@ -1,1 +1,236 @@
-"""Placeholder — queries land in a later phase commit."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11 D1-D8).
+
+One exemplar per escape-hatch tier, each with a SQL-recomputable oracle
+where the function is deterministic. Preference order documented in
+§4.3: built-ins → pandas UDF (Arrow) → row UDF (last resort). D4/D5
+grouped forms are the reference's ``groupby().apply`` idiom [PK].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
+from nipd_spark.registry import query
+
+
+@query(
+    "d1_scalar_udf",
+    sql="""
+    SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS parsed_id
+    FROM customer
+    """,
+    tags=("D1",),
+)
+def d1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (documented slow path: per-row serde,
+    no vectorization — D2 is the same logic 10-100× faster)."""
+
+    @F.udf(T.LongType())
+    def parse_id(name: str) -> int:
+        return int(name.rsplit("#", 1)[1])
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", parse_id("c_name").alias("parsed_id"))
+
+
+@query(
+    "d2_pandas_udf",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    tags=("D2",),
+)
+def d2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow-batched): numpy elementwise IEEE ops
+    are bit-identical to the SQL expression — the oracle proves it."""
+
+    @F.pandas_udf(T.DoubleType())
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "d3_iterator_udf",
+    sql=f"""
+    SELECT event_id, {dround("value * 1.1 + 42.0", 6)} AS scored
+    FROM events
+    """,
+    tags=("D3",),
+)
+def d3_iterator_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF — the heavy-init form: the 'model' loads once
+    per worker, then streams Arrow batches (SURVEY.md §2.11 D3)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model_scale, model_bias = 1.1, 42.0  # expensive init happens once here
+        for s in batches:
+            yield (s * model_scale + model_bias).round(6)
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", score("value").alias("scored"))
+
+
+@query(
+    "d4_grouped_zscore",
+    sql=f"""
+    SELECT event_id,
+           {dround("(value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type)", 6)}
+             AS z
+    FROM events
+    """,
+    tags=("D4",),
+)
+def d4_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas — the reference's groupby().apply idiom
+    verbatim; oracle = the W8 window spelling (pandas std is ddof=1 =
+    stddev_samp)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z.round(6)})
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(zscore, "event_id long, z double")
+
+
+@query(
+    "d5_grouped_agg_udf",
+    sql=f"""
+    SELECT event_type, {dround("avg(value * value)", 6)} AS mean_sq
+    FROM events GROUP BY event_type
+    """,
+    tags=("D5",),
+)
+def d5_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: custom scalar per group usable in agg()
+    (and over windows)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def mean_sq(v: pd.Series) -> float:
+        return float((v * v).mean())
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(mean_sq("value"), 6).alias("mean_sq")
+    )
+
+
+@query(
+    "d6_mapinpandas",
+    sql="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           length(props) AS props_len
+    FROM events
+    """,
+    tags=("D6",),
+)
+def d6_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas whole-partition transform — the VCF-block-parser shape
+    (S4's imperative cousin): arbitrary per-batch Python with Arrow I/O."""
+    import json
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "k": pdf["props"].map(lambda s: json.loads(s)["k"]).astype("int32"),
+                    "props_len": pdf["props"].str.len().astype("int64"),
+                }
+            )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    return ev.mapInPandas(parse, "event_id long, k int, props_len long")
+
+
+@query(
+    "d7_udtf",
+    sql="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("D7",),
+)
+def d7_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥3.5): one row in → many rows out (tokenizer
+    with positions — the interval-splitter shape)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_d7_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.token
+        FROM _d7_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
+@query(
+    "d8_cogrouped",
+    sql=f"""
+    WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+                      {dround("sum(o_totalprice)")} AS total_spent
+               FROM orders GROUP BY o_custkey)
+    SELECT c_custkey, c_acctbal,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_spent, 0.0) AS total_spent
+    FROM customer LEFT JOIN o ON c_custkey = o_custkey
+    """,
+    tags=("D8",),
+)
+def d8_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: trio-style pairwise group processing —
+    each (customer-group, orders-group) pair merged in pandas."""
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["c_custkey", "c_acctbal", "n_orders", "total_spent"]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": left["c_custkey"].iloc[:1],
+                "c_acctbal": left["c_acctbal"].iloc[:1],
+                "n_orders": [len(right)],
+                "total_spent": [
+                    round(float(right["o_totalprice"].sum()), 4) if len(right) else 0.0
+                ],
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge, "c_custkey long, c_acctbal double, n_orders long, total_spent double"
+        )
+    )

@@ -22,8 +22,11 @@ from nipd_spark.catalog import load
 from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 
-# Deterministic per-customer order: date then unique orderkey.
-ORDERS_W = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+def _orders_w():
+    """Deterministic per-customer order: date then unique orderkey.
+    Built lazily — Window.partitionBy needs an active SparkContext, so a
+    module-level constant would break import before session creation."""
+    return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
 
 
 @query(
@@ -47,10 +50,10 @@ def w1_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.row_number().over(ORDERS_W).alias("rn"),
+        F.row_number().over(_orders_w()).alias("rn"),
         F.rank().over(w_pri).alias("rnk"),
         F.dense_rank().over(w_pri).alias("drnk"),
-        F.ntile(4).over(ORDERS_W).alias("quartile"),
+        F.ntile(4).over(_orders_w()).alias("quartile"),
     )
 
 
@@ -98,7 +101,7 @@ def w3_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(
             F.sum("o_totalprice").over(
-                ORDERS_W.rowsBetween(Window.unboundedPreceding, 0)
+                _orders_w().rowsBetween(Window.unboundedPreceding, 0)
             ),
             4,
         ).alias("running_total"),
@@ -184,7 +187,7 @@ def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w6_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value over the full partition (block boundary values)."""
     o = load(spark, sf_dir, "orders")
-    w = ORDERS_W.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = _orders_w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -270,10 +273,10 @@ def w9_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical frame order, so the comparison is bit-deterministic.
     """
     o = load(spark, sf_dir, "orders")
-    cum = F.sum("o_totalprice").over(ORDERS_W.rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("o_totalprice").over(_orders_w().rowsBetween(Window.unboundedPreceding, 0))
     c = o.select(
         "o_custkey",
-        F.row_number().over(ORDERS_W).alias("rn"),
+        F.row_number().over(_orders_w()).alias("rn"),
         cum.alias("cum"),
     )
     return c.groupBy("o_custkey").agg(

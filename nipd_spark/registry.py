@@ -24,6 +24,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Modules under nipd_spark.queries that register queries at import time.
 _QUERY_MODULES = (
+    "sources",
     "relational",
     "aggregates",
     "windows",

@@ -23,11 +23,19 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "nipd_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    # Profile: 'local' (default) = sub-second queries on small SF — AQE OFF
+    # (its per-stage re-planning adds ~0.1 s fixed latency per query with
+    # nothing to adapt at MB scale); 'scale' = cluster/100 TB posture —
+    # AQE ON for runtime coalescing, skew splitting, and plan switching.
+    profile = os.environ.get("SPARK_GRAFT_PROFILE", "local")
+    aqe = "true" if profile == "scale" else "false"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions", "8" if profile == "local" else "2000"
+        )  # scale: high ceiling, AQE coalesces down by advisory size
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
