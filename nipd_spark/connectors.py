@@ -1,0 +1,73 @@
+"""Optional connectors (SURVEY.md §2.1 periphery): lakehouse formats and
+external systems whose jars/servers are not in this container. Each is
+gated behind a capability probe and raises a clear error instead of a
+ClassNotFoundException deep in the JVM.
+
+Scale notes (100 TB): production deployments pin these via
+``spark.jars.packages`` (delta-spark / iceberg-spark-runtime /
+spark-sql-kafka); the read/write call shapes below are complete — only
+the classpath is missing here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConnectorUnavailable(RuntimeError):
+    """Raised when a connector's jars are not on the session classpath."""
+
+
+def _has_class(spark: SparkSession, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    if not _has_class(spark, "org.apache.spark.sql.delta.DeltaLog"):
+        raise ConnectorUnavailable(
+            "Delta Lake jars absent; add spark.jars.packages="
+            "io.delta:delta-spark_2.13:<ver> and the DeltaCatalog extension"
+        )
+    return spark.read.format("delta").load(path)
+
+
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    if not _has_class(spark, "org.apache.iceberg.spark.SparkCatalog"):
+        raise ConnectorUnavailable(
+            "Iceberg runtime absent; add iceberg-spark-runtime and a catalog"
+        )
+    return spark.read.format("iceberg").load(table)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC read shape (driver jar + reachable server required).
+
+    Scale note: always pass partitionColumn/lowerBound/upperBound/
+    numPartitions for parallel extraction — the default is single-task.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str
+) -> DataFrame:
+    if not _has_class(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    ):
+        raise ConnectorUnavailable(
+            "spark-sql-kafka jars absent; the production replacement for the "
+            "file-based replay harness (nipd_spark/streaming/harness.py)"
+        )
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )

@@ -67,3 +67,88 @@ def l3b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.near_dup_pairs(docs, threshold=0.5, n=3).select(
         "a_id", "b_id", "n_inter", "jaccard"
     )
+
+
+@query("l3c_simhash", sql=None, tags=("L3",))
+def l3c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 10 over 64-bit fingerprints from
+    3-shingle hashes; 16x4-bit banded pigeonhole join — rows-only,
+    anchored to exact Jaccard by tests)."""
+    from nipd_spark.operators import simhash as sh
+
+    docs = load(spark, sf_dir, "documents")
+    shingled = minhash.doc_shingles(docs, 3).withColumnRenamed("shingle", "token")
+    sigs = sh.simhash(shingled)
+    return sh.near_pairs(sigs, max_hamming=10)
+
+
+@query(
+    "l13_doc_fingerprint",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id, min(sha256(shingle)) AS fingerprint,
+           count(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+    tags=("L3", "L2"),
+)
+def l13_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-style): per-doc minimum shingle
+    hash — a content-addressable signature; equal fingerprints flag
+    shared rarest shingles. sha256-based so both engines agree.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = minhash.doc_shingles(docs, 3)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.sha2(F.col("shingle"), 256)).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+@query(
+    "l14_embedding_neardup",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) >= 0.4
+    """,
+    tags=("L3", "L4"),
+)
+def l14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: all pairs with cosine
+    ≥ 0.4 (semantic-dedup step of an LLM data pipeline). Bit-exact
+    cross-engine arithmetic; GEMM/LSH are the scale paths (L4/L5)."""
+    from nipd_spark.operators import vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", vector.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = vector.cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )

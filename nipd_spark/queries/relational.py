@@ -613,3 +613,29 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@query(
+    "j2b_right_outer",
+    sql=f"""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           {dround("coalesce(sum(o_totalprice), 0.0)")} AS total_spent
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("J2",),
+)
+def j2b_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of J2 — all right rows kept)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spent"
+            ),
+        )
+    )

@@ -141,3 +141,53 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "t3b_session_window_native",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, {ts_us()} AS ts, value, epoch_us({ts_us()}) AS us
+      FROM events
+    ),
+    gapped AS (
+      SELECT user_id, ts, value, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us) AS sid
+      FROM gapped
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {dround("sum(value)")} AS total_value
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+    tags=("T3",),
+)
+def t3b_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window in BATCH mode (native gap-merge operator; same
+    semantics as streaming T7). Spark's session end = last event + gap;
+    the lag-gap oracle reproduces exactly that.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -234,3 +234,95 @@ def l2_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text_sha").alias("n_unique"),
         (F.count("*") - F.countDistinct("text_sha")).alias("n_dups"),
     )
+
+
+@query(
+    "l12_language_id",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    profile AS (  -- P(token | lang) with add-one smoothing, from the corpus itself
+      SELECT lang AS p_lang, token AS p_token,
+             count(*) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    lang_tot AS (SELECT p_lang, sum(c) AS tot FROM profile GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    scored AS (
+      SELECT t.doc_id, t.lang AS true_lang, l.p_lang AS cand_lang,
+             sum(ln((coalesce(p.c, 0) + 1.0) / (l2.tot + v.v))) AS loglik
+      FROM tok t
+      CROSS JOIN (SELECT DISTINCT p_lang FROM profile) l
+      JOIN lang_tot l2 ON l2.p_lang = l.p_lang
+      CROSS JOIN vocab v
+      LEFT JOIN profile p ON p.p_lang = l.p_lang AND p.p_token = t.token
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, true_lang,
+             arg_max(cand_lang, loglik) AS pred_lang
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM best GROUP BY 1, 2
+    """,
+    tags=("L9", "L6"),
+)
+def l12_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via unigram Naive Bayes (n-gram-heuristic
+    langid): per-language token profiles with add-one smoothing, argmax
+    log-likelihood per doc, confusion matrix out.
+
+    On this corpus text is language-independent by construction, so the
+    matrix shows near-chance accuracy — the operator pipeline (profile
+    build → score join → argmax → confusion) is the deliverable, and is
+    exactly what runs against real multilingual text at 100 TB (profiles
+    broadcast; one shuffle per agg).
+
+    arg_max ties: log-likelihoods are sums of distinct ln-ratios —
+    bit-identical in both engines (same join shape), ties practically
+    impossible; DuckDB arg_max and Spark max_by both take the max pair.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    profile = tok.groupBy(
+        F.col("lang").alias("p_lang"), F.col("token").alias("p_token")
+    ).agg(F.count("*").alias("c"))
+    lang_tot = profile.groupBy("p_lang").agg(F.sum("c").alias("tot"))
+    v = tok.select("token").distinct().count()
+
+    t = tok.alias("t")
+    pl = profile.select("p_lang").distinct().alias("pl")
+    lt = lang_tot.withColumnRenamed("p_lang", "lt_lang").alias("lt")
+    pr = profile.withColumnRenamed("p_lang", "pr_lang").alias("pr")
+    scored = (
+        t.crossJoin(F.broadcast(pl))
+        .join(F.broadcast(lt), F.col("pl.p_lang") == F.col("lt.lt_lang"))
+        .join(
+            F.broadcast(pr),
+            (F.col("pr.pr_lang") == F.col("pl.p_lang"))
+            & (F.col("pr.p_token") == F.col("t.token")),
+            "left",
+        )
+        .groupBy(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.lang").alias("true_lang"),
+            F.col("pl.p_lang").alias("cand_lang"),
+        )
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("pr.c"), F.lit(0)) + 1.0)
+                    / (F.col("lt.tot") + F.lit(v))
+                )
+            ).alias("loglik")
+        )
+    )
+    best = scored.groupBy("doc_id", "true_lang").agg(
+        F.max_by("cand_lang", "loglik").alias("pred_lang")
+    )
+    return best.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n_docs"))

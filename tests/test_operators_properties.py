@@ -125,3 +125,34 @@ def test_window_cumsum_consistent_with_groupby(spark, sf_dir):
         (F.abs(F.col("cum") - F.col("s")) < 1e-6).alias("ok")
     )
     assert all(r.ok for r in joined.collect())
+
+
+def test_simhash_pairs_are_high_jaccard(spark, sf_dir):
+    """SimHash Hamming≤3 pairs must be a subset of exact-Jaccard≥0.2
+    pairs (near-dup candidates, not random collisions) and must include
+    the extreme planted dups (J≥0.9)."""
+    from nipd_spark.queries.dedup import l3_jaccard_pairs, l3c_simhash
+
+    docs = load(spark, sf_dir, "documents")
+    sh = minhash.doc_shingles(docs, 3)
+    exact_all = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash.exact_jaccard(sh).filter(F.col("jaccard") >= 0.2).collect()
+    }
+    simhash_pairs = {(r.a_id, r.b_id) for r in l3c_simhash(spark, sf_dir).collect()}
+    assert simhash_pairs <= set(exact_all)
+    extreme = {k for k, j in exact_all.items() if j >= 0.9}
+    assert extreme <= simhash_pairs
+
+
+def test_connectors_fail_cleanly_without_jars(spark):
+    """Connector stubs raise ConnectorUnavailable (not a JVM class error)
+    when the jars are absent from this container."""
+    import pytest
+
+    from nipd_spark import connectors
+
+    with pytest.raises(connectors.ConnectorUnavailable):
+        connectors.read_delta(spark, "/tmp/nope")
+    with pytest.raises(connectors.ConnectorUnavailable):
+        connectors.read_kafka_stream(spark, "localhost:9092", "t")
