@@ -25,7 +25,7 @@ from nipd_spark.session import get_spark
 HEADLINE = [
     ("q1_pricing_summary", "q1"),
     ("q3_shipping_priority", "q3"),
-    ("j6_broadcast_star", "q5"),
+    ("q5_local_supplier", "q5"),
     ("o4_pergroup_topk", "topk_window"),
     ("t1_tumbling_hourly", "events_hourly"),
     ("l6_token_tf", "token_tf"),

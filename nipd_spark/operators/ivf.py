@@ -1,0 +1,163 @@
+"""IVF (inverted-file) ANN index over embedding columns (SURVEY.md §2.9
+L5; the "IVF variant" scale path for similarity search).
+
+Reference basis [PK]: IVF-Flat as in Sivic & Zisserman 2003 ("Video
+Google", visual words) and the FAISS IVF family (Johnson et al. 2017,
+"Billion-scale similarity search with GPUs") — a coarse k-means
+quantizer partitions vectors into C inverted lists; a query probes only
+the ``nprobe`` nearest lists and re-ranks candidates exactly.
+
+Spark-first realization — every stage is a DataFrame op so Catalyst
+owns the physical plan:
+
+  1. **train**: deterministic strided seeding (no RNG — resumable and
+     cross-run stable) + Lloyd iterations expressed as
+     crossJoin(broadcast(centroids)) → max_by assignment → posexplode →
+     groupBy(list_id, pos).avg → re-pack. Centroid count C is small
+     (≤ thousands), so centroids always broadcast.
+  2. **assign**: one broadcast join + max_by per vector — the only
+     full-data pass; at 100 TB this is an embarrassingly parallel
+     map-side op (no shuffle: broadcast + per-row argmax, then the
+     groupBy(vec_id) collapses locally since vec_id is unique).
+  3. **search**: query → top-nprobe lists (broadcast centroids again) →
+     explode probes → **equi-join on list_id** against the assigned
+     base — the crossJoin of brute-force kNN becomes a hash join whose
+     build side is 1/C of the data per probe — → exact cosine re-rank
+     (same expression shape as operators/vector.py, so reported scores
+     are bit-identical to the brute-force oracle).
+
+Probing all C lists recovers exact kNN (tested property); recall at
+nprobe < C degrades gracefully and is reported by the test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nipd_spark.operators import vector
+
+
+def _centroid_cos(emb_col: str = "embedding", cen_col: str = "centroid"):
+    """Cosine(query embedding, centroid); centroid is already unit-norm
+    double[] so only the embedding norm divides."""
+    return vector.dot(F.col(emb_col), F.col(cen_col)) / vector.l2_norm(
+        F.col(emb_col)
+    )
+
+
+def _normalize(cen: DataFrame) -> DataFrame:
+    """Unit-normalize centroid arrays (cosine assignment == dot argmax)."""
+    nrm = vector.l2_norm(F.col("centroid"))
+    return cen.select(
+        "list_id",
+        F.transform("centroid", lambda x: x / nrm).alias("centroid"),
+    )
+
+
+def train_centroids(emb: DataFrame, n_lists: int, iters: int = 2) -> DataFrame:
+    """k-means coarse quantizer: (list_id, centroid: array<double>).
+
+    Seeds = every (n/C)-th vector by vec_id order (deterministic,
+    spread across the id range); ``iters`` Lloyd rounds refine them.
+    """
+    n = emb.count()
+    stride = max(n // n_lists, 1)
+    seeds = (
+        emb.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("vec_id")),
+        )
+        .filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * n_lists))
+        .select(
+            (((F.col("rn") - 1) / stride).cast("int")).alias("list_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    cen = _normalize(seeds)
+    for _ in range(iters):
+        assigned = assign(emb, cen)
+        member = assigned.join(emb, "vec_id").select(
+            "list_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        repacked = (
+            member.groupBy("list_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        cen = _normalize(repacked)
+    return cen
+
+
+def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, list_id): nearest centroid by cosine, ties → lowest id."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "list_id",
+        _centroid_cos().alias("ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("list_id", F.struct(F.col("ccos"), -F.col("list_id"))).alias(
+            "list_id"
+        )
+    )
+
+
+def search(
+    base: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k approximate neighbors per query: probe ``nprobe`` lists,
+    exact cosine re-rank inside them. Returns (q_id, neighbor_id,
+    cosine, rn) — same shape/arithmetic as lsh.ann_topk / knn ground
+    truth, so scores are comparable bit-for-bit."""
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "list_id",
+            _centroid_cos().alias("ccos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "q_emb", "list_id")
+    )
+    b = assigned.join(base, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        vector.l2_norm(F.col("embedding")).alias("n_nrm"),
+        "list_id",
+    )
+    cand = (
+        probes.join(b, "list_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            vector.cosine(
+                F.col("q_emb"),
+                F.col("n_emb"),
+                vector.l2_norm(F.col("q_emb")),
+                F.col("n_nrm"),
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -152,3 +152,54 @@ def l14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@query(
+    "l13b_winnow_fingerprint",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             generate_subscripts(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1) AS idx,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    wmin AS (
+      SELECT doc_id,
+             min(sha256(shingle)) OVER (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM sh
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
+    FROM wmin GROUP BY doc_id
+    """,
+    tags=("L3", "L2"),
+)
+def l13b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
+    window (w=4) of positional 3-shingle hashes, keep each window's
+    minimum — the guarantee is every match of length ≥ w+n-1 tokens
+    shares ≥1 fingerprint. Output: per-doc fingerprint-set size + the
+    set's minimum (a compact content signature).
+
+    sha256 hex (lexicographic min) keeps both engines' orderings
+    identical. Scale: one explode + one window + one agg, all keyed by
+    doc_id — no cross-doc shuffle until the (tiny) fingerprint sets.
+    """
+    from pyspark.sql import Window
+    from nipd_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(text.shingles(F.col("text"), 3)).alias("idx", "shingle"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 3)
+    wmin = sh.select(
+        "doc_id", F.min(F.sha2("shingle", 256)).over(w).alias("fp")
+    )
+    return wmin.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fp"), F.min("fp").alias("min_fp")
+    )

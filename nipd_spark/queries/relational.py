@@ -639,3 +639,66 @@ def j2b_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q5_local_supplier",
+    sql=f"""
+    SELECT n_name,
+           {dround("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("J1", "J6", "A1"),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shape 6-way join (BASELINE.md "q5" row): revenue by
+    nation for intra-nation (customer nation == supplier nation) orders
+    in one region and year.
+
+    Plan shape at scale: region/nation/supplier are broadcast dims;
+    orders⋈lineitem and ⋈customer shuffle on their equi keys (customer
+    is fact-sized at 100 TB — AQE may still demote it to broadcast at
+    small SF). The o_orderdate filter is pushed to the orders scan and
+    the r_name filter shrinks the supplier build side before shuffle.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sup = supplier.join(
+        F.broadcast(dim), supplier.s_nationkey == dim.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )

@@ -118,3 +118,24 @@ def l11_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("val"), 6).alias("centroid_val"),
         F.count("*").alias("n_vecs"),
     )
+
+
+@query("l5b_ann_ivf", sql=None, tags=("L5",))
+def l5b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via an IVF-Flat index (operators/
+    ivf.py): deterministic k-means coarse quantizer (8 lists, 2 Lloyd
+    rounds), nprobe=2, exact cosine re-rank inside probed lists.
+
+    Rows-only for the driver (probe set is approximate); property tests
+    pin (a) nprobe=C == exact brute-force kNN, (b) bit-exact re-rank
+    scores vs l4b ground truth on shared candidates, (c) recall report.
+    """
+    from nipd_spark.operators import ivf
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = ivf.train_centroids(e, n_lists=8, iters=2)
+    cen = cen.cache()
+    assigned = ivf.assign(e, cen)
+    return ivf.search(
+        e, e.filter(F.col("vec_id") < 20), cen, assigned, k=5, nprobe=2
+    )

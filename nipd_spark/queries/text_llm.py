@@ -326,3 +326,40 @@ def l12_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cand_lang", "loglik").alias("pred_lang")
     )
     return best.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+# GPT-2-flavored pretokenizer, simplified to the corpus alphabet: word
+# pieces capped at 4 chars, digit runs capped at 3, single other chars —
+# greedy in both engines (Java regex / RE2), so counts agree exactly.
+_BPE_PAT = "[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"
+
+
+@query(
+    "l15_token_count",
+    sql=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+           {dround("CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '" + _BPE_PAT + "'))", 6)}
+             AS chars_per_token
+    FROM documents
+    """,
+    tags=("L6", "L9"),
+)
+def l15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for pipeline cost accounting: whitespace tokens vs
+    a BPE-ish regex pretokenization (subword-capped pieces), plus
+    chars-per-token — the budget metric an LLM data pipeline tracks.
+
+    Pure JVM-side regex (no UDF); at 100 TB this is a map-only pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_bpe, 6).alias(
+            "chars_per_token"
+        ),
+    )

@@ -156,3 +156,35 @@ def test_connectors_fail_cleanly_without_jars(spark):
         connectors.read_delta(spark, "/tmp/nope")
     with pytest.raises(connectors.ConnectorUnavailable):
         connectors.read_kafka_stream(spark, "localhost:9092", "t")
+
+def test_ivf_probe_all_equals_exact_knn(spark, sf_dir):
+    """IVF with nprobe == n_lists must recover exact brute-force kNN
+    (same neighbors, bit-identical cosines) — the index only *partitions*
+    the search space, never alters scoring. Also reports nprobe=2 recall."""
+    from nipd_spark.operators import ivf, knn
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.q_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in knn.topk_per_query_gemm(e, q, k=5).collect()
+    }
+    cen = ivf.train_centroids(e, n_lists=8, iters=2).cache()
+    assigned = ivf.assign(e, cen).cache()
+    full = {
+        (r.q_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in ivf.search(e, q, cen, assigned, k=5, nprobe=8).collect()
+    }
+    assert full == truth
+
+    approx = {
+        (r.q_id, r.rn): r.neighbor_id
+        for r in ivf.search(e, q, cen, assigned, k=5, nprobe=2).collect()
+    }
+    hits = sum(
+        1 for k_, (nid, _) in truth.items() if approx.get(k_) == nid
+    )
+    # isotropic-Gaussian corpus → no cluster structure; just require the
+    # probe path returns full result sets and some overlap with truth
+    assert len(approx) == len(truth)
+    assert hits > 0
