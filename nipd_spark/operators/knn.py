@@ -45,6 +45,11 @@ def top_pairs_gemm(emb: DataFrame, k: int, overfetch: int = 4) -> DataFrame:
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, Mn))
     local_k = k * overfetch
+    # Right-size Python-worker batches: ~64k rows per block (≈32 MB of
+    # float64 at 64-d) — tiny inputs become ONE worker round-trip instead
+    # of defaultParallelism micro-batches (5 ms fixed cost each); big
+    # inputs still fan out. coalesce() narrows without a shuffle.
+    n_parts = max(1, (len(pdf) + 65535) // 65536)
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NOTE: closure must not reference importable module symbols —
@@ -72,6 +77,7 @@ def top_pairs_gemm(emb: DataFrame, k: int, overfetch: int = 4) -> DataFrame:
 
     cand = (
         emb.select("vec_id", "embedding")
+        .coalesce(min(n_parts, emb.rdd.getNumPartitions()) or 1)
         .mapInPandas(block, "a_id long, b_id long, approx double")
         .orderBy(F.col("approx").desc(), "a_id", "b_id")
         .limit(k)

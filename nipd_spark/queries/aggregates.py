@@ -388,3 +388,32 @@ def a14_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
         geomean, GEOMEAN_SCHEMA
     )
+
+
+@query(
+    "a6c_grouping_sets",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n, {dround("sum(l_quantity)")} AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("A6",),
+)
+def a6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary granularity list (neither
+    rollup nor cube): per-flag, per-status, and grand total."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+    )

@@ -241,3 +241,58 @@ def c4_coverage_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("depth").over(w3), 6).alias("depth_ma3"),
         F.round(F.median("depth").over(wp), 6).alias("depth_med"),
     )
+
+
+@query(
+    "c6_rmd",
+    sql=f"""
+    WITH counts AS (
+      SELECT l_suppkey AS block_id,
+             count(*) FILTER (l_returnflag = 'A') AS n_mut,
+             count(*) FILTER (l_returnflag = 'R') AS n_wt
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING (count(*) FILTER (l_returnflag = 'A')
+              + count(*) FILTER (l_returnflag = 'R')) >= 20
+    )
+    SELECT block_id, n_mut, n_wt,
+           {dround("n_mut * ln(0.55 / 0.5) + n_wt * ln(0.45 / 0.5)", 6)} AS llr,
+           CASE WHEN n_mut * ln(0.55 / 0.5) + n_wt * ln(0.45 / 0.5) > ln(8.0)
+                  THEN 'overrepresented'
+                WHEN n_mut * ln(0.55 / 0.5) + n_wt * ln(0.45 / 0.5) < -ln(8.0)
+                  THEN 'underrepresented'
+                ELSE 'unclassified' END AS call
+    FROM counts
+    """,
+    tags=("A12", "F3", "F4", "A5"),
+)
+def c6_rmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMD — relative mutation dosage (Lun et al. PNAS 2008; SURVEY.md
+    §2.12): per-block mutant/wild-type allele counts → binomial SPRT
+    log-likelihood ratio (H1: p=0.55 overrepresentation vs H0: p=0.5)
+    → three-way call at likelihood bound 8. Conditional counts (A12),
+    ln math (F3), CASE ladder (F4), QC depth floor (A5).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    n_mut = F.count(F.when(F.col("l_returnflag") == "A", 1))
+    n_wt = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    import math
+
+    counts = (
+        li.groupBy(F.col("l_suppkey").alias("block_id"))
+        .agg(n_mut.alias("n_mut"), n_wt.alias("n_wt"))
+        .filter((F.col("n_mut") + F.col("n_wt")) >= 20)
+    )
+    llr = F.col("n_mut") * math.log(0.55 / 0.5) + F.col("n_wt") * math.log(
+        0.45 / 0.5
+    )
+    return counts.select(
+        "block_id",
+        "n_mut",
+        "n_wt",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr > math.log(8.0), "overrepresented")
+        .when(llr < -math.log(8.0), "underrepresented")
+        .otherwise("unclassified")
+        .alias("call"),
+    )

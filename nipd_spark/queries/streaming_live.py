@@ -147,3 +147,50 @@ def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query("t7b_stream_stream_join", sql=None, tags=("T7",))
+def t7b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream–stream inner join: click events correlated with the
+    same user's purchase events within 1 hour after the click. Both
+    sides watermarked (the time-bound join condition lets each side's
+    state be evicted once the other's watermark passes the bound —
+    bounded state at 100 TB); append mode emits each match exactly once.
+
+    Tests reconcile the full emitted set against the batch self-join
+    twin on the same corpus.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return run_to_completion(joined, "append")

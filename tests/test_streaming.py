@@ -96,3 +96,34 @@ def test_append_mode_emits_only_closed_windows(spark, sf_dir):
     }
     assert appended <= complete
     assert len(complete) - len(appended) <= 2  # at most the tail window(s) open
+
+
+def test_stream_stream_join_equals_batch_selfjoin(spark, sf_dir):
+    """Every (click, purchase ≤1h later, same user) pair emitted by the
+    watermarked stream-stream join must equal the batch self-join twin."""
+    from nipd_spark.queries.streaming_live import t7b_stream_stream_join
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in t7b_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    want = {
+        (r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
