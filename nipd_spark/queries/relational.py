@@ -794,3 +794,111 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+_Q14_EXPR = (
+    "100.00 * sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount))"
+)
+
+
+@query(
+    "q14_promo_revenue",
+    sql=f"""
+    SELECT {dround(_Q14_EXPR, 6)} AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    tags=("J6", "A12", "A2"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: share of one month's revenue from PROMO parts —
+    fact⋈dim join + conditional global aggregate.
+
+    part is the broadcast side (dim); the shipdate month filter is
+    pushed to the lineitem scan, so the join input is ~1/80 of the fact.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(net), 6).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q2b_min_cost_part",
+    sql=f"""
+    WITH priced AS (
+      SELECT p_partkey, p_brand, p_type, p_retailprice,
+             min(p_retailprice) OVER (PARTITION BY p_type) AS min_price
+      FROM part WHERE p_size <= 15
+    )
+    SELECT p_type, p_partkey, p_brand,
+           {dround("p_retailprice")} AS p_retailprice
+    FROM priced WHERE p_retailprice = min_price
+    """,
+    tags=("W6", "P2", "O4"),
+)
+def q2b_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 core idiom: cheapest part per type (correlated
+    min-subquery decorrelated into a partition-window min + filter —
+    one shuffle on p_type instead of a self-join)."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    w = Window.partitionBy("p_type")
+    priced = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_retailprice",
+        F.min("p_retailprice").over(w).alias("min_price"),
+    )
+    return priced.filter(F.col("p_retailprice") == F.col("min_price")).select(
+        "p_type",
+        "p_partkey",
+        "p_brand",
+        F.round("p_retailprice", 4).alias("p_retailprice"),
+    )
+
+
+@query(
+    "q16_brand_supplier_cnt",
+    sql="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_size IN (5, 10, 15, 20)
+      AND p_brand <> 'Brand#13'
+    GROUP BY p_brand, p_type
+    """,
+    tags=("A3", "P4", "J6"),
+)
+def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct suppliers per (brand, type) for a size
+    subset with a brand exclusion — COUNT DISTINCT over a dim join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_brand") != "Brand#13")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lines"),
+        )
+    )

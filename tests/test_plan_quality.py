@@ -1,0 +1,69 @@
+"""Physical-plan regression guards (SURVEY.md §4): the 100 TB posture —
+pushdown, pruning, broadcast, codegen — asserted on the real plans so a
+refactor can't silently trade them away.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nipd_spark import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.all_specs()[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns — no l_orderkey etc.
+    assert "l_orderkey" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans present
+
+
+def test_q3_broadcasts_dims_no_sort_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_six_way_join_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o3_global_topk")
+    assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT k
+
+
+def test_range_join_is_equi_not_bnlj(spark, sf_dir):
+    """The bucketed range join must plan as a hash/broadcast equi join —
+    never BroadcastNestedLoopJoin over the raw interval predicate."""
+    plan = _plan(spark, sf_dir, "j8_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_is_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "l3b_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "t1_tumbling_hourly", "l6_token_tf"]
+)
+def test_no_python_row_udf_in_hot_paths(spark, sf_dir, name):
+    """Headline queries stay JVM-side: no BatchEvalPython (row UDF) and
+    no ArrowEvalPython stages in their plans."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
