@@ -417,3 +417,33 @@ def a6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("qty"),
         )
     )
+
+
+@query(
+    "a1b_salted_agg",
+    sql=f"""
+    SELECT user_id, count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("A1",),
+)
+def a1b_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage (salted) aggregation, result-identical to a
+    plain GROUP BY (the oracle runs the plain form).
+
+    events has only 15 distinct user_id (FIXTURES.md) — a direct
+    groupBy caps reduce parallelism at 15 and a hot user melts one
+    task at 100 TB. Stage 1 groups by (user_id, salt16) spreading each
+    key over 16 reducers; stage 2 folds the 16 partials. Sums are
+    reassociated, so the oracle-facing total is rounded per the float
+    discipline (nipd_spark/oracle.py).
+    """
+    ev = load(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    partial = ev.groupBy("user_id", salt).agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 4).alias("total_value"),
+    )

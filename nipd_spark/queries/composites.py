@@ -296,3 +296,71 @@ def c6_rmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unclassified")
         .alias("call"),
     )
+
+
+@query(
+    "c7_funnel",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, min(ev.ts) AS c_ts
+          FROM ev JOIN v ON ev.user_id = v.user_id
+          WHERE ev.event_type = 'click' AND ev.ts > v.v_ts
+          GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, min(ev.ts) AS p_ts
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE ev.event_type = 'purchase' AND ev.ts > c.c_ts
+          GROUP BY ev.user_id)
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           (c.c_ts IS NOT NULL AND p.p_ts IS NOT NULL) AS completed
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("A11", "J2", "W2"),
+)
+def c7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) per user —
+    the event-sequence analysis a product/behavior pipeline runs; also
+    the batch twin of the T8 stateful tracker's state machine.
+
+    Each stage anchors on the previous stage's first timestamp, so it
+    is three conditional min-aggregations chained by joins (15 users →
+    all three aggs are tiny; at scale each is one shuffle on user_id,
+    and AQE broadcasts the shrinking stage outputs).
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "v_ts",
+            "c_ts",
+            "p_ts",
+            (F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull()).alias(
+                "completed"
+            ),
+        )
+    )

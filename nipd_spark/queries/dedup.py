@@ -203,3 +203,51 @@ def l13b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wmin.groupBy("doc_id").agg(
         F.countDistinct("fp").alias("n_fp"), F.min("fp").alias("min_fp")
     )
+
+
+@query(
+    "l16_dedup_clusters",
+    sql="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach AS (
+      SELECT DISTINCT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("L3", "L1"),
+)
+def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard≥0.5 pairs → connected
+    components (operators/components.py, min-label propagation) →
+    (doc_id, cluster_id = min doc in group). The keep-one-per-cluster
+    dedup policy is then `filter(doc_id == cluster_id)`.
+
+    Oracle: DuckDB recursive CTE computes min reachable id — a
+    different algorithm arriving at the same fixpoint (strong
+    cross-check of the iterative Spark path).
+    """
+    from nipd_spark.operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    sh = minhash.doc_shingles(docs, 3)
+    pairs = minhash.exact_jaccard(sh).filter(F.col("jaccard") >= 0.5)
+    return connected_components(pairs, "a_id", "b_id").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

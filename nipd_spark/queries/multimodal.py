@@ -123,3 +123,48 @@ def l10b_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("intact"))
     )
+
+
+@query(
+    "l10c_frame_sample",
+    sql="""
+    WITH frames AS (
+      SELECT doc_id, n_chars,
+             unnest(range(0, CAST(ceil(n_chars / 16.0) AS BIGINT))) AS frame_idx
+      FROM documents
+    )
+    SELECT f.doc_id, f.frame_idx,
+           sha256(substr(d.text, CAST(f.frame_idx * 16 + 1 AS BIGINT), 16))
+             AS frame_sha
+    FROM frames f JOIN documents d USING (doc_id)
+    WHERE f.frame_idx % 4 = 0
+    """,
+    tags=("L10", "F5"),
+)
+def l10c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary payload (the video
+    frame-sample shape): payload → fixed 16-byte frames → keep every
+    4th → per-frame digest. The payload here is the doc's utf-8 bytes
+    (BinaryType end-to-end on the Spark side; the oracle slices the
+    same ascii bytes as VARCHAR and casts — byte-identical on this
+    corpus). A real codec replaces the fixed-width slicer with keyframe
+    offsets; the explode/digest plumbing is unchanged.
+
+    Scale: explode multiplies rows ×(frames/doc ÷ 4); all JVM-side
+    (sequence + transform + substring on binary), no Python.
+    """
+    docs = load(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    n_frames = F.ceil(F.col("n_chars") / 16.0).cast("long")
+    frames = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % 4 == 0)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.sha2(
+            F.substring(F.col("payload"), F.col("frame_idx") * 16 + 1, 16), 256
+        ).alias("frame_sha"),
+    )

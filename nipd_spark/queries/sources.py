@@ -146,3 +146,115 @@ def s5_inmemory_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+from nipd_spark.oracle import dround  # noqa: E402
+
+
+@query(
+    "s6b_bucketed_join",
+    sql=f"""
+    SELECT o_orderstatus, count(*) AS n_lines,
+           {dround("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("S6", "J1"),
+)
+def s6b_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables (SURVEY.md §4.3
+    100 TB layout): orders and lineitem are written once as parquet
+    tables bucketed 8-ways on the join key; the join then reads
+    bucket-aligned splits — ZERO Exchange in the plan (asserted by
+    tests/test_plan_quality.py). This is the layout for any fact⋈fact
+    key reused across many queries at scale: pay the shuffle once at
+    write time, never again.
+    """
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/nipd_bucketed_{tag}"
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"b_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                load(spark, sf_dir, name)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{name}")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(f"b_orders_{tag}")
+    li = spark.table(f"b_lineitem_{tag}")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "s6c_partitioned_prune",
+    sql=f"""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+    tags=("S6", "S1", "F2"),
+)
+def s6c_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan (the 100 TB data
+    layout): events written once partitioned by event_type; the
+    event_type filter then becomes a PartitionFilter — pruned
+    directories are never listed, let alone read (asserted in
+    tests/test_plan_quality.py).
+    """
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/nipd_part_{tag}/events"
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+    ev = spark.read.parquet(out)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@query(
+    "sql1_sql_api",
+    sql=f"""
+    SELECT n_name, o_orderpriority, count(*) AS n_orders,
+           {dround("avg(o_totalprice)")} AS avg_price
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    GROUP BY n_name, o_orderpriority
+    """,
+    tags=("S5", "J1", "A1"),
+)
+def sql1_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: corpus tables registered as temp
+    views, query expressed as ANSI SQL via spark.sql — same Catalyst
+    plan as the DataFrame API (the two surfaces are interchangeable;
+    every other queries() entry uses the DataFrame form).
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority, count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority
+        """
+    )

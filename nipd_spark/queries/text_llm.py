@@ -363,3 +363,35 @@ def l15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "l17_hash_sample",
+    sql="""
+    SELECT lang, count(*) AS n_sampled,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    WHERE (doc_id * 1103) % 100 < 20
+    GROUP BY lang
+    """,
+    tags=("L9", "P2"),
+)
+def l17_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample via multiplicative hashing on the
+    key — the reproducible alternative to df.sample() for pipeline
+    eval splits (same rows every run, no RNG state, cheap predicate
+    that pushes to the scan). Per-language sample counts out.
+
+    At 100 TB: sampling-by-key-hash is the only sane way to carve
+    train/eval splits — membership is a pure function of the key, so
+    it survives repartitioning, backfills, and incremental loads.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.pmod(F.col("doc_id") * 1103, F.lit(100)) < 20)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

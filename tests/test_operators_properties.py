@@ -188,3 +188,18 @@ def test_ivf_probe_all_equals_exact_knn(spark, sf_dir):
     # probe path returns full result sets and some overlap with truth
     assert len(approx) == len(truth)
     assert hits > 0
+
+def test_connected_components_invariants(spark, sf_dir):
+    """Every edge's endpoints share a component; every component id is
+    a member of its own component (canonical min labeling)."""
+    from nipd_spark.operators.components import connected_components
+    from nipd_spark.queries.dedup import l3_jaccard_pairs
+
+    pairs = l3_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    lbl = {r.node: r.component for r in comp.collect()}
+    for r in pairs.collect():
+        assert lbl[r.a_id] == lbl[r.b_id]
+    for node, c in lbl.items():
+        assert lbl[c] == c
+        assert c <= node

@@ -67,3 +67,33 @@ def test_no_python_row_udf_in_hot_paths(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The bucketed-table join must read bucket-aligned splits: no
+    Exchange (shuffle) feeding the join. Auto-broadcast is disabled so
+    the tiny test tables take the same SMJ path the layout exists for
+    at scale (broadcast would hide the property being asserted)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "s6b_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_part = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_salted_agg_two_stage(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a1b_salted_agg")
+    # two aggregation levels present (salted partial then final)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    """The event_type filter over the partitioned layout must be a
+    PartitionFilter (directory pruning), not a data filter."""
+    plan = _plan(spark, sf_dir, "s6c_partitioned_prune")
+    assert "PartitionFilters" in plan
+    assert "event_type#" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
