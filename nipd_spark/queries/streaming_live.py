@@ -10,11 +10,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
+from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 from nipd_spark.streaming.harness import events_stream, run_to_completion
 
 
-@query("t4_stream_tumbling_watermark", sql=None, tags=("T4", "T1", "S7", "S8"))
+@query(
+    "t4_stream_tumbling_watermark",
+    # The replay drains the source and complete mode keeps every window,
+    # so the stream's final table equals the batch aggregation exactly —
+    # the oracle is the batch twin's SQL (a full-fidelity check of a
+    # genuine StreamExecution run, not just rows-only).
+    sql=f"""
+    SELECT time_bucket(INTERVAL '1 hour', {ts_us()}) AS window_start,
+           event_type,
+           count(*) AS n,
+           {dround("sum(value)")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T4", "T1", "S7", "S8"),
+)
 def t4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1's aggregation as a genuine stream with a 10-min watermark.
 
@@ -38,7 +54,13 @@ def t4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
-@query("t5_stream_dedup", sql=None, tags=("T5",))
+@query(
+    "t5_stream_dedup",
+    # event_id is unique in the corpus: the deduped stream's counts must
+    # equal the plain batch counts — oracle-checkable.
+    sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    tags=("T5",),
+)
 def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once by event_id within the watermark horizon
     (dropDuplicatesWithinWatermark) → per-type counts of the deduped
@@ -53,7 +75,21 @@ def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
-@query("t6_stream_static_join", sql=None, tags=("T6",))
+@query(
+    "t6_stream_static_join",
+    sql=f"""
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN count(*) >= 70 THEN 'heavy' ELSE 'light' END AS user_bucket
+      FROM events GROUP BY user_id
+    )
+    SELECT d.user_bucket, e.event_type, count(*) AS n,
+           {dround("sum(e.value)")} AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("T6",),
+)
 def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static enrichment: events stream joined to a static per-user
     dimension (derived from the batch table), then aggregated.
