@@ -54,7 +54,7 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)  # prepared plan, built once
         build_total += time.time() - t0
         runs = []
-        for _ in range(4):  # 1 cold + 3 warm; report best warm
+        for _ in range(8):  # 1 cold + 7 warm; report best warm
             t0 = time.time()
             df.toPandas()
             runs.append(time.time() - t0)
