@@ -1,7 +1,9 @@
 """Live Structured Streaming queries (SURVEY.md §2.10 T4-T8) — real
 readStream → StreamExecution → memory sink, driven to completion by the
-replay harness. Rows-only for the driver (no SQL twin of a stream run);
-tests/test_streaming.py reconciles them against the batch twins.
+replay harness. Because the replay drains the source, each stream's
+final table equals its batch twin, so every query here carries a full
+DuckDB oracle; tests/test_streaming.py additionally reconciles the
+streaming and batch plans directly.
 """
 
 from __future__ import annotations
@@ -115,7 +117,37 @@ def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
-@query("t7_stream_session_window", sql=None, tags=("T7", "T3"))
+@query(
+    "t7_stream_session_window",
+    # Complete-mode replay keeps every session and the drained source
+    # closes them all, so the final table equals batch session_window —
+    # whose lag-gap oracle (t3b) applies verbatim.
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, {ts_us()} AS ts, value, epoch_us({ts_us()}) AS us
+      FROM events
+    ),
+    gapped AS (
+      SELECT user_id, ts, value, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us) AS sid
+      FROM gapped
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {dround("sum(value)")} AS total_value
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+    tags=("T7", "T3"),
+)
 def t7_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) on the live stream — the
     streaming realization of T3's sessionization (watermark closes
@@ -137,7 +169,21 @@ def t7_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
-@query("t8_stateful_user_tracker", sql=None, tags=("T8",))
+@query(
+    "t8_stateful_user_tracker",
+    # The tracker's final per-user state (after the 4-batch replay
+    # drains) is exactly the batch aggregate: count, max, filtered
+    # count are all order-insensitive, so no rounding is needed.
+    sql="""
+    SELECT user_id,
+           count(*) AS n_seen,
+           max(value) AS max_value,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T8",),
+)
 def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming (applyInPandasWithState): a per-user
     running tracker (event count, max value, purchase count) whose state
@@ -185,7 +231,30 @@ def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t7b_stream_stream_join", sql=None, tags=("T7",))
+@query(
+    "t7b_stream_stream_join",
+    # Append-mode emission over the drained replay is exactly the batch
+    # interval self-join; purchase_value is per-row (no aggregation), so
+    # it compares bit-exact.
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, {ts_us()} AS ts, value FROM events
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM ev c JOIN ev p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("T7",),
+)
 def t7b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True stream–stream inner join: click events correlated with the
     same user's purchase events within 1 hour after the click. Both
