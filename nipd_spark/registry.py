@@ -26,6 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "sources",
     "relational",
+    "tpch",
     "aggregates",
     "windows",
     "setops",

@@ -97,3 +97,45 @@ def test_partitioned_scan_prunes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "s6c_partitioned_prune")
     assert "PartitionFilters" in plan
     assert "event_type#" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q12_late_lines",
+        "q13_customer_distribution",
+        "q17_small_quantity",
+        "q19_discounted_revenue",
+    ],
+)
+def test_tpch_family_joins_stay_hash(spark, sf_dir, name):
+    """The adapted TPC-H family must plan every join as a (broadcast)
+    hash join with pushed scan filters — no nested-loop or cartesian
+    fallback from the disjunctive/residual predicates."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_q15_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15's global max must come from a 1-row aggregate broadcast, not
+    an unpartitioned window (which single-partitions every supplier)."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert "Window" not in plan
+    # the 1-row max joins back as a broadcast (hash-cross or NLJ form)
+    assert "BroadcastHashJoin Cross" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q6_is_scan_plus_agg_only(spark, sf_dir):
+    """Q6 must stay a single codegen'd scan+agg: no join, no shuffle
+    other than the 1-row final aggregation exchange."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert plan.count("+- Exchange") == 1  # tree form: exactly one shuffle
