@@ -1,4 +1,34 @@
 """Reusable custom operators (SURVEY.md §4.3) — compositions of built-in
 DataFrame ops; no custom Catalyst rules needed (we control query
 construction).
+
+This package is the user-facing operator API: everything a caller needs
+beyond stock pyspark.sql is importable from here directly, e.g.::
+
+    from nipd_spark.operators import asof_join, bucketed_range_join
+    from nipd_spark.operators import near_dup_pairs, connected_components
 """
+
+from nipd_spark.operators.asof import asof_join
+from nipd_spark.operators.components import connected_components
+from nipd_spark.operators.knn import top_pairs_gemm, topk_per_query_gemm
+from nipd_spark.operators.minhash import near_dup_pairs
+from nipd_spark.operators.range_join import bucketed_range_join
+
+# aliased: the bare name `simhash` must stay the submodule, not the fn
+from nipd_spark.operators.simhash import simhash as simhash_signatures
+from nipd_spark.operators import simhash  # noqa: F401  (restore submodule)
+from nipd_spark.operators.vector import cosine, dot, l2_norm
+
+__all__ = [
+    "asof_join",
+    "bucketed_range_join",
+    "connected_components",
+    "cosine",
+    "dot",
+    "l2_norm",
+    "near_dup_pairs",
+    "simhash_signatures",
+    "top_pairs_gemm",
+    "topk_per_query_gemm",
+]

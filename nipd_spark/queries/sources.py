@@ -258,3 +258,28 @@ def sql1_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, o_orderpriority
         """
     )
+
+
+@query(
+    "s7_orc_roundtrip",
+    sql=f"""
+    SELECT p_brand, count(*) AS n_parts, {dround("avg(p_retailprice)")} AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+    tags=("S6", "S1", "A1"),
+)
+def s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (Spark's second built-in columnar
+    format; DuckDB can't read ORC, so the oracle aggregates the parquet
+    original — the round-trip must preserve every value for the hash to
+    match). At 100 TB the same write carries partitionBy/bucketBy; the
+    scan gets the identical pushdown/pruning treatment as parquet."""
+    d = _stage(sf_dir, "part_orc")
+    if not os.path.exists(d):
+        load(spark, sf_dir, "part").write.mode("overwrite").orc(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    back = spark.read.orc(d)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )

@@ -299,3 +299,53 @@ def t7b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return run_to_completion(joined, "append")
+
+
+@query(
+    "t9_stream_parquet_sink",
+    # The file sink's _spark_metadata commit log gives exactly-once
+    # output; re-reading the sink directory and aggregating must equal
+    # the batch aggregate over the same filter.
+    sql=f"""
+    SELECT user_id, count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+    tags=("S8", "S7", "T5"),
+)
+def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream → checkpointed parquet file sink (append mode),
+    then a batch read-back of the sink directory via its exactly-once
+    commit log (_spark_metadata). This is the production landing
+    pattern at 100 TB: Kafka → filter/project → partitioned parquet,
+    with the commit log making restarts idempotent."""
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.sha1(f"{sf_dir}|t9".encode()).hexdigest()[:10]
+    out = f"/tmp/nipd_sink_{tag}"
+    chk = out + "_chk"
+    if not os.path.exists(out + "/.done"):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+        stream = (
+            events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(out + "/.done", "w").close()
+    back = spark.read.parquet(out)
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
