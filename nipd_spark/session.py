@@ -35,6 +35,15 @@ def get_spark(app_name: str = "nipd_spark", cpus: int | None = None) -> SparkSes
         .config(
             "spark.sql.shuffle.partitions", "8" if profile == "local" else "2000"
         )  # scale: high ceiling, AQE coalesces down by advisory size
+        .config(
+            # local: let file-split count be purely bytes-driven
+            # (maxPartitionBytes) instead of padding to core count — a
+            # 2 MB file as 32 slivers is pure scheduling overhead. At
+            # 'scale', keep the default floor (= cluster parallelism) so
+            # medium files still fan out across executors.
+            "spark.sql.files.minPartitionNum",
+            "1" if profile == "local" else str(cpus),
+        )
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
