@@ -45,11 +45,15 @@ def top_pairs_gemm(emb: DataFrame, k: int, overfetch: int = 4) -> DataFrame:
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, Mn))
     local_k = k * overfetch
-    # Right-size Python-worker batches: ~64k rows per block (≈32 MB of
-    # float64 at 64-d) — tiny inputs become ONE worker round-trip instead
-    # of defaultParallelism micro-batches (5 ms fixed cost each); big
-    # inputs still fan out. coalesce() narrows without a shuffle.
-    n_parts = max(1, (len(pdf) + 65535) // 65536)
+    # Block sizing is governed by the SCORE matrix, not the input block:
+    # each block materializes rows×n float64 scores, so rows is chosen to
+    # keep that ≤ ~256 MB (at n=32k that is 1k rows/block → 32-way
+    # parallel GEMM; a single unsplit block would be a 16 GB matrix on
+    # one thread). Tiny inputs still collapse to ONE worker round-trip
+    # (5 ms fixed cost per micro-batch otherwise).
+    n_total = len(pdf)
+    rows_per_block = max(1024, min(65536, (256 << 20) // (8 * max(1, n_total))))
+    n_parts = max(1, (n_total + rows_per_block - 1) // rows_per_block)
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NOTE: closure must not reference importable module symbols —
@@ -64,7 +68,7 @@ def top_pairs_gemm(emb: DataFrame, k: int, overfetch: int = 4) -> DataFrame:
             a_ids = p["vec_id"].to_numpy()
             S = An @ Bn.T  # (rows, n)
             mask = a_ids[:, None] < b_ids[None, :]
-            S = np.where(mask, S, -np.inf)
+            S[~mask] = -np.inf  # in-place: no second rows×n temporary
             flat = S.ravel()
             n_take = min(local_k, int(mask.sum()))
             if n_take == 0:
@@ -75,10 +79,14 @@ def top_pairs_gemm(emb: DataFrame, k: int, overfetch: int = 4) -> DataFrame:
                 {"a_id": a_ids[r], "b_id": b_ids[c], "approx": flat[idx]}
             )
 
+    # coalesce() only narrows; when the scan has fewer partitions than the
+    # GEMM wants (one small parquet file), repartition UP — the shuffled
+    # payload is just (id, vector), cheap next to the quadratic stage.
+    src = emb.select("vec_id", "embedding")
+    cur_parts = src.rdd.getNumPartitions() or 1
+    sized = src.repartition(n_parts) if n_parts > cur_parts else src.coalesce(n_parts)
     cand = (
-        emb.select("vec_id", "embedding")
-        .coalesce(min(n_parts, emb.rdd.getNumPartitions()) or 1)
-        .mapInPandas(block, "a_id long, b_id long, approx double")
+        sized.mapInPandas(block, "a_id long, b_id long, approx double")
         .orderBy(F.col("approx").desc(), "a_id", "b_id")
         .limit(k)
     )
