@@ -22,6 +22,39 @@ def test_minhash_lsh_equals_exact_on_corpus(spark, sf_dir):
     assert len(exact) > 0  # corpus plants near-dups; empty would be vacuous
 
 
+def test_minhash_dup_heavy_corpus(spark, sf_dir):
+    """Exact duplicates are collapsed to representatives before banding
+    and expanded back at the end — on a corpus where every doc has an
+    exact copy, the output must equal the exact-Jaccard anchor: every
+    within-copy pair at J=1 plus both copies of every cross pair."""
+    docs = load(spark, sf_dir, "documents").limit(200)
+    dup = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    corpus = docs.unionByName(dup)
+    got = {
+        (r.a_id, r.b_id): (r.n_inter, r.jaccard)
+        for r in minhash.near_dup_pairs(corpus, threshold=0.5).collect()
+    }
+    sh = minhash.doc_shingles(corpus, 3)
+    want = {
+        (r.a_id, r.b_id): (r.n_inter, r.jaccard)
+        for r in minhash.exact_jaccard(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for pair, (n_inter, j) in want.items():
+        assert got[pair][0] == n_inter
+        assert abs(got[pair][1] - j) < 1e-12
+    # every doc pairs with its own copy at J exactly 1
+    n_docs = docs.count()
+    ones = [p for p, (_, j) in got.items() if p[1] - p[0] == 1_000_000]
+    assert len(ones) >= n_docs - 1  # docs with <3 tokens have no shingles
+    assert all(got[p][1] == 1.0 for p in ones)
+
+
 def test_lsh_verify_never_lies(spark, sf_dir):
     """Every verified LSH pair carries the true Jaccard (no candidate
     survives with a wrong score): spot-check via independent recompute."""
