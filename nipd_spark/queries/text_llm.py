@@ -68,9 +68,11 @@ def l7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    df = tf.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
-    )
+    # tf is keyed by (doc_id, token) — already distinct, so document
+    # frequency is a plain recount; no distinct shuffle, and the tf
+    # aggregate subtree is identical in both join branches (exchange
+    # reuse under AQE).
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(df), "token")
         .select(
