@@ -508,6 +508,203 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q11 — important stock identification (agg + fraction-of-total subquery)
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    # Original values partsupp stock (ps_supplycost * ps_availqty);
+    # partsupp is absent, so part value = shipped extendedprice from the
+    # scoped nations' suppliers. Shape kept: scoped agg per part, HAVING
+    # value > fraction of the same scoped total (scalar subquery).
+    sql=f"""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+    ), v AS (
+      SELECT l_partkey, {dround("sum(l_extendedprice)")} AS part_value
+      FROM scoped GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM v
+    WHERE part_value > (SELECT {dround("sum(part_value) * 0.002")} FROM v)
+    """,
+    tags=("A1", "A5", "J6", "A2"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier/nation dims broadcast into the fact scan; per-part value
+    aggregates once, and the fraction-of-total threshold is a 1-row agg
+    over that SAME aggregated (tiny) result broadcast back — the fact is
+    scanned once, not twice.
+
+    Rounding: per-part value rounds to 4 before both the output and the
+    threshold comparison so the > predicate sees identical doubles in
+    both engines (q15 discipline)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("part_value"))
+    )
+    thresh = v.agg(F.round(F.sum("part_value") * 0.002, 4).alias("thresh"))
+    return (
+        v.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("thresh"))
+        .drop("thresh")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN subqueries → semi joins)
+# --------------------------------------------------------------------------
+@query(
+    "q20_potential_promotion",
+    # Original compares partsupp availqty against half the shipped
+    # quantity; without partsupp the qualifying set is "suppliers who
+    # shipped > 45 units of some widget part in 1996" — the same
+    # doubly-nested IN shape (part IN ... → lineitem agg → supplier IN).
+    sql="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+          )
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 45
+      )
+    """,
+    tags=("J4", "A5", "P6", "A1"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both IN subqueries become left-semi joins: the widget part list
+    broadcasts into the lineitem scan, the qualifying supplier set (tiny
+    after HAVING) broadcasts into the supplier dim. No quantity-sum
+    rounding needed — quantities are integral doubles, sums are exact."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    qual = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(qual), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self joins)
+# --------------------------------------------------------------------------
+@query(
+    "q21_suppliers_waiting",
+    # Original lateness is l_receiptdate > l_commitdate (both absent);
+    # substituted "shipped > 90 days after order date". The signature
+    # EXISTS (another supplier in the order) + NOT EXISTS (another LATE
+    # supplier in the order) correlated pair is kept verbatim.
+    sql="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+    tags=("J4", "J5", "J11", "A1"),
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both equi-keyed on
+    l_orderkey with the supplier inequality as a residual in the hash
+    join — no nested loop anywhere. The late-lines set is computed once
+    per side from the same one orders⋈lineitem shuffle shape."""
+
+    def late_lines() -> DataFrame:
+        o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        li = load(spark, sf_dir, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(
+                F.col("l_shipdate")
+                > F.date_add(F.col("o_orderdate").cast("date"), 90).cast("timestamp")
+            )
+            .select("l_orderkey", "l_suppkey")
+        )
+
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    base = late_lines().join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    base = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    l3 = late_lines().select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    base = base.join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return base.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+# --------------------------------------------------------------------------
 # Q22 — global sales opportunity (anti join + global-avg scalar subquery)
 # --------------------------------------------------------------------------
 @query(
