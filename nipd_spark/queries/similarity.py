@@ -139,3 +139,90 @@ def l5b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.search(
         e, e.filter(F.col("vec_id") < 20), cen, assigned, k=5, nprobe=2
     )
+
+
+def _kmeans_sql(n_lists: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of ivf.train_centroids + ivf.assign: strided seeding,
+    ``iters`` Lloyd rounds, final nearest-centroid assignment. Mirrors
+    the Spark arithmetic expression-for-expression (sequential double
+    dot/norm — bit-identical across engines, operators/vector.py) so the
+    integer assignment hash-matches."""
+    dot = vector.duck_dot("e.emb", "c.centroid")
+    sqn = "list_sum(list_transform(e.emb, x -> x * x))"
+
+    def assign_from(cen: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {dot} / sqrt({sqn}) DESC, c.list_id ASC) AS rn
+        FROM e CROSS JOIN {cen} c
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST((rn - 1) // stride AS INT) AS list_id, emb
+      FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn FROM e),
+           (SELECT greatest(count(*) // {n_lists}, 1) AS stride FROM e)
+      WHERE (rn - 1) % stride = 0 AND rn <= stride * {n_lists}
+    ),
+    cen0 AS (
+      SELECT list_id, list_transform(emb, x -> x / nrm) AS centroid
+      FROM (SELECT list_id, emb,
+                   sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+            FROM seeds)
+    )"""
+    ]
+    for i in range(iters):
+        parts.append("," + assign_from(f"cen{i}", f"assign{i}"))
+        parts.append(f""",
+    mean{i} AS (
+      SELECT list_id, pos, avg(val) AS m FROM (
+        SELECT a.list_id, generate_subscripts(e.emb, 1) AS pos,
+               unnest(e.emb) AS val
+        FROM assign{i} a JOIN e USING (vec_id)
+      ) GROUP BY list_id, pos
+    ),
+    cen{i + 1} AS (
+      SELECT list_id, list_transform(centroid, x -> x / nrm) AS centroid
+      FROM (
+        SELECT list_id, centroid,
+               sqrt(list_sum(list_transform(centroid, x -> x * x))) AS nrm
+        FROM (SELECT list_id, list(m ORDER BY pos) AS centroid
+              FROM mean{i} GROUP BY list_id)
+      )
+    )""")
+    parts.append("," + assign_from(f"cen{iters}", "final_assign"))
+    parts.append("\n    SELECT vec_id, list_id FROM final_assign")
+    return "".join(parts)
+
+
+@query("l18_kmeans", sql=_kmeans_sql(), tags=("L11", "L5"))
+def l18_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means clustering of the embeddings table: the
+    IVF coarse quantizer (operators/ivf.py — strided seeds, 2 Lloyd
+    rounds, no RNG) exposed as a first-class clustering query returning
+    the final (vec_id, list_id) assignment.
+
+    The oracle twin replays the identical iteration in DuckDB SQL; the
+    output is pure integers, so the hash check verifies every float
+    decision (3 argmax assignment rounds, 2 centroid re-estimations)
+    without hashing floats — an assignment flips only if an engine pair
+    disagrees at the ulp level on a near-exact centroid tie.
+
+    Scale note: each round is crossJoin(broadcast(8 centroids)) →
+    per-row argmax (map-side) + one (list_id, pos) shuffle of 512 keys —
+    linear in rows; iterative lineage cut by the small centroid DF, not
+    the data (the big table is never checkpointed)."""
+    from nipd_spark.operators import ivf
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = ivf.train_centroids(e, n_lists=8, iters=2)
+    return ivf.assign(e, cen).select("vec_id", "list_id")
