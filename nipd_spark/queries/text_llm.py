@@ -397,3 +397,111 @@ def l17_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@query(
+    "l19_decontaminate",
+    sql="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t) - 3),
+                    i -> list_aggregate(t[i:i+4], 'string_agg', ' '))) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+    SELECT doc_id, count(DISTINCT g) AS n_shared
+    FROM grams
+    WHERE source <> 'src0' AND g IN (SELECT g FROM ev)
+    GROUP BY doc_id
+    """,
+    tags=("L3", "L8", "J4"),
+)
+def l19_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the eval set (source = src0), with the count of distinct shared
+    5-grams — the standard train/test-contamination sweep run before
+    LLM training.
+
+    Scale shape: the eval side is small at any corpus scale (benchmarks
+    are MBs) — its distinct 5-gram set broadcasts; the training side
+    explodes to 5-grams map-side and the membership test is a broadcast
+    left-semi hash join, so the 100 TB side never shuffles on text."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(text.shingles(F.col("text"), 5)).alias("g")
+    )
+    ev = grams.filter(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(ev), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+@query(
+    "l20_text_clean",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g')) AS cleaned,
+           length(text)
+             - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g'))) AS n_removed
+    FROM documents
+    """,
+    tags=("L9", "F1"),
+)
+def l20_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: lowercase → strip non-alphanumerics →
+    collapse runs of spaces → trim, plus the per-doc byte-reduction
+    count. Pure map-side regexp chain in whole-stage codegen —
+    scale-invariant (the canonical pre-dedup cleaning pass; L2's
+    normalized-hash key is exactly a digest of this output)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def clean(c):
+        lowered = F.lower(c)
+        stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+        return F.trim(F.regexp_replace(stripped, " +", " "))
+
+    cleaned = clean(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("text") - F.length(cleaned)).alias("n_removed"),
+    )
+
+
+@query(
+    "l21_stratified_sample",
+    sql="""
+    SELECT lang, count(*) AS n_sampled
+    FROM documents
+    WHERE (doc_id * 2971) % 100 <
+          CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    GROUP BY lang
+    """,
+    tags=("L9", "P2", "J6"),
+)
+def l21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language sampling rates
+    (down-weight the dominant language, keep half of the rest — corpus
+    rebalancing) applied via key-hash membership, never rand().
+
+    The rate table is data, not code: a broadcast dim joined on the
+    stratum key, so rebalancing 100 TB means editing a 5-row table. Same
+    reproducibility contract as l17 (membership is a pure function of
+    doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 10), ("de", 50), ("es", 50), ("fr", 50), ("zh", 50)],
+        "lang string, rate int",
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.pmod(F.col("doc_id") * 2971, F.lit(100)) < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
