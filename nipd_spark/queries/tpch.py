@@ -515,7 +515,10 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Original values partsupp stock (ps_supplycost * ps_availqty);
     # partsupp is absent, so part value = shipped extendedprice from the
     # scoped nations' suppliers. Shape kept: scoped agg per part, HAVING
-    # value > fraction of the same scoped total (scalar subquery).
+    # value > multiple of the scoped mean (scalar subquery). Mean-relative
+    # (not fraction-of-total) so selectivity is stable as part cardinality
+    # grows with SF — TPC-H scales its own fraction by 1/SF for the same
+    # reason.
     sql=f"""
     WITH scoped AS (
       SELECT l.l_partkey, l.l_extendedprice
@@ -529,7 +532,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_value
     FROM v
-    WHERE part_value > (SELECT {dround("sum(part_value) * 0.002")} FROM v)
+    WHERE part_value > (SELECT {dround("avg(part_value) * 1.5")} FROM v)
     """,
     tags=("A1", "A5", "J6", "A2"),
 )
@@ -553,7 +556,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("part_value"))
     )
-    thresh = v.agg(F.round(F.sum("part_value") * 0.002, 4).alias("thresh"))
+    thresh = v.agg(F.round(F.avg("part_value") * 1.5, 4).alias("thresh"))
     return (
         v.crossJoin(F.broadcast(thresh))
         .filter(F.col("part_value") > F.col("thresh"))

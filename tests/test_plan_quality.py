@@ -139,3 +139,35 @@ def test_q6_is_scan_plus_agg_only(spark, sf_dir):
     assert "Join" not in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert plan.count("+- Exchange") == 1  # tree form: exactly one shuffle
+
+
+def test_q21_exists_chain_stays_equi_keyed(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must plan as hash semi/anti joins on
+    the orderkey equi key (supplier inequality as residual) — never a
+    nested loop over the late-lines set."""
+    plan = _plan(spark, sf_dir, "q21_suppliers_waiting")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set 5-gram membership test must be a broadcast semi
+    join (training side never shuffles on gram text), fully JVM-side."""
+    plan = _plan(spark, sf_dir, "l19_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd round's assignment is crossJoin(broadcast(C rows)) —
+    the full-data side must never feed a shuffle-for-join, and the
+    whole iteration stays JVM-side (no Python stages)."""
+    plan = _plan(spark, sf_dir, "l18_kmeans")
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row centroid cross join
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
