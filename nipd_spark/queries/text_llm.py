@@ -505,3 +505,43 @@ def l21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query(
+    "l22_unigram_logprob",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS t FROM lm)
+    SELECT doc_id, count(*) AS n_tokens,
+           {dround("avg(ln(CAST(c AS DOUBLE) / t))", 6)} AS avg_logprob
+    FROM tok JOIN lm USING (token), tot
+    GROUP BY doc_id
+    """,
+    tags=("L9", "L6", "J6"),
+)
+def l22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: train a corpus unigram LM (token →
+    relative frequency), then score each doc by its mean token
+    log-probability — the cheap stand-in for the perplexity filters
+    used in corpus curation (low avg_logprob = out-of-distribution doc).
+
+    Scale shape: the LM is vocab-sized (≪ corpus) so it broadcasts into
+    the scoring pass; training is one explode + equi-keyed agg. At
+    100 TB train on l21's sample instead of the full corpus — same
+    plan, cheaper LM pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = text.doc_tokens(docs)
+    lm = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = lm.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -236,3 +236,55 @@ def test_connected_components_invariants(spark, sf_dir):
     for node, c in lbl.items():
         assert lbl[c] == c
         assert c <= node
+
+
+def test_kmeans_assignment_total_and_stable(spark, sf_dir):
+    """Every vector gets exactly one cluster; cluster ids are within
+    [0, C); re-running the deterministic trainer reproduces the
+    identical assignment (no RNG anywhere)."""
+    from nipd_spark.operators import ivf
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    cen = ivf.train_centroids(e, n_lists=8, iters=2)
+    a1 = ivf.assign(e, cen)
+    assert a1.count() == n  # one row per vector (argmax is total)
+    ids = [r.list_id for r in a1.select("list_id").distinct().collect()]
+    assert all(0 <= i < 8 for i in ids)
+    a2 = ivf.assign(e, ivf.train_centroids(e, n_lists=8, iters=2))
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark, sf_dir):
+    """A doc built from an eval doc's exact text must be flagged with at
+    least its own distinct-5-gram count; a doc of novel tokens must not
+    be flagged."""
+    from nipd_spark.queries.text_llm import l19_decontaminate
+
+    base = l19_decontaminate(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0").orderBy("doc_id").limit(1)
+    ev_row = ev.collect()[0]
+    planted = spark.createDataFrame(
+        [
+            (9_000_001, ev_row.text, ev_row.lang, "srcX", ev_row.n_chars),
+            (9_000_002, " ".join(f"zqx{i}" for i in range(20)), "en", "srcX", 1),
+        ],
+        docs.schema,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for t in ("documents",):
+            docs.unionByName(planted).write.parquet(f"{td}/{t}.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            load(spark, sf_dir, t).limit(1).write.parquet(f"{td}/{t}.parquet")
+        out = {r.doc_id: r.n_shared for r in l19_decontaminate(spark, td).collect()}
+    n_grams_ev = len({
+        " ".join(ev_row.text.split(" ")[i : i + 5])
+        for i in range(len(ev_row.text.split(" ")) - 4)
+    })
+    assert out.get(9_000_001, 0) >= n_grams_ev  # full copy of an eval doc
+    assert 9_000_002 not in out  # novel tokens share nothing
+    assert set(base.columns) == {"doc_id", "n_shared"}
