@@ -195,6 +195,17 @@ def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch groupBy. At 100 TB this is the funnel/state-machine
     shape: state is per-key and bounded, the state store (RocksDB in
     prod) holds it between triggers.
+
+    API note: Spark 4's successor API, transformWithStateInPandas
+    (StatefulProcessor: typed value/list/map state, timers, TTL), is the
+    target for new jobs — the tracker maps 1:1 (getValueState("track",
+    "n long, mx double, np long") + the same handleInputRows body). It is
+    not runnable in this container: its Python worker protocol requires
+    google.protobuf, which is absent here (verified: TWS query start
+    fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    protobuf ImportError; no package installs allowed). State semantics
+    are pinned here via applyInPandasWithState, which shares the state
+    machinery.
     """
     import pandas as pd
 
