@@ -283,3 +283,51 @@ def s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "s6d_dynamic_prune",
+    sql=f"""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('click', 1.0), ('purchase', 5.0), ('view', 0.5),
+                            ('error', 0.0), ('signup', 2.0)) t(event_type, weight)
+    )
+    SELECT e.event_type, count(*) AS n,
+           {dround("sum(value * weight)")} AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.weight >= 2.0
+    GROUP BY e.event_type
+    """,
+    tags=("S6", "S1", "J6"),
+)
+def s6d_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is hive-partitioned on
+    event_type (same materialized layout as s6c), but the predicate
+    lives on a DIM attribute (weight), so no static filter reaches the
+    fact — Catalyst inserts a dynamicpruning subquery into the scan's
+    PartitionFilters at runtime, reusing the broadcast exchange
+    (pinned in tests/test_plan_quality.py).
+
+    This is the 100 TB star-schema staple: "scan only the partitions
+    the filtered dimension selects" without hand-propagating the
+    filter to the fact."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/nipd_part_{tag}/events"
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+    ev = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5),
+         ("error", 0.0), ("signup", 2.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") >= 2.0)
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+        )
+    )

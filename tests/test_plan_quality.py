@@ -171,3 +171,12 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """With the predicate on the dim attribute only, the partitioned
+    fact scan must carry a dynamicpruning PartitionFilter (runtime
+    pruning via the reused broadcast), not a full scan."""
+    plan = _plan(spark, sf_dir, "s6d_dynamic_prune")
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
