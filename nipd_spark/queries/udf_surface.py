@@ -234,3 +234,48 @@ def d8_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "c_custkey long, c_acctbal double, n_orders long, total_spent double"
         )
     )
+
+
+@query(
+    "d9_pandas_api",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dround("sum(l_quantity)")} AS sum_qty,
+           {dround("avg(l_extendedprice)")} AS avg_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("D4", "A1"),
+)
+def d9_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark (pyspark.pandas): the reference's analysis layer
+    IS pandas (SURVEY.md §1.1), and this API is the verbatim migration
+    path — `read_parquet → groupby → named agg`, unchanged pandas
+    spelling, executing as the same Catalyst plan every other query
+    uses (`to_spark()` at the boundary, where the engine's rounding
+    discipline applies).
+
+    Scale note: ps defaults to an index; none is materialized here
+    (groupby keys come back as columns via reset_index) so no global
+    sequence/zip — the one ps pitfall that would not survive 100 TB."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        psdf.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            sum_qty=("l_quantity", "sum"),
+            avg_price=("l_extendedprice", "mean"),
+            n=("l_orderkey", "count"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.col("n").cast("long").alias("n"),
+    )
