@@ -35,6 +35,15 @@ PROBE = [
     "l16_dedup_clusters",
     "l4_knn_bruteforce",
     "l5b_ann_ivf",
+    "l18_kmeans",
+    "l19_decontaminate",
+    "l20_text_clean",
+    "l21_stratified_sample",
+    "l22_unigram_logprob",
+    "q11_important_stock",
+    "q21_suppliers_waiting",
+    "s6d_dynamic_prune",
+    "d9_pandas_api",
 ]
 
 
