@@ -11,6 +11,9 @@ beyond stock pyspark.sql is importable from here directly, e.g.::
 
 from nipd_spark.operators.asof import asof_join
 from nipd_spark.operators.components import connected_components
+from nipd_spark.operators.ivf import assign as ivf_assign
+from nipd_spark.operators.ivf import search as ivf_search
+from nipd_spark.operators.ivf import train_centroids as ivf_train_centroids
 from nipd_spark.operators.knn import top_pairs_gemm, topk_per_query_gemm
 from nipd_spark.operators.minhash import near_dup_pairs
 from nipd_spark.operators.range_join import bucketed_range_join
@@ -26,6 +29,9 @@ __all__ = [
     "connected_components",
     "cosine",
     "dot",
+    "ivf_assign",
+    "ivf_search",
+    "ivf_train_centroids",
     "l2_norm",
     "near_dup_pairs",
     "simhash_signatures",

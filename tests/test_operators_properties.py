@@ -288,3 +288,24 @@ def test_decontaminate_flags_planted_overlap(spark, sf_dir):
     assert out.get(9_000_001, 0) >= n_grams_ev  # full copy of an eval doc
     assert 9_000_002 not in out  # novel tokens share nothing
     assert set(base.columns) == {"doc_id", "n_shared"}
+
+
+def test_text_clean_idempotent(spark, sf_dir):
+    """Normalization is a projection: applying the cleaning pass to its
+    own output changes nothing (clean ∘ clean = clean)."""
+    from nipd_spark.queries.text_llm import l20_text_clean
+
+    once = l20_text_clean(spark, sf_dir).select(
+        F.col("cleaned").alias("text"), F.col("doc_id")
+    )
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    twice = once.select(
+        "doc_id", F.trim(F.regexp_replace(stripped, " +", " ")).alias("re_cleaned")
+    )
+    diff = (
+        once.join(twice, "doc_id")
+        .filter(F.col("text") != F.col("re_cleaned"))
+        .count()
+    )
+    assert diff == 0
