@@ -10,8 +10,8 @@ the ``nprobe`` nearest lists and re-ranks candidates exactly.
 Spark-first realization — every stage is a DataFrame op so Catalyst
 owns the physical plan:
 
-  1. **train**: deterministic strided seeding (no RNG — resumable and
-     cross-run stable) + Lloyd iterations expressed as
+  1. **train**: deterministic hash-arg-min seeding (no RNG, no global
+     sort — resumable and cross-run stable) + Lloyd iterations expressed as
      crossJoin(broadcast(centroids)) → max_by assignment → posexplode →
      groupBy(list_id, pos).avg → re-pack. Centroid count C is small
      (≤ thousands), so centroids always broadcast.
@@ -58,20 +58,27 @@ def _normalize(cen: DataFrame) -> DataFrame:
 def train_centroids(emb: DataFrame, n_lists: int, iters: int = 2) -> DataFrame:
     """k-means coarse quantizer: (list_id, centroid: array<double>).
 
-    Seeds = every (n/C)-th vector by vec_id order (deterministic,
-    spread across the id range); ``iters`` Lloyd rounds refine them.
+    Seeds: one vector per residue class ``vec_id % C`` — the arg-min of
+    a portable multiplicative hash within each class (deterministic
+    pseudo-random spread, exact integer math in any engine). This is a
+    partial+final aggregation over C groups: no global sort and no
+    single-partition window, unlike strided-by-rank seeding, so the
+    seeding pass scales like any other map-side agg at 100 TB. The
+    packed ordering key assumes vec_id < 10^12 (hash ties then break on
+    vec_id exactly); ``iters`` Lloyd rounds refine the seeds.
     """
-    n = emb.count()
-    stride = max(n // n_lists, 1)
+    seed_key = (
+        F.pmod(F.col("vec_id") * 2971 + 7, F.lit(100003)) * F.lit(1_000_000_000_000)
+        + F.col("vec_id")
+    )
     seeds = (
-        emb.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy("vec_id")),
+        emb.groupBy(
+            F.pmod(F.col("vec_id"), F.lit(n_lists)).cast("int").alias("list_id")
         )
-        .filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * n_lists))
+        .agg(F.min_by("embedding", seed_key).alias("seed"))
         .select(
-            (((F.col("rn") - 1) / stride).cast("int")).alias("list_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+            "list_id",
+            F.transform("seed", lambda x: x.cast("double")).alias("centroid"),
         )
     )
     cen = _normalize(seeds)

@@ -142,7 +142,7 @@ def l5b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_sql(n_lists: int = 8, iters: int = 2) -> str:
-    """DuckDB twin of ivf.train_centroids + ivf.assign: strided seeding,
+    """DuckDB twin of ivf.train_centroids + ivf.assign: hash-arg-min seeding,
     ``iters`` Lloyd rounds, final nearest-centroid assignment. Mirrors
     the Spark arithmetic expression-for-expression (sequential double
     dot/norm — bit-identical across engines, operators/vector.py) so the
@@ -168,10 +168,10 @@ def _kmeans_sql(n_lists: int = 8, iters: int = 2) -> str:
       FROM embeddings
     ),
     seeds AS (
-      SELECT CAST((rn - 1) // stride AS INT) AS list_id, emb
-      FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn FROM e),
-           (SELECT greatest(count(*) // {n_lists}, 1) AS stride FROM e)
-      WHERE (rn - 1) % stride = 0 AND rn <= stride * {n_lists}
+      SELECT CAST(vec_id % {n_lists} AS INT) AS list_id,
+             arg_min(emb, ((vec_id * 2971 + 7) % 100003) * 1000000000000 + vec_id)
+               AS emb
+      FROM e GROUP BY 1
     ),
     cen0 AS (
       SELECT list_id, list_transform(emb, x -> x / nrm) AS centroid
@@ -207,7 +207,7 @@ def _kmeans_sql(n_lists: int = 8, iters: int = 2) -> str:
 @query("l18_kmeans", sql=_kmeans_sql(), tags=("L11", "L5"))
 def l18_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means clustering of the embeddings table: the
-    IVF coarse quantizer (operators/ivf.py — strided seeds, 2 Lloyd
+    IVF coarse quantizer (operators/ivf.py — hash-arg-min seeds, 2 Lloyd
     rounds, no RNG) exposed as a first-class clustering query returning
     the final (vec_id, list_id) assignment.
 
