@@ -331,3 +331,52 @@ def s6d_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
         )
     )
+
+
+@query(
+    "s6e_dynamic_overwrite",
+    # Oracle simulates the merge outcome relationally: click rows carry
+    # doubled values, every other partition is untouched.
+    sql=f"""
+    SELECT event_type, count(*) AS n,
+           {dround("sum(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END)")}
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("S6", "S1", "P2"),
+)
+def s6e_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-targeted upsert via dynamic partition overwrite: a
+    revised 'click' slice overwrites ONLY its own partition directory
+    (partitionOverwriteMode=dynamic); every other partition's files are
+    untouched. Read-back aggregate proves the merge semantics against a
+    relational oracle of the same outcome.
+
+    This is the 100 TB mutation pattern for hive layouts without a table
+    format: late/corrected data rewrites exactly the partitions it
+    touches — no full-table rewrite, no read-modify-write of unrelated
+    data. (With Delta/Iceberg available, connectors.py MERGE replaces
+    this at file granularity.)"""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/nipd_dynover_{tag}/events"
+    done = f"/tmp/nipd_dynover_{tag}/_MERGED"
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(done):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        revised = ev.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            revised.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    merged = spark.read.parquet(out)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
