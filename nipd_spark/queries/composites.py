@@ -364,3 +364,78 @@ def c7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "c8_lexical_semantic",
+    # Shingle CTE matches dedup._DUCK_SHINGLES; cosine matches the
+    # similarity module's sequential-double expression (both
+    # bit-identical across engines — no rounding needed on either score).
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT p.a_id, p.b_id, p.jaccard,
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosine
+    FROM pairs p
+    JOIN e a ON a.vec_id = p.a_id
+    JOIN e b ON b.vec_id = p.b_id
+    """,
+    tags=("L3", "L4", "J1"),
+)
+def c8_lexical_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation cross-check: every lexical near-dup pair (exact 3-shingle
+    Jaccard ≥ 0.5) scored by its embedding cosine — lexical dupes with
+    LOW semantic agreement are the interesting rows (template pages,
+    boilerplate wrappers around different content), and high-cosine
+    non-identical pairs feed soft dedup.
+
+    Scale shape: the pair set is the (small) near-dup output, so the two
+    embedding attachments are equi-joins keyed by id — the corpus-sized
+    tables are never crossed."""
+    from nipd_spark.operators import minhash, vector
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash.exact_jaccard(minhash.doc_shingles(docs, 3))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            vector.cosine(
+                F.col("ea"),
+                F.col("eb"),
+                vector.l2_norm(F.col("ea")),
+                vector.l2_norm(F.col("eb")),
+            ).alias("cosine"),
+        )
+    )
