@@ -299,8 +299,8 @@ def a11_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT user_id,
            count(*) AS n_events,
-           count_if(event_type = 'purchase') AS n_purchase,
-           count_if(event_type = 'error') AS n_error,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count_if(event_type = 'error') AS BIGINT) AS n_error,
            {dround("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)")}
              AS purchase_value
     FROM events

@@ -131,7 +131,7 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
            CAST(round(CAST(CAST((avg(CAST(json_extract_string(props, '$.k') AS INT))) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS k_avg
     FROM events
     GROUP BY event_type

@@ -98,7 +98,8 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY us) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT)
+               AS session_id
       FROM gapped
     )
     SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,

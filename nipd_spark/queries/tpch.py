@@ -308,10 +308,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >60d after order date), count high/low priority orders.
     sql="""
     SELECT late,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
       SELECT o.o_orderpriority,
              CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY

@@ -1,0 +1,62 @@
+"""Oracle output-type lint (VERDICT r1 'What's wrong' #1).
+
+DuckDB's ``sum()`` over an INTEGER expression returns HUGEINT (Arrow
+decimal128(38,0)) while Spark's ``sum()`` returns BIGINT. Python-level
+comparison coerces both to ``int`` — so repo parity passes — but the
+driver's value-hash encodes the Arrow type and mismatches (q12 round 1).
+
+This lint binds every registered oracle twin in DuckDB (no execution —
+``con.sql()`` only plans) and fails on any output column whose DuckDB
+type is HUGEINT/UHUGEINT or DECIMAL: every such column must be cast in
+the oracle SQL (``CAST(... AS BIGINT)`` / ``:: DOUBLE``) to the type
+Spark produces. DECIMAL of any shape is also banned because DuckDB
+fetches it as ``decimal.Decimal`` which never equals Spark's float.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from nipd_spark import registry
+from nipd_spark.testing import make_duck
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BANNED = re.compile(r"^(HUGEINT|UHUGEINT|DECIMAL\b.*)$", re.IGNORECASE)
+
+
+def _sql_specs():
+    return [
+        (name, spec.sql)
+        for name, spec in registry.all_specs().items()
+        if spec.sql is not None
+    ]
+
+
+@pytest.mark.parametrize("name,sql", _sql_specs())
+def test_oracle_output_types_driver_safe(name: str, sql: str) -> None:
+    con = make_duck(SF_DIR)
+    try:
+        try:
+            rel = con.sql(sql)
+        except duckdb.Error as e:
+            # A handful of oracles read artifacts the Spark fn writes
+            # first (e.g. dynamic-overwrite roundtrips); binding alone
+            # can't see those. They are covered by full parity tests.
+            if "does not exist" in str(e) or "No files found" in str(e):
+                pytest.skip(f"oracle needs Spark-side artifact: {e}")
+            raise
+        bad = [
+            (col, str(typ))
+            for col, typ in zip(rel.columns, rel.types)
+            if BANNED.match(str(typ))
+        ]
+        assert not bad, (
+            f"{name}: oracle emits driver-hash-hazard types {bad}; "
+            "CAST to BIGINT/DOUBLE in the oracle SQL"
+        )
+    finally:
+        con.close()
