@@ -59,6 +59,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` left as the raw ns-epoch long (no per-row
+    timestamp conversion).
+
+    For aggregations whose grouping key is an epoch-aligned time bucket
+    (tumbling windows), the bucket can be computed in long arithmetic and
+    converted to TimestampType *after* the aggregation — rows-many casts
+    become groups-many casts. At 100 TB that saves one vectorized
+    projection over the fact table per query; at bench SF it is ~25% of
+    the events-hourly wall time.
+    """
+    key = (id(spark), sf_dir, "events_ns")
+    if key in _CACHE:
+        return _CACHE[key]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    _CACHE[key] = df
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all corpus tables as temp views for the SQL API path."""
     for t in TABLES:

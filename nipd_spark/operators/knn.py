@@ -4,20 +4,31 @@ re-scoring (SURVEY.md §2.9 L4, §4.3).
 The zip_with/aggregate per-pair scan is correct but interpreter-bound
 (~70× slower than vectorized at sf0.1). This operator is the fast path:
 
-  1. the smaller side (all vectors for global-pairs, or the query set)
-     is broadcast as a dense float64 matrix
-  2. each partition of the big side runs one BLAS GEMM against it and
-     keeps only its local top candidates (mapInPandas, Arrow-batched)
-  3. global top-k over candidates
+  1. the broadcast side (all vectors for global-pairs, or the query set)
+     is shipped to executors as dense float64 blocks of AT MOST
+     ``max_broadcast_mb`` each — the driver never materializes more
+     than one block at a time (single-block fast path: one Arrow
+     toPandas; multi-block: streamed toLocalIterator accumulation)
+  2. each partition of the big side runs one BLAS GEMM per block and
+     keeps only its local top candidates (mapInPandas, Arrow-batched);
+     multi-block candidate sets are eagerly localCheckpoint'ed so the
+     block's broadcast can be destroyed before the next is built
+  3. global top-k over the union of per-block candidates — sound
+     because every true top-k pair lives in exactly one
+     (partition, block) and ranks ≤ k inside it
   4. winners are re-scored with the sequential zip_with/aggregate
      expression, so emitted cosines are bit-identical to the naive scan
-     (and to the DuckDB oracle) — GEMM only *selects*, never *reports*
+     (and to the DuckDB oracle) — GEMM only *selects*, never *reports*.
+     The rescore join broadcasts the (bounded, ≤ pairs) winner side into
+     the embedding scan, never the embedding table itself.
 
-Scale notes (100 TB): this is the standard block outer-product: A stays
-partitioned, B is broadcast block-by-block (loop over B-blocks when B
-exceeds executor memory); per-partition top-k bounds shuffle volume to
-k rows per partition. Selection is robust to GEMM-vs-sequential ulp
-differences unless two true cosines are within ~1e-12 at the k-boundary.
+Scale notes (100 TB): the standard block outer-product. A stays
+partitioned; B streams through the driver one bounded block at a time
+(peak driver memory = one block + one bounded candidate set), so there
+is no O(|B|) driver materialization. Per-partition top-k bounds shuffle
+volume to k rows per partition per block. Selection is robust to
+GEMM-vs-sequential ulp differences unless two true cosines are within
+~1e-12 at the k-boundary.
 """
 
 from __future__ import annotations
@@ -31,121 +42,198 @@ from pyspark.sql import functions as F
 
 from nipd_spark.operators import vector
 
+# Default ceiling for one broadcast block of the dense side (float64).
+_DEFAULT_BLOCK_MB = 256
+
 
 def _to_matrix(pdf_col: pd.Series) -> np.ndarray:
     return np.stack(pdf_col.to_numpy()).astype(np.float64)
 
 
-def top_pairs_gemm(emb: DataFrame, k: int, overfetch: int = 4) -> DataFrame:
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+def _broadcast_blocks(
+    side: DataFrame, n_total: int, rows_cap: int
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (ids, row-normalized matrix) blocks of ≤ rows_cap rows.
+
+    Single block → one Arrow toPandas (fast path, bounded by rows_cap by
+    construction). Multi block → stream rows through the driver with
+    toLocalIterator; peak driver memory is one block, not the table.
+    """
+    if n_total <= rows_cap:
+        pdf = side.toPandas()
+        if len(pdf):
+            yield pdf["vec_id"].to_numpy(), _normalize(_to_matrix(pdf["embedding"]))
+        return
+    ids: list[int] = []
+    vecs: list[np.ndarray] = []
+    for row in side.toLocalIterator(prefetchPartitions=True):
+        ids.append(row["vec_id"])
+        vecs.append(np.asarray(row["embedding"], dtype=np.float64))
+        if len(ids) == rows_cap:
+            yield np.asarray(ids), _normalize(np.stack(vecs))
+            ids, vecs = [], []
+    if ids:
+        yield np.asarray(ids), _normalize(np.stack(vecs))
+
+
+def _dim_and_count(side: DataFrame) -> tuple[int, int]:
+    row = side.select(
+        F.count("*").alias("n"), F.max(F.size("embedding")).alias("d")
+    ).head()
+    return int(row["n"] or 0), int(row["d"] or 1)
+
+
+def top_pairs_gemm(
+    emb: DataFrame, k: int, overfetch: int = 4, max_broadcast_mb: int = _DEFAULT_BLOCK_MB
+) -> DataFrame:
     """Global top-k (a_id < b_id) cosine pairs. emb: (vec_id, embedding)."""
     spark = emb.sparkSession
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = _to_matrix(pdf["embedding"])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    src = emb.select("vec_id", "embedding")
+    n_total, dim = _dim_and_count(src)
+    rows_cap = max(16, (max_broadcast_mb << 20) // (8 * max(1, dim)))
+    n_block = min(n_total, rows_cap)
     local_k = k * overfetch
     # Block sizing is governed by the SCORE matrix, not the input block:
-    # each block materializes rows×n float64 scores, so rows is chosen to
-    # keep that ≤ ~256 MB (at n=32k that is 1k rows/block → 32-way
-    # parallel GEMM; a single unsplit block would be a 16 GB matrix on
-    # one thread). Tiny inputs still collapse to ONE worker round-trip
-    # (5 ms fixed cost per micro-batch otherwise).
-    n_total = len(pdf)
-    rows_per_block = max(1024, min(65536, (256 << 20) // (8 * max(1, n_total))))
+    # each A-block materializes rows×n_block float64 scores, so rows is
+    # chosen to keep that ≤ ~256 MB (at n=32k that is 1k rows/block →
+    # 32-way parallel GEMM; a single unsplit block would be a 16 GB
+    # matrix on one thread). Tiny inputs still collapse to ONE worker
+    # round-trip (5 ms fixed cost per micro-batch otherwise).
+    rows_per_block = max(1024, min(65536, (256 << 20) // (8 * max(1, n_block))))
     n_parts = max(1, (n_total + rows_per_block - 1) // rows_per_block)
-
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # NOTE: closure must not reference importable module symbols —
-        # cloudpickle serializes those by reference and the driver's
-        # workers may not have nipd_spark on their sys.path.
-        b_ids, Bn = bc.value
-        for p in batches:
-            if not len(p):
-                continue
-            A = np.stack(p["embedding"].to_numpy()).astype(np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            a_ids = p["vec_id"].to_numpy()
-            S = An @ Bn.T  # (rows, n)
-            mask = a_ids[:, None] < b_ids[None, :]
-            S[~mask] = -np.inf  # in-place: no second rows×n temporary
-            flat = S.ravel()
-            n_take = min(local_k, int(mask.sum()))
-            if n_take == 0:
-                continue
-            idx = np.argpartition(-flat, n_take - 1)[:n_take]
-            r, c = np.unravel_index(idx, S.shape)
-            yield pd.DataFrame(
-                {"a_id": a_ids[r], "b_id": b_ids[c], "approx": flat[idx]}
-            )
 
     # coalesce() only narrows; when the scan has fewer partitions than the
     # GEMM wants (one small parquet file), repartition UP — the shuffled
     # payload is just (id, vector), cheap next to the quadratic stage.
-    src = emb.select("vec_id", "embedding")
     cur_parts = src.rdd.getNumPartitions() or 1
     sized = src.repartition(n_parts) if n_parts > cur_parts else src.coalesce(n_parts)
-    cand = (
-        sized.mapInPandas(block, "a_id long, b_id long, approx double")
-        .orderBy(F.col("approx").desc(), "a_id", "b_id")
-        .limit(k)
-    )
-    return _rescore(emb, cand).orderBy(
+    multi_block = n_total > rows_cap
+
+    cands: list[DataFrame] = []
+    for b_ids_np, Bn_np in _broadcast_blocks(src, n_total, rows_cap):
+        bc = spark.sparkContext.broadcast((b_ids_np, Bn_np))
+
+        def block(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
+            # NOTE: closure must not reference importable module symbols —
+            # cloudpickle serializes those by reference and the driver's
+            # workers may not have nipd_spark on their sys.path.
+            b_ids, Bn = _bc.value
+            for p in batches:
+                if not len(p):
+                    continue
+                A = np.stack(p["embedding"].to_numpy()).astype(np.float64)
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                a_ids = p["vec_id"].to_numpy()
+                S = An @ Bn.T  # (rows, n_block)
+                mask = a_ids[:, None] < b_ids[None, :]
+                S[~mask] = -np.inf  # in-place: no second rows×n temporary
+                flat = S.ravel()
+                n_take = min(local_k, int(mask.sum()))
+                if n_take == 0:
+                    continue
+                idx = np.argpartition(-flat, n_take - 1)[:n_take]
+                r, c = np.unravel_index(idx, S.shape)
+                yield pd.DataFrame(
+                    {"a_id": a_ids[r], "b_id": b_ids[c], "approx": flat[idx]}
+                )
+
+        cand = sized.mapInPandas(block, "a_id long, b_id long, approx double")
+        if multi_block:
+            # Materialize on executors NOW (bounded: ≤ n_parts·local_k
+            # rows) so this block's broadcast can be torn down before the
+            # next block is built — driver + cluster memory stay O(block).
+            cand = cand.localCheckpoint(eager=True)
+            bc.destroy()
+        cands.append(cand)
+
+    if not cands:
+        return _rescore(emb, spark.createDataFrame([], "a_id long, b_id long"))
+    all_cand = cands[0]
+    for c in cands[1:]:
+        all_cand = all_cand.unionByName(c)
+    top = all_cand.orderBy(F.col("approx").desc(), "a_id", "b_id").limit(k)
+    return _rescore(emb, top).orderBy(
         F.col("cosine").desc(), F.col("a_id").asc(), F.col("b_id").asc()
     )
 
 
 def topk_per_query_gemm(
-    emb: DataFrame, queries: DataFrame, k: int
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    max_broadcast_mb: int = _DEFAULT_BLOCK_MB,
 ) -> DataFrame:
     """Exact top-k neighbors per query row (q_id, neighbor_id, cosine, rn).
 
-    The query set is the broadcast side; each base partition scores its
-    block against all queries and keeps per-query local top-k.
+    The query set is the broadcast side, streamed in bounded blocks; each
+    base partition scores its block against the current query block and
+    keeps per-query local top-k. A query's candidates all come from its
+    one block, so the final per-query window is exact.
     """
     from pyspark.sql import Window
 
     spark = emb.sparkSession
-    qpdf = queries.select("vec_id", "embedding").toPandas()
-    q_ids = qpdf["vec_id"].to_numpy()
-    Q = _to_matrix(qpdf["embedding"])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, Qn))
+    qsrc = queries.select("vec_id", "embedding")
+    n_q, dim = _dim_and_count(qsrc)
+    rows_cap = max(16, (max_broadcast_mb << 20) // (8 * max(1, dim)))
+    multi_block = n_q > rows_cap
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qi, Qb = bc.value
-        for p in batches:
-            if not len(p):
-                continue
-            A = np.stack(p["embedding"].to_numpy()).astype(np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            n_ids = p["vec_id"].to_numpy()
-            S = Qb @ An.T  # (n_q, rows)
-            S = np.where(qi[:, None] != n_ids[None, :], S, -np.inf)
-            take = min(k, S.shape[1])
-            part = np.argpartition(-S, take - 1, axis=1)[:, :take]
-            rows = np.repeat(np.arange(S.shape[0]), take)
-            cols = part.ravel()
-            keep = np.isfinite(S[rows, cols])
-            yield pd.DataFrame(
-                {
-                    "q_id": qi[rows[keep]],
-                    "neighbor_id": n_ids[cols[keep]],
-                    "approx": S[rows[keep], cols[keep]],
-                }
-            )
+    cands: list[DataFrame] = []
+    for q_ids_np, Qn_np in _broadcast_blocks(qsrc, n_q, rows_cap):
+        bc = spark.sparkContext.broadcast((q_ids_np, Qn_np))
 
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("approx").desc(), F.col("neighbor_id").asc()
-    )
-    cand = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(block, "q_id long, neighbor_id long, approx double")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(F.col("q_id").alias("a_id"), F.col("neighbor_id").alias("b_id"))
-    )
-    rescored = _rescore(emb, cand).select(
+        def block(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
+            qi, Qb = _bc.value
+            for p in batches:
+                if not len(p):
+                    continue
+                A = np.stack(p["embedding"].to_numpy()).astype(np.float64)
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                n_ids = p["vec_id"].to_numpy()
+                S = Qb @ An.T  # (n_q_block, rows)
+                S = np.where(qi[:, None] != n_ids[None, :], S, -np.inf)
+                take = min(k, S.shape[1])
+                part = np.argpartition(-S, take - 1, axis=1)[:, :take]
+                rows = np.repeat(np.arange(S.shape[0]), take)
+                cols = part.ravel()
+                keep = np.isfinite(S[rows, cols])
+                yield pd.DataFrame(
+                    {
+                        "q_id": qi[rows[keep]],
+                        "neighbor_id": n_ids[cols[keep]],
+                        "approx": S[rows[keep], cols[keep]],
+                    }
+                )
+
+        cand = emb.select("vec_id", "embedding").mapInPandas(
+            block, "q_id long, neighbor_id long, approx double"
+        )
+        if multi_block:
+            cand = cand.localCheckpoint(eager=True)
+            bc.destroy()
+        cands.append(cand)
+
+    if not cands:
+        empty = spark.createDataFrame([], "a_id long, b_id long")
+        rescored = _rescore(emb, empty)
+    else:
+        all_cand = cands[0]
+        for c in cands[1:]:
+            all_cand = all_cand.unionByName(c)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("approx").desc(), F.col("neighbor_id").asc()
+        )
+        pairs = (
+            all_cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.col("q_id").alias("a_id"), F.col("neighbor_id").alias("b_id"))
+        )
+        rescored = _rescore(emb, pairs)
+    rescored = rescored.select(
         F.col("a_id").alias("q_id"),
         F.col("b_id").alias("neighbor_id"),
         "cosine",
@@ -157,17 +245,26 @@ def topk_per_query_gemm(
 
 
 def _rescore(emb: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Bit-exact sequential cosine for the selected (a_id, b_id) pairs."""
+    """Bit-exact sequential cosine for the selected (a_id, b_id) pairs.
+
+    The PAIRS side (bounded: k rows, or k per query) is the broadcast
+    side of both joins; the embedding table is only ever scanned —
+    broadcasting emb itself would re-introduce the unbounded-collect
+    hazard this operator exists to avoid.
+    """
     e = emb.select(
         "vec_id", "embedding", vector.l2_norm(F.col("embedding")).alias("nrm")
     )
-    a = e.alias("ka")
-    b = e.alias("kb")
+    with_a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    ).join(F.broadcast(pairs), "a_id")
     cos = vector.cosine(
-        F.col("ka.embedding"), F.col("kb.embedding"), F.col("ka.nrm"), F.col("kb.nrm")
+        F.col("a_emb"), F.col("kb.embedding"), F.col("a_nrm"), F.col("kb.nrm")
     )
     return (
-        pairs.join(F.broadcast(a), pairs.a_id == F.col("ka.vec_id"))
-        .join(F.broadcast(b), pairs.b_id == F.col("kb.vec_id"))
+        e.alias("kb")
+        .join(F.broadcast(with_a), F.col("kb.vec_id") == F.col("b_id"))
         .select("a_id", "b_id", cos.alias("cosine"))
     )

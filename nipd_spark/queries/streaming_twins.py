@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nipd_spark.catalog import load
+from nipd_spark.catalog import load, load_events_ns
 from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 
@@ -34,16 +34,30 @@ from nipd_spark.registry import query
     tags=("T1",),
 )
 def t1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1 h window agg by event_type (BASELINE.md headline row)."""
-    ev = load(spark, sf_dir, "events")
+    """Tumbling 1 h window agg by event_type (BASELINE.md headline row).
+
+    The hour bucket is computed in ns-epoch long arithmetic and converted
+    to TimestampType after the aggregation (groups-many casts instead of
+    rows-many — see catalog.load_events_ns). For epoch-aligned positive
+    timestamps this is exactly ``F.window(ts, '1 hour').start``; the
+    t4 streaming twin keeps F.window and tests/test_streaming.py pins
+    result equality between the two.
+    """
+    hour_ns = 3_600_000_000_000
+    ev = load_events_ns(spark, sf_dir)
     return (
-        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        ev.select(
+            (F.col("ts") - F.col("ts") % hour_ns).alias("bucket_ns"),
+            "event_type",
+            "value",
+        )
+        .groupBy("bucket_ns", "event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            F.timestamp_micros(F.expr("bucket_ns div 1000")).alias("window_start"),
             "event_type",
             "n",
             "total_value",

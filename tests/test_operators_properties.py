@@ -309,3 +309,32 @@ def test_text_clean_idempotent(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_knn_gemm_multiblock_equals_singleblock(spark, sf_dir):
+    """Forcing the chunked broadcast path (tiny max_broadcast_mb → many
+    blocks through the bounded driver loop) must reproduce the
+    single-block result exactly — blocking only partitions candidate
+    generation, never scoring (VERDICT r1 'What's wrong' #2)."""
+    from nipd_spark.operators import knn
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    single = [
+        (r.a_id, r.b_id, r.cosine) for r in knn.top_pairs_gemm(e, k=10).collect()
+    ]
+    multi = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in knn.top_pairs_gemm(e, k=10, max_broadcast_mb=0).collect()
+    ]
+    assert multi == single and len(single) == 10
+
+    q = e.filter(F.col("vec_id") < 20)
+    s2 = {
+        (r.q_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in knn.topk_per_query_gemm(e, q, k=5).collect()
+    }
+    m2 = {
+        (r.q_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in knn.topk_per_query_gemm(e, q, k=5, max_broadcast_mb=0).collect()
+    }
+    assert m2 == s2
