@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "udf_surface",
     "composites",
     "multimodal",
+    "cbo",
 )
 
 # Verification rotation (round 2): the driver hash-checks the FIRST 50

@@ -180,3 +180,33 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     plan = _plan(spark, sf_dir, "s6d_dynamic_prune")
     assert "dynamicpruningexpression" in plan
     assert "PartitionFilters" in plan
+
+
+def test_cbo_stats_present_and_hint_free_broadcast(spark, sf_dir):
+    """ANALYZE TABLE stats reach the catalog, and the hint-free CBO
+    queries still plan broadcast hash joins from those stats (no
+    broadcast() call exists anywhere in queries/cbo.py)."""
+    from nipd_spark.queries import cbo
+
+    tbl = cbo.stats_table(spark, sf_dir, "nation")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").toPandas()
+    stats_row = desc[desc["col_name"] == "Statistics"]
+    assert len(stats_row) == 1 and "rows" in stats_row["data_type"].iloc[0]
+    # column-level stats (NDV/min/max) from FOR ALL COLUMNS
+    cdesc = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {tbl} n_nationkey"
+    ).toPandas()
+    got = dict(zip(cdesc["info_name"], cdesc["info_value"]))
+    assert got.get("distinct_count") not in (None, "NULL")
+
+    plan = _plan(spark, sf_dir, "cbo1_stats_join_reorder")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan2 = _plan(spark, sf_dir, "cbo2_filter_cardinality")
+    assert "BroadcastHashJoin" in plan2
+
+    import inspect
+
+    src = inspect.getsource(cbo)
+    assert "F.broadcast(" not in src  # the plan above came from stats alone
+    assert ".hint(" not in src
