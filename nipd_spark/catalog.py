@@ -34,47 +34,47 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _events_ts_is_ns(sf_dir: str) -> bool:
+    """Sniff the events parquet footer (pyarrow, no Spark) — True when
+    ``ts`` is stored as ns (either timestamp[ns] or raw int64 epoch-ns).
+
+    The fixture generator has shipped both encodings across rounds
+    (ns in r1, µs in r2), so the loader adapts per-footer instead of
+    hard-coding one era's schema. Footer read is O(KB) regardless of SF.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return str(t) in ("timestamp[ns]", "int64")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan (SURVEY.md §2 S1): pushdown + pruning apply.
 
-    ``events.ts`` is ns-precision parquet (FIXTURES.md), which Spark 4.1
-    rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as long
-    (legacy conf — set here, not in the session factory, because the
-    driver calls queries with its own SparkSession) and floor-truncate
-    to µs TimestampType, matching DuckDB's ``ts::TIMESTAMP`` cast so
-    oracle comparisons line up (nipd_spark.oracle.ts_us).
+    ``events.ts`` is schema-adaptive: when the parquet stores µs
+    timestamps (current fixtures, isAdjustedToUTC=false) we disable NTZ
+    inference so the scan yields TimestampType directly — the session tz
+    is UTC, so values are bit-identical to the NTZ reading and predicate
+    pushdown on ts is preserved (no post-scan cast). When it stores ns
+    (round-1 vintage; Spark 4.1 rejects it as PARQUET_TYPE_ILLEGAL) we
+    read nanos as long via the legacy conf and floor-truncate to µs
+    TimestampType, matching DuckDB's ``ts::TIMESTAMP`` cast so oracle
+    comparisons line up (nipd_spark.oracle.ts_us). Either way callers
+    see TimestampType.
     """
     key = (id(spark), sf_dir, name)
     if key in _CACHE:
         return _CACHE[key]
-    if name == "events":
+    if name == "events" and _events_ts_is_ns(sf_dir):
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
+        if name == "events":
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _CACHE[key] = df
-    return df
-
-
-def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` left as the raw ns-epoch long (no per-row
-    timestamp conversion).
-
-    For aggregations whose grouping key is an epoch-aligned time bucket
-    (tumbling windows), the bucket can be computed in long arithmetic and
-    converted to TimestampType *after* the aggregation — rows-many casts
-    become groups-many casts. At 100 TB that saves one vectorized
-    projection over the fact table per query; at bench SF it is ~25% of
-    the events-hourly wall time.
-    """
-    key = (id(spark), sf_dir, "events_ns")
-    if key in _CACHE:
-        return _CACHE[key]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
     _CACHE[key] = df
     return df
 

@@ -11,8 +11,9 @@ Float discipline for the driver's value-hash comparison:
   — NOT a binary-double round — so the oracle must emulate it:
   shortest-repr via VARCHAR cast → DECIMAL → round (ties away from
   zero == HALF_UP) → DOUBLE. Verified equivalent on boundary cases.
-- ``events.ts`` is ns-precision parquet; Spark truncates to µs on read,
-  so oracle SQL must go through ``ts_us`` before comparison.
+- ``events.ts`` is µs-precision parquet in the current fixtures (ns in
+  round-1 vintages; catalog.load adapts per-footer). Oracle SQL goes
+  through ``ts_us`` so both eras compare at µs.
 """
 
 from __future__ import annotations
@@ -26,5 +27,6 @@ def dround(expr: str, n: int = 4) -> str:
 
 
 def ts_us(expr: str = "ts") -> str:
-    """Truncate a DuckDB TIMESTAMP_NS to µs, matching Spark's parquet read."""
+    """Normalize a DuckDB timestamp to µs TIMESTAMP, matching Spark's
+    parquet read (no-op on µs data; truncates ns-vintage fixtures)."""
     return f"CAST(({expr}) AS TIMESTAMP)"

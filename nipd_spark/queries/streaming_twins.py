@@ -6,9 +6,9 @@ oracle-checkable half; the live readStream variants (streaming_live.py)
 reuse the same aggregation bodies, and tests assert batch == streaming
 on the replayed corpus (SURVEY.md §5.2.5).
 
-ts discipline: Spark reads events.ts at µs; oracle casts TIMESTAMP_NS →
-TIMESTAMP first (nipd_spark.oracle.ts_us). Both engines' window origins
-are epoch-aligned (Spark window() and DuckDB time_bucket).
+ts discipline: Spark reads events.ts at µs; the oracle normalizes via
+nipd_spark.oracle.ts_us. Both engines' window origins are epoch-aligned
+(Spark window() and DuckDB time_bucket).
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nipd_spark.catalog import load, load_events_ns
+from nipd_spark.catalog import load
 from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 
@@ -36,28 +36,30 @@ from nipd_spark.registry import query
 def t1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1 h window agg by event_type (BASELINE.md headline row).
 
-    The hour bucket is computed in ns-epoch long arithmetic and converted
-    to TimestampType after the aggregation (groups-many casts instead of
-    rows-many — see catalog.load_events_ns). For epoch-aligned positive
-    timestamps this is exactly ``F.window(ts, '1 hour').start``; the
-    t4 streaming twin keeps F.window and tests/test_streaming.py pins
-    result equality between the two.
+    The hour bucket is computed in µs-epoch long arithmetic
+    (``unix_micros`` is a zero-cost reinterpretation of TimestampType's
+    internal µs long) and converted back to TimestampType only after the
+    aggregation — groups-many casts instead of rows-many. For
+    epoch-aligned positive timestamps this is exactly
+    ``F.window(ts, '1 hour').start``; the t4 streaming twin keeps
+    F.window and tests/test_streaming.py pins result equality.
     """
-    hour_ns = 3_600_000_000_000
-    ev = load_events_ns(spark, sf_dir)
+    hour_us = 3_600_000_000
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
     return (
         ev.select(
-            (F.col("ts") - F.col("ts") % hour_ns).alias("bucket_ns"),
+            (us - us % hour_us).alias("bucket_us"),
             "event_type",
             "value",
         )
-        .groupBy("bucket_ns", "event_type")
+        .groupBy("bucket_us", "event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .select(
-            F.timestamp_micros(F.expr("bucket_ns div 1000")).alias("window_start"),
+            F.timestamp_micros("bucket_us").alias("window_start"),
             "event_type",
             "n",
             "total_value",

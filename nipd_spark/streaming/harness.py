@@ -6,9 +6,9 @@ The parquet file source replays events in file order; a memory sink +
 queries() entry can return a fully-materialized result DataFrame from a
 genuine StreamExecution (watermarks, state store and all).
 
-``events.ts`` is ns-precision parquet; like the batch loader
-(catalog.load), the stream source reads it as long (schema below) and
-converts to µs TimestampType.
+``events.ts`` is schema-adaptive like the batch loader (catalog.load):
+µs-timestamp fixtures stream natively as TimestampType; ns-vintage
+fixtures are read as long and converted to µs TimestampType.
 
 Scale notes (100 TB / production): swap the file source for Kafka and
 the memory sink for foreachBatch/parquet — the query body is unchanged.
@@ -24,16 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns epoch (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_is_ns: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # ns vintage: raw epoch long (nanosAsLong); µs: native timestamp
+            T.StructField("ts", T.LongType() if ts_is_ns else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stage_dir(sf_dir: str, parts: int = 1) -> str:
@@ -70,12 +72,20 @@ def events_stream(
     spark: SparkSession, sf_dir: str, parts: int = 1, one_file_per_trigger: bool = False
 ) -> DataFrame:
     """events as an unbounded table (S7 streaming source)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    from nipd_spark.catalog import _events_ts_is_ns
+
+    ts_is_ns = _events_ts_is_ns(sf_dir)
+    if ts_is_ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    reader = spark.readStream.schema(_events_raw_schema(ts_is_ns)).format("parquet")
     if one_file_per_trigger:
         reader = reader.option("maxFilesPerTrigger", 1)
     raw = reader.load(_stage_dir(sf_dir, parts))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_ns:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_to_completion(
