@@ -44,36 +44,97 @@ _QUERY_MODULES = (
     "cbo",
 )
 
-# Verification rotation (round 2): the driver hash-checks the FIRST 50
-# queries() entries per round (CORRECTNESS_r01 == the exact insertion-order
-# prefix). Round 1 verified sources/relational/tpch(q1..q20); this round the
-# never-checked families rotate to the front so they earn hard driver-green
-# rows: the LLM-pipeline stack first (graded as first-class), then
-# aggregates/windows, plus q12 (oracle type fixed) and q21/q22 (positions
-# 51-52 last round, never checked). Already-green families fall to the back
-# of the ordering — their repo-side parity tests still run every session.
-# Round 3 should promote: setops, functions_scalar, arrays_json, composites,
-# streaming_twins, range_asof, udf_surface, multimodal, streaming_live.
+# Verification rotation (round 3): the driver hash-checks the FIRST 50
+# queries() entries per round (CORRECTNESS_r01/r02 == the exact prefix).
+# Rounds 1-2 verified sources/relational/tpch + the LLM stack +
+# aggregates/windows(w1-w4); 57 queries have never had a driver row
+# (VERDICT.md r2 item 3). This front list is exactly the 50 of those 57
+# that fit the window: composites and w5-w9 first (VERDICT item 8), then
+# streaming twins, range/as-of joins, set ops, scalar/array/JSON function
+# families, the UDF surface, multimodal, live streaming, and CBO. The 7
+# deferred are the six b-variants whose operator ID is already covered by
+# their base query inside the window (u3b/u4b/f5b/f7b/j9b/t3b) plus
+# rows-only l10b — they land at positions 51-57 for round 4.
 _FRONT_QUERIES: tuple[str, ...] = (
-    "q12_late_lines",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
+    # composites (SURVEY §2.12 — genomics heart: c1/c6)
+    "c1_sprt_rhdo",
+    "c2_zscore_screen",
+    "c3_fetal_fraction",
+    "c4_coverage_qc",
+    "c5_version_diff",
+    "c6_rmd",
+    "c7_funnel",
+    "c8_lexical_semantic",
+    # windows w5-w9 (never-checked half of the window family)
+    "w5_range_frame",
+    "w6_first_last",
+    "w7_pct_rank_cume",
+    "w8_zscore",
+    "w9_threshold_crossing",
+    # streaming batch twins
+    "t1_tumbling_hourly",
+    "t2_sliding_window",
+    "t3_session_window",
+    # range / as-of joins
+    "j8_range_join",
+    "j9_asof_join",
+    # set operations
+    "u1_union_all",
+    "u2_union_distinct",
+    "u3_intersect",
+    "u4_except",
+    # scalar function families
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_funcs",
+    "f4_case_ladder",
+    "f8_casts",
+    # array / map / JSON families
+    "f5_array_ops",
+    "f6_map_ops",
+    "f7_json_extract",
+    # UDF surface (d1-d9)
+    "d1_scalar_udf",
+    "d2_pandas_udf",
+    "d3_iterator_udf",
+    "d4_grouped_zscore",
+    "d5_grouped_agg_udf",
+    "d6_mapinpandas",
+    "d7_udtf",
+    "d8_cogrouped",
+    "d9_pandas_api",
+    # multimodal plumbing
+    "l10_multimodal_decode",
+    "l10c_frame_sample",
+    # live streaming (readStream harness)
+    "t4_stream_tumbling_watermark",
+    "t5_stream_dedup",
+    "t6_stream_static_join",
+    "t7_stream_session_window",
+    "t7b_stream_stream_join",
+    "t8_stateful_user_tracker",
+    "t9_stream_parquet_sink",
+    # cost-based-optimization demos
+    "cbo1_stats_join_reorder",
+    "cbo2_filter_cardinality",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
+    # deferred never-checked b-variants surface right after the front list
+    "setops",
+    "arrays_json",
+    "range_asof",
+    "streaming_twins",
+    "multimodal",
+    "composites",
+    "windows",
+    "udf_surface",
+    "streaming_live",
+    "cbo",
+    "functions_scalar",
     "text_llm",
     "dedup",
     "similarity",
     "aggregates",
-    "windows",
-    "setops",
-    "functions_scalar",
-    "arrays_json",
-    "composites",
-    "streaming_twins",
-    "range_asof",
-    "udf_surface",
-    "multimodal",
-    "streaming_live",
     "sources",
     "relational",
     "tpch",
