@@ -251,3 +251,84 @@ def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "a_id", "b_id").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "l16b_canonical_rep",
+    sql="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach AS (
+      SELECT DISTINCT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS kept_quality,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped
+    FROM ranked
+    GROUP BY cluster_id
+    """,
+    tags=("L3", "L9", "A11", "W1"),
+)
+def l16b_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: the dedup survivorship policy
+    that follows clustering. Near-dup clusters (exact-Jaccard >= 0.5 ->
+    connected components, same pipeline as l16) keep their single
+    best-quality member (n_chars as the quality proxy, lowest doc_id
+    breaking ties); out: per cluster the kept doc, its quality, and how
+    many near-dups were dropped.
+
+    Scale shape: component labels join back to the doc table on the
+    equi key, and the per-cluster arg-max is one window over
+    cluster_id — both shuffle-on-key, no all-pairs work beyond the
+    candidate pairs the LSH tier would feed at 100 TB. Oracle arrives
+    at the same fixpoint via a recursive CTE (different algorithm, same
+    answer), extending l16's cross-check to the survivorship step.
+    """
+    from pyspark.sql import Window
+
+    from nipd_spark.operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    sh = minhash.doc_shingles(docs, 3)
+    pairs = minhash.exact_jaccard(sh).filter(F.col("jaccard") >= 0.5)
+    clusters = connected_components(pairs, "a_id", "b_id").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_quality"),
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )

@@ -545,3 +545,208 @@ def l22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "l23_repetition_filter",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    m2 AS (
+      SELECT doc_id,
+             CAST(round(CAST(CAST((CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS top_bigram_frac
+      FROM c2 GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+                    i -> list_aggregate(t[i:i+4], 'string_agg', ' '))) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+    m5 AS (
+      SELECT doc_id,
+             CAST(round(CAST(CAST((CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS dup_5gram_frac
+      FROM c5 GROUP BY doc_id
+    )
+    SELECT m2.doc_id AS doc_id, top_bigram_frac, dup_5gram_frac,
+           CAST(top_bigram_frac > 0.2 OR dup_5gram_frac > 0.3 AS INT) AS flagged
+    FROM m2 JOIN m5 ON m2.doc_id = m5.doc_id
+    """,
+    tags=("L9", "L8", "A1"),
+)
+def l23_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per doc, the fraction of
+    2-grams taken by the single most frequent 2-gram (top_bigram_frac)
+    and the fraction of 5-gram occurrences that are within-doc repeats
+    (dup_5gram_frac); flagged = exceeds either curation threshold.
+    These are the standard repetitious-text gates run before LLM
+    training (boilerplate, keyword-stuffed, and template pages).
+
+    Scale shape: two explode → (doc_id, gram) equi-keyed aggs — the
+    shuffle key is doc_id, so this partitions cleanly at any corpus
+    size; no cross-doc state. flagged emitted as INT for a
+    representation-stable cross-engine hash.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def gram_metric(n, agg):
+        grams = docs.select(
+            "doc_id", F.explode(text.shingles(F.col("text"), n)).alias("g")
+        )
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(agg)
+
+    m2 = gram_metric(
+        2,
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )
+    m5 = gram_metric(
+        5,
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_5gram_frac"),
+    )
+    return m2.join(m5, "doc_id").select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_5gram_frac",
+        ((F.col("top_bigram_frac") > 0.2) | (F.col("dup_5gram_frac") > 0.3))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+@query(
+    "l24_pii_redact",
+    sql="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN doc_id % 3 = 1
+                    THEN text || ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                          '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+')) AS n_emails,
+           len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM aug
+    """,
+    tags=("L9", "F1", "P6"),
+)
+def l24_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect and redact email- and phone-shaped spans,
+    reporting per-doc match counts — the pre-release privacy pass every
+    training corpus gets. The corpus is synthetic-clean, so the query
+    first plants deterministic PII (doc_id-derived emails/phones on 2/3
+    of docs) and then proves the redaction removes exactly those spans.
+
+    Pure map-side regexp chain (whole-stage codegen, no UDF, no
+    shuffle) — scale-invariant. Patterns use the [0-9]/[a-z] common
+    subset of Java regex and RE2 so both engines match identically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    email, phone = "[a-z0-9]+@[a-z0-9.]+", "[0-9]{3}-[0-9]{4}"
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone), F.lit(0))).alias("n_phones"),
+    )
+
+
+@query(
+    "l25_pack_sequences",
+    sql="""
+    WITH sized AS (
+      SELECT doc_id,
+             doc_id % 8 AS bucket,
+             (doc_id * 1103) % 997 AS h,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    packed AS (
+      SELECT bucket,
+             (sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id) - n) // 512 AS seq_id,
+             n
+      FROM sized
+    )
+    SELECT bucket, seq_id,
+           count(*) AS n_docs,
+           sum(n) AS n_tokens,
+           CAST(round(CAST(CAST((CAST(sum(n) AS DOUBLE) / 512) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS fill
+    FROM packed
+    GROUP BY bucket, seq_id
+    """,
+    tags=("L9", "W3", "A1"),
+)
+def l25_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training batches: docs are sharded into
+    buckets, deterministically shuffled within each (multiplicative key
+    hash — reproducible, no RNG), then greedily packed into 512-token
+    sequences by cumulative token count; a doc belongs to the sequence
+    where its span begins. Out: per (bucket, seq) doc count, token
+    count, and fill ratio (>1 when a doc straddles the boundary).
+
+    Scale shape: the running sum is windowed PER BUCKET, so packing
+    parallelizes across buckets — no global sort, no single-partition
+    window. At 100 TB, bucket count scales with the cluster and each
+    bucket's window is a local sort within its shuffle partition.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("bucket"),
+        ((F.col("doc_id") * 1103) % 997).alias("h"),
+        F.size(text.tokens(F.col("text"))).alias("n"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = sized.select(
+        "bucket", (F.sum("n").over(w) - F.col("n")).alias("start"), "n"
+    ).select("bucket", F.expr("start div 512").alias("seq_id"), "n")
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.sum("n").cast("double") / 512, 6).alias("fill"),
+    )
