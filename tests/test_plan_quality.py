@@ -210,3 +210,71 @@ def test_cbo_stats_present_and_hint_free_broadcast(spark, sf_dir):
     src = inspect.getsource(cbo)
     assert "F.broadcast(" not in src  # the plan above came from stats alone
     assert ".hint(" not in src
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """l24 must be one codegen'd projection over the scan: no shuffle,
+    no join, no Python stage — scale-invariant by construction."""
+    plan = _plan(spark, sf_dir, "l24_pii_redact")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_repetition_filter_stays_jvm_and_keyed(spark, sf_dir):
+    """l23's gram aggregations are equi-keyed on doc_id and the doc-level
+    combine is a hash join — no cartesian/NLJ anywhere, no Python."""
+    plan = _plan(spark, sf_dir, "l23_repetition_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """l25's running sum must be windowed per bucket — an
+    'Exchange SinglePartition' feeding the Window would mean the global
+    sort anti-pattern the bucketing exists to avoid."""
+    plan = _plan(spark, sf_dir, "l25_pack_sequences")
+    assert "Window" in plan
+    window_input = plan.split("Window", 1)[0]
+    assert "Exchange SinglePartition" not in window_input
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_canonical_rep_no_allpairs(spark, sf_dir):
+    """l16b's candidate pairs come from the shingle equi self-join and
+    the survivorship window is keyed by cluster — never a cartesian."""
+    plan = _plan(spark, sf_dir, "l16b_canonical_rep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "c1_sprt_rhdo",
+        "c2_zscore_screen",
+        "c3_fetal_fraction",
+        "c4_coverage_qc",
+        "c5_version_diff",
+        "c6_rmd",
+        "c7_funnel",
+        "c8_lexical_semantic",
+    ],
+)
+def test_composites_no_cartesian_or_nlj(spark, sf_dir, name):
+    """The genomics/funnel composites (driver window r3) must keep every
+    join hash-keyed: no cartesian or nested-loop fallback."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_stays_keyed(spark, sf_dir):
+    """j9 as-of join: bucketed equi rewrite, not a nested loop over the
+    full time axis."""
+    plan = _plan(spark, sf_dir, "j9_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
