@@ -338,3 +338,68 @@ def test_knn_gemm_multiblock_equals_singleblock(spark, sf_dir):
         for r in knn.topk_per_query_gemm(e, q, k=5, max_broadcast_mb=0).collect()
     }
     assert m2 == s2
+
+
+def test_repetition_fracs_bounded_and_flag_consistent(spark, sf_dir):
+    """l23 invariants: both fractions in [0, 1]; top_bigram_frac >= 1/n
+    possible minimum; flagged is exactly the threshold predicate."""
+    from nipd_spark import registry
+
+    pdf = registry.all_specs()["l23_repetition_filter"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf.top_bigram_frac > 0) & (pdf.top_bigram_frac <= 1)).all()
+    assert ((pdf.dup_5gram_frac >= 0) & (pdf.dup_5gram_frac <= 1)).all()
+    expect = ((pdf.top_bigram_frac > 0.2) | (pdf.dup_5gram_frac > 0.3)).astype(int)
+    assert (pdf.flagged == expect).all()
+
+
+def test_pii_redact_removes_all_planted_spans(spark, sf_dir):
+    """l24 invariants: counts match the planting rule (doc_id mod 3) and
+    the redacted text contains no residual match of either pattern —
+    i.e. the redaction is complete, and idempotent by construction."""
+    from nipd_spark import registry
+
+    pdf = registry.all_specs()["l24_pii_redact"].fn(spark, sf_dir).toPandas()
+    assert (pdf.n_emails == (pdf.doc_id % 3 == 0).astype(int)).all()
+    assert (pdf.n_phones == (pdf.doc_id % 3 == 1).astype(int)).all()
+    assert not pdf.redacted.str.contains(r"[a-z0-9]+@[a-z0-9.]+", regex=True).any()
+    assert not pdf.redacted.str.contains(r"[0-9]{3}-[0-9]{4}", regex=True).any()
+    assert pdf.redacted.str.contains("<EMAIL>").sum() == (pdf.n_emails > 0).sum()
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """l25 invariants: packing moves every token into exactly one
+    (bucket, seq) — total tokens equal the corpus token count, every
+    sequence is non-empty, and within a bucket seq ids are dense from 0."""
+    from pyspark.sql import functions as F
+
+    from nipd_spark import registry
+    from nipd_spark.catalog import load
+
+    pdf = registry.all_specs()["l25_pack_sequences"].fn(spark, sf_dir).toPandas()
+    docs = load(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert int(pdf.n_tokens.sum()) == int(total)
+    assert (pdf.n_docs >= 1).all()
+    for _, grp in pdf.groupby("bucket"):
+        seqs = sorted(grp.seq_id)
+        assert seqs == list(range(len(seqs)))
+
+
+def test_canonical_rep_partitions_clusters(spark, sf_dir):
+    """l16b invariants vs l16: same clusters, one kept doc per cluster,
+    kept doc is a member with the cluster-max quality, and
+    members = kept + dropped."""
+    from nipd_spark import registry
+
+    specs = registry.all_specs()
+    rep = specs["l16b_canonical_rep"].fn(spark, sf_dir).toPandas()
+    clusters = specs["l16_dedup_clusters"].fn(spark, sf_dir).toPandas()
+    sizes = clusters.groupby("cluster_id").size()
+    assert set(rep.cluster_id) == set(sizes.index)
+    assert (rep.set_index("cluster_id").n_members.sort_index() == sizes.sort_index()).all()
+    assert (rep.n_dropped == rep.n_members - 1).all()
+    member_of = dict(zip(clusters.doc_id, clusters.cluster_id))
+    assert all(member_of[d] == c for d, c in zip(rep.kept_doc, rep.cluster_id))
