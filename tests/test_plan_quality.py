@@ -223,12 +223,13 @@ def test_pii_redact_is_map_only(spark, sf_dir):
     assert "codegen id" in plan
 
 
-def test_repetition_filter_stays_jvm_and_keyed(spark, sf_dir):
-    """l23's gram aggregations are equi-keyed on doc_id and the doc-level
-    combine is a hash join — no cartesian/NLJ anywhere, no Python."""
+def test_repetition_filter_is_map_only(spark, sf_dir):
+    """l23 computes both repetition metrics in-row with higher-order
+    array functions: no shuffle, no join, no Python stage — the plan
+    must be a single projection over the scan."""
     plan = _plan(spark, sf_dir, "l23_repetition_filter")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
