@@ -709,13 +709,14 @@ def l24_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT bucket,
-             (sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id) - n) // 512 AS seq_id,
+             CAST((sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id) - n) // 512
+                  AS BIGINT) AS seq_id,
              n
       FROM sized
     )
     SELECT bucket, seq_id,
            count(*) AS n_docs,
-           sum(n) AS n_tokens,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
            CAST(round(CAST(CAST((CAST(sum(n) AS DOUBLE) / 512) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS fill
     FROM packed
     GROUP BY bucket, seq_id
