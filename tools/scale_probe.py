@@ -44,6 +44,10 @@ PROBE = [
     "q21_suppliers_waiting",
     "s6d_dynamic_prune",
     "d9_pandas_api",
+    "l23_repetition_filter",
+    "l24_pii_redact",
+    "l25_pack_sequences",
+    "l16b_canonical_rep",
 ]
 
 
