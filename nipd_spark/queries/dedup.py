@@ -332,3 +332,106 @@ def l16b_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         (F.count("*") - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "l26_incremental_dedup",
+    sql="""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    existing AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    exact_hit AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch b JOIN existing e ON sha256(b.text) = sha256(e.text)
+    ),
+    btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+    etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM existing),
+    bsh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM btoks WHERE len(t) >= 3
+    ),
+    esh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM etoks WHERE len(t) >= 3
+    ),
+    near_hit AS (
+      SELECT DISTINCT b.doc_id
+      FROM bsh b JOIN esh e
+        ON CAST(len(list_intersect(b.s, e.s)) AS DOUBLE)
+             / (len(b.s) + len(e.s) - len(list_intersect(b.s, e.s))) >= 0.5
+    )
+    SELECT b.doc_id,
+           CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'kept' END AS status
+    FROM batch b
+    LEFT JOIN exact_hit x ON b.doc_id = x.doc_id
+    LEFT JOIN near_hit n ON b.doc_id = n.doc_id
+    """,
+    tags=("L1", "L3", "J5"),
+)
+def l26_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id % 5 = 0 as the
+    synthetic daily delta) is screened against the existing corpus —
+    dropped as 'exact' on content-hash match, as 'near' on 3-shingle
+    Jaccard >= 0.5 against any existing doc, else 'kept'. This is the
+    production shape of corpus dedup: the historical side is a
+    fingerprint store, only the delta is scored.
+
+    Scale shape: the exact screen is an equi join on the sha2 digest
+    (the 100 TB history participates only as hashes); the near screen
+    joins batch and history shingle sets on the shingle equi key —
+    candidates only, no all-pairs — with the LSH tier (l3b) as the
+    drop-in at full scale. Output is batch-sized regardless of history
+    size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+
+    exact_hit = (
+        batch.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .join(
+            existing.select(F.sha2(F.col("text"), 256).alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+
+    from nipd_spark.operators import text
+
+    def shingle_long(df: DataFrame, id_alias: str, n_alias: str) -> DataFrame:
+        s = F.array_distinct(text.shingles(F.col("text"), 3))
+        return df.select(
+            F.col("doc_id").alias(id_alias), F.size(s).alias(n_alias), s.alias("s")
+        ).select(id_alias, n_alias, F.explode("s").alias("sh"))
+
+    b_long = shingle_long(batch, "b_id", "b_n")
+    e_long = shingle_long(existing, "e_id", "e_n")
+    near_hit = (
+        b_long.join(e_long, "sh")
+        .groupBy("b_id", "e_id", "b_n", "e_n")
+        .agg(F.count("*").alias("inter"))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("b_n") + F.col("e_n") - F.col("inter"))
+            >= 0.5
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_hit.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_hit.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, F.lit("exact"))
+            .when(F.col("is_near") == 1, F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

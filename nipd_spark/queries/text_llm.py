@@ -756,3 +756,65 @@ def l25_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_tokens"),
         F.round(F.sum("n").cast("double") / 512, 6).alias("fill"),
     )
+
+
+@query(
+    "l27_corpus_card",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars, text,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    surv AS (SELECT * FROM ranked WHERE rn = 1),
+    card AS (
+      SELECT lang,
+             CAST(least(n_chars // 150, 2) AS BIGINT) AS size_bucket,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM surv
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM card)
+    SELECT lang, size_bucket, n_docs, n_tokens,
+           CAST(round(CAST(CAST((CAST(n_docs AS DOUBLE) / total) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS doc_share
+    FROM card, tot
+    """,
+    tags=("L9", "L1", "A1", "W1"),
+)
+def l27_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the summary table published alongside a training
+    corpus — after exact dedup (keep-first per content digest), doc and
+    token counts by language × document-size bucket, plus each cell's
+    share of the corpus. The final reporting step of the curation
+    pipeline (l1/l2 dedup → l9/l23 quality → card).
+
+    Scale shape: dedup survivorship is one window keyed by the content
+    hash; the card aggregation is equi-keyed on (lang, bucket); the
+    1-row total broadcasts back for the share column. Card cardinality
+    is O(langs × buckets) regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    surv = (
+        docs.withColumn("h", F.sha2(F.col("text"), 256))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    card = surv.groupBy(
+        "lang", F.least(F.expr("n_chars div 150"), F.lit(2)).alias("size_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(text.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = card.agg(F.sum("n_docs").cast("double").alias("total"))
+    return card.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "size_bucket",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "doc_share"
+        ),
+    )

