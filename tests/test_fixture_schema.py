@@ -128,3 +128,38 @@ def test_all_sf_dirs_consistent() -> None:
         if os.path.isdir(d):
             types[sf] = str(pq.read_schema(f"{d}/events.parquet").field("ts").type)
     assert len(set(types.values())) == 1, f"events.ts encoding differs: {types}"
+
+
+def test_catalog_adapts_to_both_ts_encodings(spark):
+    """catalog.load must yield identical TimestampType values whether
+    events.ts is stored as µs timestamp (current fixtures) or ns
+    timestamp (round-1 vintage) — the drift class that broke round 2.
+    Builds tiny synthetic parquets of both encodings and loads each."""
+    import pyarrow as pa
+
+    import nipd_spark.catalog as catalog
+
+    base = "/tmp/nipd_ts_encoding_test"
+    vals_us = [1704067200_000_000, 1704070800_123_456]  # 2024-01-01 UTC
+    rows = {
+        "event_id": pa.array([0, 1], pa.int64()),
+        "user_id": pa.array([0, 1], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}']),
+    }
+    cases = {
+        "us": pa.array(vals_us, pa.timestamp("us")),
+        "ns": pa.array([v * 1000 for v in vals_us], pa.timestamp("ns")),
+    }
+    results = {}
+    for tag, ts_arr in cases.items():
+        d = f"{base}_{tag}"
+        os.makedirs(d, exist_ok=True)
+        t = pa.table({"event_id": rows["event_id"], "ts": ts_arr, **{
+            k: v for k, v in rows.items() if k != "event_id"}})
+        pq.write_table(t, f"{d}/events.parquet")
+        df = catalog.load(spark, d, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", tag
+        results[tag] = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert results["us"] == results["ns"]
