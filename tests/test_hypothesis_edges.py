@@ -118,3 +118,93 @@ def test_bucketed_range_join_matches_duckdb_predicate(
         )
     )
     assert got == want
+
+
+_tok = st.sampled_from(["a", "b", "c", "d"])  # tiny alphabet → repeats common
+
+
+@given(docs=st.lists(st.lists(_tok, min_size=5, max_size=20), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_repetition_metrics_match_python_reference(spark, docs):
+    """l23's in-row higher-order-function metrics == a pure-Python
+    reference (Counter-based) on randomized token streams — evidence
+    independent of the DuckDB oracle."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import text
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def gram_counts(g):
+        return F.transform(
+            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+        )
+
+    g2 = text.shingles(F.col("text"), 2)
+    g5 = text.shingles(F.col("text"), 5)
+    got = {
+        r.doc_id: (r.top2, r.dup5)
+        for r in sdf.select(
+            "doc_id",
+            (F.array_max(gram_counts(g2)).cast("double") / F.size(g2)).alias("top2"),
+            (
+                F.aggregate(
+                    F.filter(gram_counts(g5), lambda c: c > 1),
+                    F.lit(0),
+                    lambda a, c: a + c,
+                ).cast("double")
+                / F.size(g5)
+            ).alias("dup5"),
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        two = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        five = [" ".join(toks[j : j + 5]) for j in range(len(toks) - 4)]
+        c2, c5 = Counter(two), Counter(five)
+        exp_top2 = max(c2.values()) / len(two)
+        exp_dup5 = sum(c for c in c5.values() if c > 1) / len(five)
+        assert abs(got[i][0] - exp_top2) < 1e-12, (i, toks)
+        assert abs(got[i][1] - exp_dup5) < 1e-12, (i, toks)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=30),
+    budget=st.sampled_from([64, 512, 1000]),
+)
+@settings(**_SETTINGS)
+def test_sequence_packing_matches_python_reference(spark, sizes, budget):
+    """The packing rule (doc joins the sequence where its cumsum span
+    begins) == a sequential Python fold, per bucket, at any budget —
+    including docs larger than the budget (span straddles)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(sizes)),
+            "bucket": [i % 3 for i in range(len(sizes))],
+            "n": sizes,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r.doc_id: r.seq_id
+        for r in sdf.select(
+            "doc_id", ((F.sum("n").over(w) - F.col("n")) / budget).cast("long").alias("seq_id")
+        ).collect()
+    }
+    for b in set(pdf.bucket):
+        cum = 0
+        for _, row in pdf[pdf.bucket == b].iterrows():
+            assert got[row.doc_id] == cum // budget, (b, row.doc_id)
+            cum += row.n
