@@ -380,3 +380,91 @@ def s6e_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "s9_text_source",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           text
+    FROM documents
+    """,
+    tags=("S2", "F1"),
+)
+def s9_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (``spark.read.text`` — the raw-corpus
+    ingest path every LLM pipeline starts from): documents staged as
+    ``doc_id<TAB>text`` lines, read back as unparsed lines, and parsed
+    with one split. Round-trip must reproduce the original table.
+
+    Scale shape: text files split by line ranges exactly like any
+    file-based scan; the parse is one map-side projection.
+    """
+    d = _stage(sf_dir, "doc_lines")
+    if not os.path.exists(d):
+        docs = load(spark, sf_dir, "documents")
+        docs.select(
+            F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+                "value"
+            )
+        ).coalesce(1).write.mode("overwrite").text(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    lines = spark.read.text(d)
+    parts = F.split(F.col("value"), "\t", 2)
+    text_col = parts.getItem(1)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
+        text_col.alias("text"),
+    )
+
+
+@query(
+    "s10_binary_source",
+    sql="""
+    WITH blobs AS (
+      SELECT lang,
+             string_agg(text, chr(10) ORDER BY doc_id) AS content
+      FROM documents
+      GROUP BY lang
+    )
+    SELECT lang,
+           CAST(length(content) AS BIGINT) AS n_bytes,
+           sha256(content) AS content_sha
+    FROM blobs
+    """,
+    tags=("S2", "L10"),
+)
+def s10_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source (``spark.read.format('binaryFile')`` —
+    the ingest path for opaque media/blob payloads, SURVEY.md §2.9 L10):
+    one file per language staged from the corpus, read back as
+    (path, length, content BinaryType), digested with sha2. The oracle
+    rebuilds the identical bytes from the documents table, proving the
+    binary path is lossless.
+
+    Scale shape: binaryFile reads one file per task (never splits a
+    blob); digesting is map-side. Media payloads take exactly this path
+    into the multimodal stage (l10).
+    """
+    d = _stage(sf_dir, "lang_blobs")
+    if not os.path.exists(d):
+        import pyarrow.parquet as pq_mod
+
+        tmp = d + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq_mod.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        ).to_pandas()
+        for lang, grp in t.sort_values("doc_id").groupby("lang"):
+            with open(f"{tmp}/{lang}.txt", "w") as f:
+                f.write("\n".join(grp.text))
+        os.rename(tmp, d)
+    files = spark.read.format("binaryFile").load(d)
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return files.select(
+        F.split(base, "\\.").getItem(0).alias("lang"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
