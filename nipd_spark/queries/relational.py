@@ -902,3 +902,38 @@ def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "j12_shuffled_hash",
+    sql=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           {dround("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("J1", "A1"),
+)
+def j12_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large ⋈ large with an explicit SHUFFLE_HASH strategy: both sides
+    shuffle on the equi key but NEITHER is sorted — the build side
+    becomes a per-partition hash table, skipping the two O(n log n)
+    sorts a SortMergeJoin pays. The right call at 100 TB whenever the
+    per-partition build side fits executor memory (orders here: the
+    smaller fact); AQE makes the same choice from runtime stats when
+    ``spark.sql.join.preferSortMergeJoin=false`` — the hint pins it
+    deterministically for the plan test (test_plan_quality).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

@@ -297,3 +297,16 @@ def test_corpus_card_total_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shuffled_hash_join_skips_sorts(spark, sf_dir):
+    """j12 must plan as ShuffledHashJoin: no SortMergeJoin and no Sort
+    operator feeding the join — the strategy's whole point."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "j12_shuffled_hash")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
