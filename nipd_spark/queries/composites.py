@@ -439,3 +439,104 @@ def c8_lexical_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "c9_curation_pipeline",
+    sql="""
+    WITH cleaned AS (
+      SELECT doc_id, lang, n_chars,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY sha256(t) ORDER BY doc_id) AS rn
+      FROM cleaned
+    ),
+    surv AS (SELECT doc_id, lang, n_chars, t FROM ranked WHERE rn = 1),
+    toks AS (SELECT *, string_split(t, ' ') AS tk FROM surv),
+    g2 AS (
+      SELECT doc_id, lang, n_chars, tk,
+             list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS grams
+      FROM toks WHERE len(tk) >= 2
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_chars, len(tk) AS n_tokens,
+             CAST(len(list_filter(grams,
+                    g -> len(list_filter(grams, h -> h = g)) > 1)) AS DOUBLE)
+               / len(grams) AS rep_frac
+      FROM g2
+    ),
+    kept AS (SELECT * FROM scored WHERE rep_frac <= 0.6 AND n_tokens >= 10)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(round(CAST(CAST((CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS chars_per_token
+    FROM kept
+    GROUP BY lang
+    """,
+    tags=("L1", "L9", "F1", "A1", "W1"),
+)
+def c9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE query — the composition a
+    corpus team actually ships: normalize text (l20) → exact-dedup
+    keep-first on the cleaned digest (l2) → score duplicated-bigram
+    repetition in-row (l23's technique) → threshold filter → per-
+    language corpus card (l27). Demonstrates that the verified stages
+    compose without materialization barriers: Catalyst fuses clean +
+    score into one projection, and the only shuffles are the dedup hash
+    and the final card agg.
+
+    Scale shape: two equi-keyed shuffles total (digest window, card
+    agg); everything else is map-side. The same DAG at 100 TB just has
+    bigger shuffles on the same keys.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def clean(c):
+        lowered = F.lower(c)
+        stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+        return F.trim(F.regexp_replace(stripped, " +", " "))
+
+    cleaned = docs.select(
+        "doc_id", "lang", "n_chars", clean(F.col("text")).alias("t")
+    )
+    surv = (
+        cleaned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.sha2(F.col("t"), 256)).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tk = F.split(F.col("t"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+    )
+    scored = surv.filter(F.size(tk) >= 2).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tk).alias("n_tokens"),
+        (
+            F.size(
+                F.filter(
+                    grams,
+                    lambda g: F.size(F.filter(grams, lambda h: h == g)) > 1,
+                )
+            ).cast("double")
+            / F.size(grams)
+        ).alias("rep_frac"),
+    )
+    kept = scored.filter((F.col("rep_frac") <= 0.6) & (F.col("n_tokens") >= 10))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
