@@ -310,3 +310,20 @@ def test_shuffled_hash_join_skips_sorts(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_source_parse_is_map_only(spark, sf_dir):
+    """s9's line parse must be one projection over the text scan — no
+    shuffle, no Python stage."""
+    plan = _plan(spark, sf_dir, "s9_text_source")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_binary_source_digest_is_map_only(spark, sf_dir):
+    """s10's sha2 digest over BinaryType content must be map-side — no
+    shuffle of the blob bytes."""
+    plan = _plan(spark, sf_dir, "s10_binary_source")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
