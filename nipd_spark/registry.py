@@ -55,10 +55,10 @@ _QUERY_MODULES = (
 # deferred are the six b-variants whose operator ID is already covered by
 # their base query inside the window (u3b/u4b/f5b/f7b/j9b/t3b) plus
 # rows-only l10b — they land right after the front list for round 4,
-# together with the round-3 curation additions (l23-l27, l16b). Round 4
-# front list should be exactly those 11 (all are sf0.01-verified
-# repo-side, VERIFY_r03.txt) followed by a re-check rotation of the
-# oldest r1 rows.
+# together with every round-3 addition (l23-l27, l16b, l26, l27, s9,
+# s10, j12, c9). Round 4 front list should be exactly those 17 (all
+# sf0.01-verified repo-side, VERIFY_r03.txt) followed by a re-check
+# rotation of the oldest r1 rows.
 _FRONT_QUERIES: tuple[str, ...] = (
     # composites (SURVEY §2.12 — genomics heart: c1/c6)
     "c1_sprt_rhdo",
