@@ -226,3 +226,70 @@ def l18_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cen = ivf.train_centroids(e, n_lists=8, iters=2)
     return ivf.assign(e, cen).select("vec_id", "list_id")
+
+
+@query(
+    "l28_quantize_embeddings",
+    sql=f"""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, xs,
+             list_max(list_transform(xs, v -> abs(v))) AS scale
+      FROM x
+    ),
+    dq AS (
+      SELECT vec_id, xs, scale,
+             list_transform(xs,
+               v -> floor(v * 127 / scale + 0.5) * scale / 127) AS ys,
+             len(list_filter(xs,
+               v -> abs(floor(v * 127 / scale + 0.5)) >= 127)) AS n_sat
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           {dround("scale", 6)} AS scale,
+           {dround("list_sum(list_transform(range(1, 65), i -> (xs[i] - ys[i]) * (xs[i] - ys[i]))) / 64", 9)} AS mse,
+           CAST(n_sat AS INT) AS n_sat
+    FROM dq
+    """,
+    tags=("L11", "F5"),
+)
+def l28_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    compression every 100 TB vector store applies before ANN serving —
+    with per-vector reconstruction error (MSE) and saturation count.
+    Rounding is ``floor(v + 0.5)`` in BOTH engines (no HALF_UP vs
+    HALF_EVEN ambiguity); with scale = max|x| the quantized range never
+    exceeds ±127, so no clipping branch exists to diverge.
+
+    Scale shape: map-only higher-order array math — zero shuffles, the
+    quantized table writes back partition-parallel. MSE is rounded (9dp)
+    per the order-dependent-aggregate oracle discipline.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    staged = e.select(
+        "vec_id",
+        xs.alias("xs"),
+        F.array_max(F.transform(xs, F.abs)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = lambda v: F.floor(v * 127 / F.col("scale") + 0.5)  # noqa: E731
+    dq = staged.select(
+        "vec_id",
+        "xs",
+        "scale",
+        F.transform(F.col("xs"), lambda v: q(v) * F.col("scale") / 127).alias("ys"),
+        F.size(F.filter(F.col("xs"), lambda v: F.abs(q(v)) >= 127)).alias("n_sat"),
+    )
+    sq_err = F.zip_with(F.col("xs"), F.col("ys"), lambda a, b: (a - b) * (a - b))
+    return dq.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v) / 64, 9
+        ).alias("mse"),
+        F.col("n_sat").cast("int").alias("n_sat"),
+    )
