@@ -283,3 +283,86 @@ def w9_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") > 500000, F.col("rn"))).alias("cross_at"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "w10_longest_streak",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, {ts_us()} AS ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, event_id, ts,
+             CASE WHEN event_type = lag(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS brk
+      FROM ev
+    ),
+    grouped AS (
+      SELECT user_id, event_type, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ),
+    streaks AS (
+      SELECT user_id, event_type, grp,
+             count(*) AS streak_len,
+             min(event_id) AS first_event
+      FROM grouped
+      GROUP BY user_id, event_type, grp
+    ),
+    ranked AS (
+      SELECT user_id, event_type, streak_len, first_event,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, first_event ASC) AS rn
+      FROM streaks
+    )
+    SELECT user_id, event_type AS streak_type,
+           CAST(streak_len AS BIGINT) AS streak_len,
+           first_event
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("W2", "W3", "A1"),
+)
+def w10_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive
+    same-type events (lag-break → cumsum group id → per-island count →
+    arg-max with first-event tie-break). The canonical sessionless
+    streak analytic; the same island construction underlies t3's
+    sessionization.
+
+    Scale shape: one shuffle on user_id for the windows, then an
+    equi-keyed island aggregation — identical cost profile to any
+    per-key window op.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "brk",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 0
+        ).otherwise(1),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    streaks = grouped.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("streak_len"), F.min("event_id").alias("first_event")
+    )
+    ranked = streaks.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("streak_len").desc(), F.col("first_event").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("streak_type"),
+        "streak_len",
+        "first_event",
+    )
