@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
-from nipd_spark.oracle import dround
+from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 
 # SPRT parameters (Lo 2010 shape): H0 p=0.35 vs H1 p=0.5 over the
@@ -539,4 +539,60 @@ def c9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
         ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "c10_retention_cohorts",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, CAST({ts_us()} AS DATE) AS d FROM events
+    ),
+    firsts AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, e.d) AS day_offset
+      FROM ev e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("A1", "F2", "J1", "W2"),
+)
+def c10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted active at each day offset (0-7) — the standard product-
+    analytics composite (first-touch attribution + day-offset join +
+    distinct-user counts).
+
+    Scale shape: the cohort table is user-cardinality (small side of the
+    join — broadcastable at any event volume); activity dedup and the
+    triangle agg are equi-keyed on (user, day) / (cohort, offset).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+        )
     )
