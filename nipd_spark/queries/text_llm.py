@@ -588,46 +588,45 @@ def l23_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     These are the standard repetitious-text gates run before LLM
     training (boilerplate, keyword-stuffed, and template pages).
 
-    Scale shape: MAP-ONLY. Both metrics are functions of one doc's own
-    gram array, so they are computed in-row with higher-order array
-    functions (array_distinct → per-distinct-gram occurrence counts) —
-    no explode, no (doc_id, gram) shuffle, no join. Per-row cost is
-    O(distinct_grams · grams) ≈ 10⁴ comparisons for a 100-gram doc,
-    JVM-side; the operator is embarrassingly parallel at any corpus
-    size. flagged emitted as INT for a representation-stable
-    cross-engine hash.
+    Scale shape: two explode → (doc_id, gram) equi-keyed aggs — the
+    shuffle key is doc_id, so this partitions cleanly at any corpus
+    size; no cross-doc state. An in-row higher-order-function variant
+    was tried and REVERTED: interpreted per-element lambdas cost
+    ~10 ms/doc (60 s at sf0.1) vs ~0.5 µs/gram for the codegen'd
+    explode+hash-agg path (~2 s) — whole-stage codegen beats avoiding
+    the shuffle by two orders of magnitude here. flagged emitted as INT
+    for a representation-stable cross-engine hash.
     """
     docs = load(spark, sf_dir, "documents")
 
-    def gram_counts(g):
-        """Occurrence count of each distinct gram within the doc."""
-        return F.transform(
-            F.array_distinct(g),
-            lambda x: F.size(F.filter(g, lambda y: y == x)),
+    def gram_metric(n, agg):
+        grams = docs.select(
+            "doc_id", F.explode(text.shingles(F.col("text"), n)).alias("g")
         )
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(agg)
 
-    g2 = text.shingles(F.col("text"), 2)
-    g5 = text.shingles(F.col("text"), 5)
-    c5 = gram_counts(g5)
-    top2 = F.round(
-        F.array_max(gram_counts(g2)).cast("double") / F.size(g2).cast("double"), 6
+    m2 = gram_metric(
+        2,
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_bigram_frac"),
     )
-    dup5 = F.round(
-        F.aggregate(
-            F.filter(c5, lambda c: c > 1), F.lit(0), lambda acc, c: acc + c
-        ).cast("double")
-        / F.size(g5).cast("double"),
-        6,
+    m5 = gram_metric(
+        5,
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_5gram_frac"),
     )
-    return docs.select(
+    return m2.join(m5, "doc_id").select(
         "doc_id",
-        top2.alias("top_bigram_frac"),
-        dup5.alias("dup_5gram_frac"),
-    ).withColumn(
-        "flagged",
-        ((F.col("top_bigram_frac") > 0.2) | (F.col("dup_5gram_frac") > 0.3)).cast(
-            "int"
-        ),
+        "top_bigram_frac",
+        "dup_5gram_frac",
+        ((F.col("top_bigram_frac") > 0.2) | (F.col("dup_5gram_frac") > 0.3))
+        .cast("int")
+        .alias("flagged"),
     )
 
 

@@ -223,15 +223,17 @@ def test_pii_redact_is_map_only(spark, sf_dir):
     assert "codegen id" in plan
 
 
-def test_repetition_filter_is_map_only(spark, sf_dir):
-    """l23 computes both repetition metrics in-row with higher-order
-    array functions: no shuffle, no join, no Python stage — the plan
-    must be a single projection over the scan."""
+def test_repetition_filter_stays_jvm_and_keyed(spark, sf_dir):
+    """l23's gram aggregations are equi-keyed on doc_id inside
+    whole-stage codegen — no cartesian/NLJ, no Python stage. (An in-row
+    HOF 'map-only' variant was reverted: interpreted lambdas were ~30×
+    slower than this codegen'd explode+agg path.)"""
     plan = _plan(spark, sf_dir, "l23_repetition_filter")
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
 
 
 def test_pack_sequences_window_is_partitioned(spark, sf_dir):
