@@ -1,0 +1,113 @@
+"""Data-quality expectation suites (SURVEY.md §2.9 guardrails; the
+Deequ/Great-Expectations role every production pipeline runs before a
+table is published or a training corpus is frozen).
+
+Each suite is a set of declarative rules (range, positivity, null,
+uniqueness, referential integrity) evaluated in as few table scans as
+possible and summarized as one row per rule: rows checked, violations,
+pass/fail. The result is tiny regardless of input size, so the whole
+suite is a map-side conditional aggregation — the 100 TB cost is one
+pass over each fact table plus one equi-keyed anti-join for the FK rule.
+
+Scale notes: all single-table rules for a given table are fused into ONE
+conditional aggregate (one scan, partial aggregation, 1-row result); the
+uniqueness rule rides the same pass via count - countDistinct; only the
+orphan rule needs a shuffle (left-anti on the join key). Never one job
+per rule — at 1000 executors that multiplies scan cost by the rule count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.registry import query
+
+
+@query(
+    "dq1_expectations",
+    sql="""
+    WITH li AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS v_disc,
+             count(*) FILTER (WHERE l_quantity <= 0) AS v_qty,
+             count(*) FILTER (WHERE l_shipdate IS NULL) AS v_ship
+      FROM lineitem
+    ),
+    o AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE o_totalprice <= 0) AS v_price,
+             count(*) - count(DISTINCT o_orderkey) AS v_dup
+      FROM orders
+    ),
+    orph AS (
+      SELECT count(*) AS v
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT * FROM (
+      SELECT 'lineitem.l_discount_in_0_1' AS rule, li.n AS n_checked,
+             li.v_disc AS violations, li.v_disc = 0 AS pass FROM li
+      UNION ALL
+      SELECT 'lineitem.l_quantity_positive', li.n, li.v_qty, li.v_qty = 0 FROM li
+      UNION ALL
+      SELECT 'lineitem.l_shipdate_not_null', li.n, li.v_ship, li.v_ship = 0 FROM li
+      UNION ALL
+      SELECT 'lineitem.l_orderkey_fk_orders', li.n, orph.v, orph.v = 0
+      FROM li, orph
+      UNION ALL
+      SELECT 'orders.o_totalprice_positive', o.n, o.v_price, o.v_price = 0 FROM o
+      UNION ALL
+      SELECT 'orders.o_orderkey_unique', o.n, o.v_dup, o.v_dup = 0 FROM o
+    )
+    """,
+    tags=("A12", "A2", "J5", "P5"),
+)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite: 6 rules over lineitem/orders
+    evaluated in two fused scans + one anti-join, emitted as a
+    rule/violations scoreboard.
+
+    The fixture corpus is clean by construction (FIXTURES.md integrity
+    properties), so every rule passes — the point is the evaluation
+    shape: conditional counts fused per table, never a job per rule.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    li_agg = li.agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("v_disc"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("v_qty"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("v_ship"),
+    )
+    o_agg = o.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_dup"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+
+    def row(src: DataFrame, rule: str, n: str, v) -> DataFrame:
+        vcol = F.col(v) if isinstance(v, str) else v
+        return src.select(
+            F.lit(rule).alias("rule"),
+            F.col(n).alias("n_checked"),
+            vcol.alias("violations"),
+            (vcol == 0).alias("pass"),
+        )
+
+    li_orph = li_agg.crossJoin(orphans)  # two 1-row aggregates
+    return (
+        row(li_agg, "lineitem.l_discount_in_0_1", "n", "v_disc")
+        .unionAll(row(li_agg, "lineitem.l_quantity_positive", "n", "v_qty"))
+        .unionAll(row(li_agg, "lineitem.l_shipdate_not_null", "n", "v_ship"))
+        .unionAll(row(li_orph, "lineitem.l_orderkey_fk_orders", "n", "v"))
+        .unionAll(row(o_agg, "orders.o_totalprice_positive", "n", "v_price"))
+        .unionAll(row(o_agg, "orders.o_orderkey_unique", "n", "v_dup"))
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "composites",
     "multimodal",
     "cbo",
+    "quality",
 )
 
 # Verification rotation (round 3): the driver hash-checks the FIRST 50
