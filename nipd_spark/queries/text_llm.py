@@ -817,3 +817,70 @@ def l27_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_share"
         ),
     )
+
+
+@query(
+    "l29_domain_rebalance",
+    sql="""
+    WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT ceil(0.5 * sum(n_docs) / count(*)) AS budget FROM cnt),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(floor(10000 * least(1.0, budget / n_docs)) AS BIGINT) AS rate_bp
+      FROM cnt, tot
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE (d.doc_id * 1103) % 10000 < r.rate_bp
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.rate_bp, coalesce(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+    tags=("L9", "A1", "J6", "P2"),
+)
+def l29_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain rebalancing: flatten the source mix to a uniform
+    per-source budget (half the corpus split evenly over sources), with
+    membership decided by the same deterministic multiplicative hash as
+    l17 — the reproducible "re-weight the domain mixture" step that
+    precedes every LLM training run.
+
+    Keep-rates are computed in basis points from integer counts through
+    a single correctly-rounded double division, so floor() agrees
+    bit-for-bit with the oracle.
+
+    Scale shape: per-source counts are one map-side-combined aggregation
+    whose result is O(sources) — tiny — so the rate table broadcasts
+    back onto the corpus (no shuffle of the fact side); the kept-count
+    re-aggregation is equi-keyed on source. Membership is a pure hash of
+    the key: stable under repartitioning and incremental loads.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = cnt.agg(
+        F.ceil(0.5 * F.sum("n_docs") / F.count("*")).cast("double").alias("budget")
+    )
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            10000 * F.least(F.lit(1.0), F.col("budget") / F.col("n_docs"))
+        ).alias("rate_bp"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.pmod(F.col("doc_id") * 1103, F.lit(10000)) < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_bp",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
