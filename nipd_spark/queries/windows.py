@@ -366,3 +366,70 @@ def w10_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streak_len",
         "first_event",
     )
+
+
+@query(
+    "w11_gap_fill",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', {ts_us()}) AS h, value FROM events
+    ),
+    hourly AS (
+      SELECT user_id, h, {dround('sum(value)')} AS v
+      FROM ev GROUP BY user_id, h
+    ),
+    bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.h, hv.v
+      FROM grid g LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+    )
+    SELECT user_id, h,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           v IS NOT NULL AS observed
+    FROM j
+    """,
+    tags=("W4", "W6", "F2", "J2"),
+)
+def w11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: densify each user's hourly
+    grid between their first and last event hour, then carry the last
+    observed hourly total across gaps (``last(..., ignorenulls)``) —
+    the standard sensor/metric gap-fill before any rolling statistic.
+
+    Scale shape: the grid is generated per key with ``sequence`` (no
+    driver loop, no cross join against a calendar table); grid size is
+    O(keys × hours), independent of event count. One equi-join puts
+    observations on the grid and one per-key window streams the fill —
+    the same cost profile as any per-key window op. Hourly sums are
+    rounded (order-dependent aggregate policy, nipd_spark/oracle.py).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("user_id", "h").agg(F.round(F.sum("value"), 4).alias("v"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "h",
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNotNull().alias("observed"),
+    )
