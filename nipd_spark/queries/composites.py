@@ -602,3 +602,96 @@ def c10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+@query(
+    "c11_scd2_merge",
+    sql=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '2000-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, true AS is_current
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment,
+             {dround('c_acctbal * 1.1', 2)} AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    chg AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal
+      FROM upd u JOIN dim d ON u.c_custkey = d.c_custkey
+      WHERE u.c_acctbal <> d.c_acctbal
+    )
+    SELECT d.* FROM dim d
+    WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+           DATE '2024-01-15', false
+    FROM dim d JOIN chg c ON d.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, DATE '2024-01-15',
+           CAST(NULL AS DATE), true
+    FROM chg
+    """,
+    tags=("J2", "J5", "U1", "F4"),
+)
+def c11_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (the warehouse MERGE INTO
+    pattern, expressed as pure DataFrame algebra): an update batch lands
+    on a versioned dimension — unchanged rows pass through, genuinely
+    changed rows are closed (valid_to set) and re-inserted as the new
+    current version. Change detection compares attributes, not just key
+    presence, so no-op updates don't churn history.
+
+    Scale shape: the dimension and batch join equi-keyed on the surrogate
+    key (dim is the big side; the batch is typically broadcastable); the
+    three branches are one semi/anti split plus a union — no window, no
+    skew. This is exactly how Delta/Iceberg MERGE compiles when the
+    engine lacks a native row-level-update channel.
+    """
+    import datetime
+
+    cust = load(spark, sf_dir, "customer")
+    eff = F.lit(datetime.date(2024, 1, 15))
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(datetime.date(2000, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+    )
+    chg = (
+        upd.alias("u")
+        .join(dim.alias("d"), "c_custkey")
+        .filter(F.col("u.c_acctbal") != F.col("d.c_acctbal"))
+        .select("c_custkey", "u.c_mktsegment", "u.c_acctbal")
+    )
+    untouched = dim.join(chg, "c_custkey", "left_anti")
+    closed = (
+        dim.alias("d")
+        .join(chg.select("c_custkey"), "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            "valid_from",
+            eff.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    inserted = chg.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionAll(closed).unionAll(inserted)
