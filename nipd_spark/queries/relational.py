@@ -937,3 +937,47 @@ def j12_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "j13_salted_join",
+    sql=f"""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 3 AS tier FROM events
+    )
+    SELECT e.user_id, d.tier, count(*) AS n_events,
+           {dround('sum(e.value)')} AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.user_id, d.tier
+    """,
+    tags=("J1", "A1", "F5"),
+)
+def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted shuffle join, result-identical to the plain
+    equi-join the oracle runs. events.user_id has 15 keys (FIXTURES.md
+    skew fixture): a plain shuffle join hashes every fact row for a hot
+    key to ONE reducer. The fact side gets a deterministic salt in
+    0..15; the dim side is replicated across all 16 salts with
+    explode(sequence()); the join runs on (user_id, salt), spreading
+    each hot key over 16 reducers.
+
+    This is the manual form of what AQE skew-join does adaptively —
+    kept explicit because AQE only splits post-shuffle partitions for
+    sort-merge joins, while salting also fixes skewed hash joins and
+    skewed aggregations feeding them. The sum is reassociated by the
+    salt, so the oracle-facing total is rounded (float policy,
+    nipd_spark/oracle.py). Dim replication is 16× a tiny table — free.
+    """
+    ev = load(spark, sf_dir, "events")
+    n_salt = 16
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})")))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+    joined = fact.join(dim, ["user_id", "salt"])
+    return joined.groupBy("user_id", "tier").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

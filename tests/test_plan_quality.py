@@ -329,3 +329,12 @@ def test_binary_source_digest_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "s10_binary_source")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_carries_salt_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j13_salted_join")
+    # the equi-join must run on the widened (user_id, salt) key space,
+    # and nothing may degrade to a nested-loop/cartesian shape
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
