@@ -435,3 +435,55 @@ def l26_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@query(
+    "l30_fuzzy_blocked_match",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name, string_split(p_name, ' ')[2] AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("L3", "J11", "F1"),
+)
+def l30_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution: near-identical product names by
+    edit distance, candidate pairs generated ONLY within a blocking key
+    (the head-noun token) — the standard record-linkage shape (block →
+    compare → threshold), here with Levenshtein ≤ 3 over the distinct
+    name vocabulary.
+
+    Scale shape: the quadratic comparison is confined to each block via
+    an equi self-join on the blocking key; no name pair in different
+    blocks is ever materialized, so cost is Σ_b |b|² over blocks, not
+    N². Distinct-name collapse first removes the duplicate-entity
+    degeneracy (same trick as the MinHash tier, operators/minhash.py).
+    Levenshtein is JVM-side (no Python UDF).
+    """
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+    )
