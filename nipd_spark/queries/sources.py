@@ -468,3 +468,56 @@ def s10_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
+
+
+@query(
+    "s11_schema_evolution",
+    sql="""
+    WITH merged AS (
+      SELECT s_suppkey, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    SELECT s_nationkey, count(*) AS n_rows,
+           count(s_acctbal) AS n_with_balance,
+           CAST(round(CAST(CAST(sum(s_acctbal) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE)
+             AS total_balance
+    FROM merged
+    GROUP BY s_nationkey
+    """,
+    tags=("S6", "S1", "P5", "A12"),
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written at different
+    pipeline vintages (v1 lacks the s_acctbal column, v2 adds it) are
+    read back as ONE dataset with ``mergeSchema`` — Spark aligns
+    columns by name and NULL-fills the missing ones. The aggregation
+    then proves the evolved column behaves (count skips NULLs, sum
+    totals only v2 rows).
+
+    At 100 TB this is the append-only table whose producer gained a
+    column mid-history: schema-on-read merge beats rewriting petabytes
+    of old files. mergeSchema is a footer-only operation per file —
+    data pages are untouched; pin explicit schemas downstream once the
+    layout stabilizes, since footer merging at planning time costs a
+    listing pass over files (use a metastore table at real scale).
+    """
+    d = _stage(sf_dir, "supplier_evolved")
+    sup = load(spark, sf_dir, "supplier")
+    if not os.path.exists(d):
+        tmp = d + ".tmp"
+        sup.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey", "s_nationkey"
+        ).write.mode("overwrite").parquet(tmp + "/v1")
+        sup.filter(F.col("s_suppkey") % 2 == 1).select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        ).write.mode("overwrite").parquet(tmp + "/v2")
+        os.rename(tmp, d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d + "/v1", d + "/v2")
+    return merged.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.count("s_acctbal").alias("n_with_balance"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
+    )
