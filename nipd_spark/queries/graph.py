@@ -1,0 +1,128 @@
+"""Graph analytics on DataFrames (SURVEY.md §2.9 adjacents; connected
+components already live in operators/components.py — this module covers
+the join-algebra graph ops: edge projection and triangle counting).
+
+The graph is the part co-purchase graph: nodes are parts, an edge links
+two parts that appear in the same order. Basket sizes are small and
+roughly constant as the corpus grows, so edge count scales linearly
+with orders and average degree stays bounded — the realistic sparse
+shape (unlike the supplier co-part projection, which is complete at
+every SF).
+
+Scale notes (100 TB): triangle enumeration is the textbook case where
+join ORDER dwarfs join algorithm. Edges are oriented from the
+lower-(degree, id) endpoint to the higher one, which turns the triangle
+into exactly one wedge (a→b, b→c) plus one closure probe (a→c is an
+edge?) per triangle and bounds per-node out-degree by O(√m) [PK:
+Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the
+Last Reducer"] — the wedge join stops being quadratic in the hub
+degree, which is precisely the "last reducer" skew that kills the naive
+a<b<c formulation on power-law graphs. Everything is equi-joins on
+node ids: shuffle-partitionable, AQE-splittable, no cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nipd_spark.catalog import load
+from nipd_spark.registry import query
+
+
+@query(
+    "g1_triangle_count",
+    sql="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM o o1 JOIN o o2 ON o1.t = o2.s
+                JOIN o o3 ON o3.s = o1.s AND o3.t = o2.t
+    ),
+    stats AS (
+      SELECT count(*) AS n_nodes, sum(d * (d - 1) / 2) AS n_wedges FROM deg
+    ),
+    ecnt AS (SELECT count(*) AS n_edges FROM e)
+    SELECT stats.n_nodes, ecnt.n_edges, stats.n_wedges, tri.n_triangles
+    FROM stats, ecnt, tri
+    """,
+    tags=("J11", "J1", "A2", "P7"),
+)
+def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + wedge census of the part co-purchase graph via
+    degree-ordered wedge enumeration (see module docstring for the
+    orientation argument).
+
+    Output is one row: nodes, edges, open wedges (Σ C(deg,2)), and
+    closed triangles — the ingredients of the global clustering
+    coefficient 3·Δ/wedges.
+    """
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    first_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(first_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(first_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    o2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    o3 = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = (
+        o1.join(o2, "b")
+        .join(o3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(ecnt)  # three 1-row aggregates
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

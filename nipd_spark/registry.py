@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "multimodal",
     "cbo",
     "quality",
+    "graph",
 )
 
 # Verification rotation (round 3): the driver hash-checks the FIRST 50
