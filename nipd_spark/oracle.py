@@ -20,10 +20,25 @@ from __future__ import annotations
 
 
 def dround(expr: str, n: int = 4) -> str:
-    """DuckDB SQL equivalent of Spark's ``F.round(expr, n)`` on doubles."""
-    return (
-        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,15)), {n}) AS DOUBLE)"
-    )
+    """DuckDB SQL equivalent of Spark's ``F.round(expr, n)`` on doubles.
+
+    Java's BigDecimal.valueOf keeps the FULL scale of the shortest repr
+    before setScale — a fixed DECIMAL(38,15) silently rounds the 16th+
+    fractional digit first, which flips HALF_UP on boundary values like
+    6.9487499999999995 (observed in w12 at sf0.1). Shortest-repr doubles
+    carry ≤17 significant digits, so |x| ≥ 1 fits scale 18 exactly
+    (integer headroom 1e20) and |x| < 1 fits scale 37 (leading zeros
+    eat scale, integer part is 0).
+    """
+    v = f"({expr})"
+
+    def path(scale: int) -> str:
+        return (
+            f"CAST(round(CAST(CAST({v} AS VARCHAR) AS DECIMAL(38,{scale})), {n})"
+            " AS DOUBLE)"
+        )
+
+    return f"CASE WHEN abs({v}) < 1 THEN {path(37)} ELSE {path(18)} END"
 
 
 def ts_us(expr: str = "ts") -> str:

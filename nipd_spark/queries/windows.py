@@ -433,3 +433,65 @@ def w11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+# Trailing-EWMA weights α(1-α)^j, α=0.25, K=50: computed ONCE in Python
+# and embedded as literals in BOTH engines (the composites-LLR trick) so
+# neither side evaluates pow() — libm last-ulp differences would leak
+# into the fold otherwise. The j=49 tail weight is ~2e-8: the truncated
+# window is within float-display noise of the infinite EWMA.
+_EWMA_K = 50
+_EWMA_W = [round(0.25 * (0.75**j), 12) for j in range(_EWMA_K)]
+_EWMA_W_SPARK = "array(" + ", ".join(f"{w!r}D" for w in _EWMA_W) + ")"
+_EWMA_W_DUCK = "([" + ", ".join(repr(w) for w in _EWMA_W) + "]::DOUBLE[])"
+
+
+@query(
+    "w12_ewma",
+    sql=f"""
+    WITH arr AS (
+      SELECT user_id, event_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY {ts_us()}, event_id
+               ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW) AS vs
+      FROM events
+    )
+    SELECT user_id, event_id,
+           {dround(f'''list_reduce(
+             list_prepend(0.0, list_transform(
+               list_reverse(vs), (x, i) -> x * {_EWMA_W_DUCK}[i])),
+             (acc, x) -> acc + x)''')} AS ewma
+    FROM arr
+    """,
+    tags=("W4", "W5", "F5"),
+)
+def w12_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (trailing-K form):
+    ewma_n = Σ_{{j<K}} α(1-α)^j · value_{{n-j}} — the streaming-metrics
+    smoother that plain SQL windows can't express exactly (the infinite
+    recurrence needs state); the K-term truncation makes it a pure
+    sliding frame, exact to ~2e-8 here.
+
+    Scale shape: one shuffle + sort per key like any window; the frame
+    materializes at most K=50 doubles per row (bounded memory, no
+    whole-partition collect). The weighted fold runs JVM-side via
+    higher-order array functions — no Python UDF. Both engines fold
+    newest-first over identical weight literals, so the sum is
+    bit-deterministic before the policy rounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    arr = ev.select(
+        "user_id", "event_id", F.collect_list("value").over(w).alias("vs")
+    )
+    fold = F.expr(
+        f"""aggregate(
+              zip_with(reverse(vs), slice({_EWMA_W_SPARK}, 1, size(vs)),
+                       (x, w) -> x * w),
+              0.0D, (acc, x) -> acc + x)"""
+    )
+    return arr.select("user_id", "event_id", F.round(fold, 4).alias("ewma"))
