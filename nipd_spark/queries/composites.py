@@ -695,3 +695,93 @@ def c11_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return untouched.unionAll(closed).unionAll(inserted)
+
+
+@query(
+    "c12_touch_attribution",
+    sql=f"""
+    WITH s AS (
+      SELECT user_id, {ts_us()} AS ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               AS touch_type
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(touch_type IGNORE NULLS) OVER w AS t_type,
+             last_value(CASE WHEN touch_type IS NOT NULL THEN ts END
+                        IGNORE NULLS) OVER w AS t_ts
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT coalesce(CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type END,
+                    'direct') AS channel,
+           count(*) AS n_purchases,
+           {dround('sum(value)')} AS attributed_value
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("J9", "W6", "A12", "F2"),
+)
+def c12_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click/view within a 7-day lookback, else
+    'direct'. As-of-join semantics expressed as the union +
+    carry-forward window (tag both streams, one ordered pass per user,
+    last-non-null touch at each purchase) — the formulation that scales
+    better than a per-purchase range join when both streams share keys.
+
+    Scale shape: ONE shuffle on user_id covers the whole as-of; no
+    range-bucketed join, no per-row subquery. The two carried columns
+    read from the same last touch row, so type and timestamp stay
+    consistent.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = s.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last("touch_type", ignorenulls=True).over(w).alias("t_type"),
+        F.last(
+            F.when(F.col("touch_type").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("t_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("t_ts") >= F.col("ts") - F.expr("interval 7 days"),
+                    F.col("t_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )
