@@ -311,10 +311,10 @@ def a11_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregates (count-if-het / sum-if-ref analogue).
 
-    Scale note: events.user_id has 15 distinct keys (skew fixture) — the
-    partial agg collapses each partition to ≤15 rows before the shuffle,
-    so the skew never materializes; see composites for the salting
-    pattern when the per-key *state* is what's big.
+    Scale note: events.user_id is low-cardinality (15000·sf keys,
+    FIXTURES.md) — the partial agg collapses each partition to at most
+    that many rows before the shuffle, so hot keys never materialize;
+    see a1b for the salting pattern when the per-key *state* is big.
     """
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
@@ -431,9 +431,10 @@ def a1b_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage (salted) aggregation, result-identical to a
     plain GROUP BY (the oracle runs the plain form).
 
-    events has only 15 distinct user_id (FIXTURES.md) — a direct
-    groupBy caps reduce parallelism at 15 and a hot user melts one
-    task at 100 TB. Stage 1 groups by (user_id, salt16) spreading each
+    events.user_id is the low-cardinality key fixture (15 keys at
+    sf0.001, FIXTURES.md) — a direct groupBy on a handful of keys caps
+    reduce parallelism at the key count, and a hot key melts one task
+    at 100 TB. Stage 1 groups by (user_id, salt16) spreading each
     key over 16 reducers; stage 2 folds the 16 partials. Sums are
     reassociated, so the oracle-facing total is rounded per the float
     discipline (nipd_spark/oracle.py).

@@ -327,8 +327,8 @@ def c7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin of the T8 stateful tracker's state machine.
 
     Each stage anchors on the previous stage's first timestamp, so it
-    is three conditional min-aggregations chained by joins (15 users →
-    all three aggs are tiny; at scale each is one shuffle on user_id,
+    is three conditional min-aggregations chained by joins (15000·sf
+    users → all three aggs are tiny; at scale each is one shuffle on user_id,
     and AQE broadcasts the shrinking stage outputs).
     """
     ev = load(spark, sf_dir, "events")

@@ -954,9 +954,9 @@ def j12_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted shuffle join, result-identical to the plain
-    equi-join the oracle runs. events.user_id has 15 keys (FIXTURES.md
-    skew fixture): a plain shuffle join hashes every fact row for a hot
-    key to ONE reducer. The fact side gets a deterministic salt in
+    equi-join the oracle runs. events.user_id is low-cardinality (15
+    keys at sf0.001, FIXTURES.md): a plain shuffle join hashes every
+    fact row for a hot key to ONE reducer. The fact side gets a deterministic salt in
     0..15; the dim side is replicated across all 16 salts with
     explode(sequence()); the join runs on (user_id, salt), spreading
     each hot key over 16 reducers.
