@@ -521,3 +521,67 @@ def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s_acctbal").alias("n_with_balance"),
         F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
     )
+
+
+def _morton_expr(col_a: str, col_b: str, bits: int = 16) -> str:
+    """Spark SQL expression interleaving the low `bits` of two int
+    columns into a Z-order (Morton) key — pure bit arithmetic, stays in
+    whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft((shiftright({col_a}, {i}) & 1), {2 * i + 1})")
+        terms.append(f"shiftleft((shiftright({col_b}, {i}) & 1), {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "s12_zorder_skipping",
+    sql="""
+    SELECT count(*) AS n_rows,
+           CAST(round(CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS VARCHAR)
+                 AS DECIMAL(38,18)), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 20 AND 59 AND l_suppkey BETWEEN 2 AND 5
+    """,
+    tags=("S6", "S1", "P3", "F3"),
+)
+def s12_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + data skipping: lineitem is rewritten range-
+    partitioned and sorted by the Morton interleave of (l_partkey,
+    l_suppkey), then a 2-D box predicate reads the copy. Because the
+    Z-curve keeps both dimensions locally clustered, parquet row-group
+    min/max stats prune most groups for BOTH columns — the multi-
+    dimensional generalization of sort-by-one-key layout, and the same
+    mechanism behind Delta/Iceberg OPTIMIZE ZORDER.
+
+    At 100 TB the rewrite is the expensive, once-per-table step (one
+    range shuffle on the Z key); every selective 2-D probe after it
+    reads a few row groups instead of the full table. The probe plan
+    here pushes both BETWEENs to the scan (PushedFilters), and
+    tests/test_plan_quality.py asserts the physical skip: most staged
+    row groups fall entirely outside the box stats.
+    """
+    d = _stage(sf_dir, "lineitem_zorder")
+    li = load(spark, sf_dir, "lineitem")
+    if not os.path.exists(d):
+        z = li.withColumn(
+            "z", F.expr(_morton_expr("l_partkey", "l_suppkey"))
+        )
+        (
+            z.repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 256 * 1024)
+            .parquet(d + ".tmp")
+        )
+        os.rename(d + ".tmp", d)
+    probe = spark.read.parquet(d).filter(
+        F.col("l_partkey").between(20, 59) & F.col("l_suppkey").between(2, 5)
+    )
+    return probe.agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

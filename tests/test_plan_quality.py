@@ -338,3 +338,32 @@ def test_salted_join_carries_salt_key(spark, sf_dir):
     assert "salt" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_skips_row_groups(spark, sf_dir):
+    """The Z-ordered lineitem copy must let parquet min/max stats prune
+    a majority of row groups for the 2-D box probe (the point of s12)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nipd_spark.queries.sources import _stage
+
+    registry.all_specs()["s12_zorder_skipping"].fn(spark, sf_dir).collect()
+    d = _stage(sf_dir, "lineitem_zorder")
+    total = hit = 0
+    for f in glob.glob(d + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ip, isup = names.index("l_partkey"), names.index("l_suppkey")
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sp, ss = g.column(ip).statistics, g.column(isup).statistics
+            total += 1
+            if sp.min <= 59 and sp.max >= 20 and ss.min <= 5 and ss.max >= 2:
+                hit += 1
+    assert total >= 4  # layout actually produced multiple row groups
+    assert hit / total <= 0.5  # stats prune at least half for the box
+
+    plan = _plan(spark, sf_dir, "s12_zorder_skipping")
+    assert "PushedFilters" in plan and "l_partkey" in plan
