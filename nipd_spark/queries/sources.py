@@ -585,3 +585,121 @@ def s12_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@query(
+    "s13_compaction",
+    sql="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(CAST(CAST(sum(o_totalprice) AS VARCHAR)
+                 AS DECIMAL(38,18)), 4) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("S6", "S1", "A1"),
+)
+def s13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table copy (64 shards from an
+    over-parallel writer — the classic streaming-sink pathology) is
+    compacted with coalesce() into a handful of right-sized files, then
+    aggregated. coalesce is the correct primitive here: it merges
+    partitions WITHOUT a shuffle (narrow dependency), so compaction
+    cost is one read+write pass.
+
+    At 100 TB file-count hygiene is survival: a million 1 MB files
+    turn planning/listing into the bottleneck and kill scan throughput
+    (per-file open cost, no sequential reads). The pipeline-side fix is
+    maxRecordsPerFile/AQE coalescing at write time; this op is the
+    repair path for tables that already fragmented.
+    tests/test_plan_quality.py pins shard counts and row preservation.
+    """
+    frag = _stage(sf_dir, "orders_fragmented")
+    compact = _stage(sf_dir, "orders_compacted")
+    o = load(spark, sf_dir, "orders")
+    if not os.path.exists(frag):
+        o.repartition(64).write.mode("overwrite").parquet(frag + ".tmp")
+        os.rename(frag + ".tmp", frag)
+    if not os.path.exists(compact):
+        (
+            spark.read.parquet(frag)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(compact + ".tmp")
+        )
+        os.rename(compact + ".tmp", compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "s14_corrupt_records",
+    sql="""
+    SELECT count(*) AS n_lines,
+           count(*) FILTER (WHERE s_suppkey % 7 <> 0) AS n_good,
+           count(*) FILTER (WHERE s_suppkey % 7 = 0) AS n_corrupt,
+           CAST(round(CAST(CAST(
+             sum(CASE WHEN s_suppkey % 7 <> 0 THEN s_acctbal END) AS VARCHAR)
+             AS DECIMAL(38,18)), 4) AS DOUBLE) AS good_balance
+    FROM supplier
+    """,
+    tags=("S3", "P5", "A12"),
+)
+def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingestion: a JSONL batch where every 7th record
+    is truncated mid-object is read in PERMISSIVE mode with an explicit
+    schema + ``_corrupt_record`` column — bad lines surface as NULL
+    fields with the raw text preserved for quarantine instead of
+    failing the job (ingest-the-internet reality for a training-data
+    pipeline).
+
+    The corrupted copy is produced distributedly (to_json → conditional
+    truncation → text sink); no driver-side row loop. Spark forbids
+    filtering on the corrupt column straight off the scan (it is filled
+    lazily), so the result caches the parsed batch first — documented
+    requirement, not a workaround.
+    """
+    d = _stage(sf_dir, "supplier_corrupt_jsonl")
+    sup = load(spark, sf_dir, "supplier")
+    if not os.path.exists(d):
+        js = sup.select(
+            F.to_json(F.struct("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+            .alias("value"),
+            "s_suppkey",
+        )
+        lines = js.select(
+            F.when(
+                F.col("s_suppkey") % 7 == 0,
+                F.expr("substring(value, 1, length(value) - 5)"),
+            )
+            .otherwise(F.col("value"))
+            .alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+        .cache()
+    )
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.count("s_suppkey").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.round(F.sum("s_acctbal"), 4).alias("good_balance"),
+    )

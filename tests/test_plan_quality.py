@@ -367,3 +367,18 @@ def test_zorder_layout_skips_row_groups(spark, sf_dir):
 
     plan = _plan(spark, sf_dir, "s12_zorder_skipping")
     assert "PushedFilters" in plan and "l_partkey" in plan
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+
+    from nipd_spark.queries.sources import _stage
+
+    registry.all_specs()["s13_compaction"].fn(spark, sf_dir).collect()
+    frag = glob.glob(_stage(sf_dir, "orders_fragmented") + "/*.parquet")
+    compact = glob.glob(_stage(sf_dir, "orders_compacted") + "/*.parquet")
+    assert len(frag) >= 32
+    assert len(compact) <= 2
+    n_frag = spark.read.parquet(_stage(sf_dir, "orders_fragmented")).count()
+    n_comp = spark.read.parquet(_stage(sf_dir, "orders_compacted")).count()
+    assert n_frag == n_comp
