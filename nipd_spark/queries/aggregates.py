@@ -448,3 +448,24 @@ def a1b_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pv"), 4).alias("total_value"),
     )
+
+
+@query("a15_approx_percentile", sql=None, tags=("A9", "A4"))
+def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL/GK-style sketch behind
+    ``approx_percentile`` (rows-only: sketch outputs aren't cross-engine
+    hashable, same status as the HLL tier a4). accuracy=10000 bounds
+    rank error at n/10000 — tests/test_operators_properties.py asserts
+    the empirical CDF at each estimate stays within that band of the
+    target quantile.
+
+    Scale note: this is the 100 TB replacement for a9's exact
+    percentiles — the sketch is a bounded-size mergeable partial
+    aggregate (no sort, no whole-column shuffle), so cost is one scan
+    plus an O(sketch) merge tree, while exact percentile_cont needs a
+    per-group sort of everything.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p_est")
+    )

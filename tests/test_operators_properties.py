@@ -444,3 +444,27 @@ def test_corpus_card_shares_sum_to_one(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n_unique = docs.select("text").distinct().count()
     assert int(pdf.n_docs.sum()) == n_unique
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must land within the sketch's
+    rank-error band: the empirical CDF at each estimate is within
+    1/10000 + slack of the target quantile."""
+    from nipd_spark.queries.aggregates import a15_approx_percentile
+    from nipd_spark.catalog import load
+    import pyspark.sql.functions as F
+
+    est = {
+        r.event_type: r.p_est
+        for r in a15_approx_percentile(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    for etype, (p50, p90, p99) in est.items():
+        vals = ev[ev.event_type == etype].value
+        n = len(vals)
+        for target, v in [(0.5, p50), (0.9, p90), (0.99, p99)]:
+            cdf_below = (vals < v).mean()   # strictly-below rank
+            cdf_at = (vals <= v).mean()     # rank including ties
+            tol = 1.0 / 10000 + 1.0 / n + 1e-9
+            assert cdf_below - tol <= target <= cdf_at + tol, (
+                etype, target, v, cdf_below, cdf_at)
