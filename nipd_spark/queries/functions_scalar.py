@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
 
@@ -192,4 +193,75 @@ def f8_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_linenumber").cast("double").alias("ln_dbl"),
         F.try_to_number(F.lit("not a number"), F.lit("999")).cast("bigint").alias("bad_cast"),
+    )
+
+
+@query(
+    "f9_calendar_funcs",
+    sql="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+           weekofyear(CAST(o_orderdate AS DATE)) AS iso_week,
+           dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+           CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS minus90d
+    FROM orders
+    """,
+    tags=("F2", "F8"),
+)
+def f9_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family beyond f2: month-relative shifts
+    (add_months handles end-of-month clamping), last_day, day-of-week
+    (Spark is 1=Sunday; the oracle's 0=Sunday is shifted to match),
+    ISO week number, day-of-year, and day arithmetic.
+
+    All JVM-side date expressions inside codegen — the pattern for
+    retention cohorts, fiscal bucketing, and SLA windows.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus3mo"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.date_sub(d, 90).cast("timestamp").alias("minus90d"),
+    )
+
+
+@query(
+    "f12_regression_funcs",
+    sql=f"""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           {dround('regr_slope(l_extendedprice, l_quantity)', 6)} AS slope,
+           {dround('regr_intercept(l_extendedprice, l_quantity)', 6)} AS intercept,
+           {dround('regr_r2(l_extendedprice, l_quantity)', 6)} AS r2,
+           {dround('regr_avgx(l_extendedprice, l_quantity)', 6)} AS avg_x,
+           {dround('regr_avgy(l_extendedprice, l_quantity)', 6)} AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A10", "F3"),
+)
+def f12_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares via the SQL regr_* aggregate
+    family: slope/intercept/R² of price-on-quantity per return flag —
+    the one-pass distributed regression (sufficient statistics are
+    mergeable partials; no iterative solver for the univariate case).
+
+    Order-dependent float aggregates → rounded per the float policy.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
