@@ -469,3 +469,50 @@ def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p_est")
     )
+
+
+@query(
+    "a16_unpivot",
+    sql=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {dround("sum(l_quantity) FILTER (l_linestatus = 'O')")} AS qty_O,
+             {dround("sum(l_quantity) FILTER (l_linestatus = 'F')")} AS qty_F
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'O' AS linestatus, qty_O AS qty FROM wide
+      WHERE qty_O IS NOT NULL
+    UNION ALL
+    SELECT l_returnflag, 'F' AS linestatus, qty_F AS qty FROM wide
+      WHERE qty_F IS NOT NULL
+    """,
+    tags=("A7", "U1"),
+)
+def a16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide samples×metric matrix back to long form
+    via DataFrame.unpivot — the inverse of a7's pivot and the portable
+    UNION-ALL spelling in the oracle. NULL cells are dropped (Spark's
+    unpivot keeps them; the explicit filter makes both engines agree).
+
+    Scale shape: unpivot is a map-only row expansion (no shuffle); the
+    wide input here is already a tiny aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+    long = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_O", "qty_F"],
+        variableColumnName="linestatus",
+        valueColumnName="qty",
+    )
+    return long.filter(F.col("qty").isNotNull()).select(
+        "l_returnflag",
+        F.substring("linestatus", 5, 1).alias("linestatus"),
+        "qty",
+    )

@@ -981,3 +981,48 @@ def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "j14_nullsafe_join",
+    sql=f"""
+    WITH f AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS pri, o_totalprice
+      FROM orders
+    ),
+    dim AS (SELECT DISTINCT pri FROM f)
+    SELECT dim.pri, count(*) AS n_orders,
+           {dround('sum(f.o_totalprice)')} AS total_price
+    FROM f JOIN dim ON f.pri IS NOT DISTINCT FROM dim.pri
+    GROUP BY dim.pri
+    """,
+    tags=("J1", "P5", "F4"),
+)
+def j14_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the fact
+    key is NULLed for one priority class, and the join still matches
+    those rows to the dimension's NULL entry — standard-join semantics
+    would silently drop them (NULL = NULL is not true). The unknown-
+    bucket dimension row is how warehouses keep unattributable facts
+    countable.
+
+    Scale shape: Spark plans <=> as a hash join on the null-safe key
+    (NULL hashes like a value), so cost is identical to a plain
+    equi-join — but note every NULL fact row lands in ONE reducer's
+    bucket; a fat unknown bucket is a salting candidate (j13).
+    """
+    o = load(spark, sf_dir, "orders")
+    f = o.select(
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("pri"),
+        "o_totalprice",
+    )
+    dim = f.select("pri").distinct().withColumnRenamed("pri", "dim_pri")
+    return (
+        f.join(dim, F.col("pri").eqNullSafe(F.col("dim_pri")))
+        .groupBy("dim_pri")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .withColumnRenamed("dim_pri", "pri")
+    )

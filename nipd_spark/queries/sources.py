@@ -703,3 +703,37 @@ def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt_record").alias("n_corrupt"),
         F.round(F.sum("s_acctbal"), 4).alias("good_balance"),
     )
+
+
+@query(
+    "sql2_correlated_subquery",
+    sql=f"""
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("S5", "J4", "A2", "P2"),
+)
+def sql2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS through the SQL
+    surface: customers 1.5× above their nation's average balance who
+    have at least one order. Catalyst de-correlates both — the scalar
+    subquery becomes an aggregate joined back on the correlation key,
+    EXISTS becomes a left-semi join — so the executed plan is pure
+    hash-join algebra, never a per-row re-execution (the O(n²) trap a
+    naive subquery evaluator falls into at scale).
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
