@@ -360,3 +360,78 @@ def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("user_id").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
+
+
+@query(
+    "t10_stream_foreachbatch_upsert",
+    sql="""
+    SELECT user_id, event_type, min(event_id) AS first_event,
+           count(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("T5", "S8", "A11"),
+)
+def t10_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert: each micro-batch merges its per-key partial
+    (min event_id, count) into a persistent keyed store by
+    read-union-aggregate-swap — the pattern for maintaining a serving
+    table from a stream when the sink has no native row-level merge.
+    The merge function is commutative/associative over batches, so the
+    final store equals the batch aggregation no matter how the replay
+    chops micro-batches (that's the invariant the oracle checks).
+
+    Scale notes: read-modify-overwrite is correct while the keyed state
+    is dimension-sized; at fact-sized state switch to partition-
+    targeted overwrite (s6e) keyed by hash bucket, or a table format
+    with MERGE. foreachBatch gives exactly-once via the checkpoint's
+    batch-id dedup as long as the swap is idempotent per batch id —
+    here the replay is synchronous and single-writer.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.sha1(f"{sf_dir}|t10".encode()).hexdigest()[:10]
+    store = f"/tmp/nipd_upsert_{tag}"
+    chk = store + "_chk"
+    done = store + "/.done"
+    if not os.path.exists(done):
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+        os.makedirs(store, exist_ok=True)
+
+        def merge_batch(batch: DataFrame, batch_id: int) -> None:
+            part = batch.groupBy("user_id", "event_type").agg(
+                F.min("event_id").alias("first_event"),
+                F.count("*").alias("n_events"),
+            )
+            cur = store + "/current"
+            if os.path.exists(cur):
+                prev = batch.sparkSession.read.parquet(cur)
+                part = (
+                    prev.unionAll(part)
+                    .groupBy("user_id", "event_type")
+                    .agg(
+                        F.min("first_event").alias("first_event"),
+                        F.sum("n_events").alias("n_events"),
+                    )
+                )
+            nxt = store + f"/next_{batch_id}"
+            part.write.mode("overwrite").parquet(nxt)
+            shutil.rmtree(cur, ignore_errors=True)
+            os.rename(nxt, cur)
+
+        q = (
+            events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(done, "w").close()
+    return spark.read.parquet(store + "/current").select(
+        "user_id", "event_type", "first_event", "n_events"
+    )
