@@ -1026,3 +1026,66 @@ def j14_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("dim_pri", "pri")
     )
+
+
+@query(
+    "j15_bloom_filter_join",
+    sql=f"""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           {dround("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_orderpriority
+    """,
+    tags=("J1", "J6", "A1"),
+)
+def j15_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    the selective ``o_orderstatus = 'P'`` build side (~2% of orders)
+    emits a bloom filter that is pushed into the lineitem probe scan, so
+    ~98% of fact rows are dropped BEFORE the join shuffle instead of
+    after it — at 100 TB that is the difference between shuffling the
+    whole fact table and shuffling a fiftieth of it.
+
+    Catalyst only injects the filter when the join would genuinely
+    shuffle (it skips builds that can broadcast by size — at real scale
+    orders is fact-sized and the rule fires on its own). To reproduce
+    that decision on the local fixtures we pin the shuffle shape while
+    materializing the optimized plan (QueryExecution caches it), then
+    restore the session confs so every other query keeps its broadcast
+    plans. Semantics are untouched either way — the bloom filter is a
+    pure may-contain pre-filter; the join still verifies equality —
+    which is why the oracle twin is the plain SQL join.
+    tests/test_plan_quality.py asserts the BloomFilterMightContain is
+    actually in this plan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    df = (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+    overrides = {
+        # force the scale-realistic shuffle decision at toy SF
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # app-side scan floor (10 GB default) — moot at 100 TB
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # lock the bloom-injected logical plan into this DataFrame's
+        # QueryExecution (lazy val — computed once, under our confs)
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df

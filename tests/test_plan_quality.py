@@ -382,3 +382,15 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_frag = spark.read.parquet(_stage(sf_dir, "orders_fragmented")).count()
     n_comp = spark.read.parquet(_stage(sf_dir, "orders_compacted")).count()
     assert n_frag == n_comp
+
+
+def test_j15_bloom_filter_injected(spark, sf_dir):
+    """InjectRuntimeFilter fired: the selective orders build side pushes
+    a bloom might-contain onto the lineitem probe BEFORE the join, and
+    the join itself is the pinned shuffle (sort-merge) shape — the
+    100 TB posture where neither side broadcasts."""
+    df = registry.all_specs()["j15_bloom_filter_join"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "bloom" in optimized.lower()
+    # conf overrides used to pin the shape must NOT leak into the session
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
