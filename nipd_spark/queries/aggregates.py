@@ -516,3 +516,102 @@ def a16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("linestatus", 5, 1).alias("linestatus"),
         "qty",
     )
+
+
+@query(
+    "a17_heavy_hitters",
+    sql="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bi
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 25
+    """,
+    tags=("A1", "L8", "O3", "D6"),
+)
+def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters (Misra-Gries / SpaceSaving shape): find
+    the top-25 bigrams WITHOUT shuffling the full (key, count) domain.
+
+    Phase 1 generates candidates per partition — an Arrow-batched
+    mapInPandas keeps a bounded counter table (m=256 survivors) per
+    partition and emits only those, so nothing resembling the full key
+    domain ever crosses the network. Phase 2 broadcast-semi-joins the
+    tiny candidate union back onto the data and recounts EXACTLY, so
+    the final counts carry no sketch error — which is what lets the
+    plain GROUP BY oracle hash-match. Per-partition Misra-Gries with m
+    counters over n rows guarantees every key with freq > n/m survives
+    locally, and a global top-k key is above that bar in at least one
+    partition, so the candidate union covers the true top-k whenever
+    k ≪ m (here 25 ≪ 256 against a ~1.6k-bigram domain).
+
+    Scale: phase-1 output is ≤ m rows/partition regardless of data
+    volume (vs. the full-domain shuffle of a plain groupBy — at 100 TB
+    the token domain is billions of keys); phase 2's semi-join probe
+    side is a broadcast of ≤ m·partitions candidates.
+    """
+    from nipd_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(text.shingles(F.col("text"), 2)).alias("bigram")
+    )
+
+    def local_candidates(batches):
+        # Misra-Gries per partition: bounded counter table, m survivors.
+        m = 256
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for key, c in pdf["bigram"].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > 4 * m:
+                keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: 2 * m]
+                counts = dict(keep)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        yield pd.DataFrame({"bigram": [k for k, _ in top]})
+
+    cands = bigrams.mapInPandas(local_candidates, "bigram string").distinct()
+    return (
+        bigrams.join(F.broadcast(cands), "bigram", "left_semi")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
+
+
+@query("a18_hll_rollup", sql=None, tags=("A4", "A6", "T1"))
+def a18_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL sketches of distinct users per
+    event_type, unioned upward into per-type totals WITHOUT rescanning
+    the raw events (rows-only: DataSketches HLL binaries/estimates
+    aren't cross-engine; tests/test_operators_properties.py bounds the
+    estimates against exact distinct counts).
+
+    This is the 100 TB warehouse pattern a3's exact countDistinct can't
+    follow: materialize a tiny (day, type, sketch) table once per day,
+    then answer any-date-range distinct-user questions by hll_union_agg
+    over the relevant sketch rows — seconds over KBs instead of a
+    re-shuffle of TBs of raw user_ids. The sketches are commutative
+    partial aggregates, so the daily build is map-side combinable too.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias(
+                "est_distinct_users"
+            ),
+            F.count("*").alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )

@@ -468,3 +468,55 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
             tol = 1.0 / 10000 + 1.0 / n + 1e-9
             assert cdf_below - tol <= target <= cdf_at + tol, (
                 etype, target, v, cdf_below, cdf_at)
+
+
+def test_hll_rollup_estimate_error_bound(spark, sf_dir):
+    """a18's unioned HLL estimates stay within the lgK=14 relative-error
+    envelope (~3σ·1.04/√2^14 ≈ 2.5%) of the exact per-type distinct
+    user counts, and the daily-sketch counts match the exact day×type
+    group count."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.aggregates import a18_hll_rollup
+    import pyspark.sql.functions as F
+
+    est = {
+        r.event_type: (r.est_distinct_users, r.n_daily_sketches)
+        for r in a18_hll_rollup(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.nd, r.ndays)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("ndays"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for etype, (e, n_sk) in est.items():
+        nd, ndays = exact[etype]
+        assert abs(e - nd) <= max(1, 0.025 * nd), (etype, e, nd)
+        assert n_sk == ndays, (etype, n_sk, ndays)
+
+
+def test_heavy_hitter_candidates_cover_topk(spark, sf_dir):
+    """a17's bounded-candidate result must equal the exact full-shuffle
+    top-25 (same keys, same counts, same order) — the Misra-Gries
+    candidate union may not drop a true heavy hitter."""
+    from nipd_spark.catalog import load
+    from nipd_spark.operators import text
+    from nipd_spark.queries.aggregates import a17_heavy_hitters
+    import pyspark.sql.functions as F
+
+    got = a17_heavy_hitters(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(text.shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+        .collect()
+    )
+    assert [(r.bigram, r.n) for r in got] == [(r.bigram, r.n) for r in exact]
