@@ -785,3 +785,56 @@ def c12_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "c13_time_in_state",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, {ts_us()} AS ts,
+             lead({ts_us()}) OVER (PARTITION BY user_id
+                                   ORDER BY {ts_us()}, event_id) AS next_ts
+      FROM events
+    )
+    SELECT event_type,
+           count(next_ts) AS n_intervals,
+           {dround("sum(epoch_us(next_ts - ts)) / 1000000.0")} AS total_sec,
+           {dround("avg(epoch_us(next_ts - ts)) / 1000000.0", 6)} AS avg_sec
+    FROM seq
+    WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("W2", "A1", "F2"),
+)
+def c13_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state: each event opens a state (its event_type) that
+    lasts until the user's NEXT event; aggregate total/mean dwell
+    seconds per state. The standard session-analytics measure of where
+    users actually spend time — a funnel (c7) tells you *that* they
+    moved, this tells you *how long* each stage held them. Each user's
+    last event has no successor and is excluded (count(next_ts) counts
+    only closed intervals on both engines).
+
+    Plan: one window shuffle on user_id (lead over the per-user
+    timeline with event_id tie-break), then a partial+final hash agg on
+    the 5-value state key. Durations are computed in µs longs and
+    divided once at the end — identical integer arithmetic on both
+    engines until the final double division.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    dur_us = F.unix_micros("next_ts") - F.unix_micros("ts")
+    return (
+        seq.filter(F.col("next_ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("next_ts").alias("n_intervals"),
+            F.round(F.sum(dur_us) / 1e6, 4).alias("total_sec"),
+            F.round(F.avg(dur_us) / 1e6, 6).alias("avg_sec"),
+        )
+    )

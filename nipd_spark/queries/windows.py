@@ -495,3 +495,56 @@ def w12_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
               0.0D, (acc, x) -> acc + x)"""
     )
     return arr.select("user_id", "event_id", F.round(fold, 4).alias("ewma"))
+
+
+@query(
+    "w13_moving_median",
+    sql=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           {dround("median(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 6)}
+             AS qty_med7
+    FROM lineitem
+    """,
+    tags=("W4", "A9", "F5"),
+)
+def w13_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving MEDIAN — the robust-smoothing counterpart
+    of w4's moving average (a depth-spike filter in the coverage-QC
+    sense: one outlier row can't drag the estimate).
+
+    Spark's median/percentile aggregates reject ordered window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame median is
+    built from primitives: collect_list over the ROWS frame →
+    array_sort → middle element (odd) or mean of the two middles
+    (even). All JVM-side expression work — no UDF — and exact, which is
+    what lets DuckDB's native frame ``median(...) OVER`` hash-match.
+
+    Scale note: per-row cost is O(frame·log frame) on a 7-element
+    array — constant-bounded, unlike a true per-frame percentile sort;
+    keep frames small with this pattern (a 10k-row frame would carry a
+    10k array per row) — that regime belongs to a15's sketch tier.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    framed = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(F.collect_list("l_quantity").over(w)).alias("frame"),
+    )
+    n = F.size("frame")
+    lo = F.element_at("frame", (n / 2).cast("int"))
+    hi = F.element_at("frame", (n / 2 + 1).cast("int"))
+    mid = F.element_at("frame", ((n + 1) / 2).cast("int"))
+    return framed.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2), 6).alias(
+            "qty_med7"
+        ),
+    )
