@@ -884,3 +884,154 @@ def l29_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+@query(
+    "l31_bpe_pair_step",
+    sql="""
+    WITH words AS (
+      SELECT token AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)), i ->
+               substring(word, CAST(i AS INT), 2))) AS pair,
+             freq
+      FROM words WHERE length(word) >= 2
+    )
+    SELECT pair, sum(freq) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 30
+    """,
+    tags=("L6", "L8", "A1"),
+)
+def l31_bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration (Sennrich 2016 shape): count
+    adjacent symbol pairs weighted by word frequency; the argmax pair is
+    the next merge rule. Iterating this query (with merged symbols fed
+    back into the word table) IS the BPE trainer — each round is one
+    Spark job over the compact (word, freq) table, not the raw corpus.
+
+    Scale shape: the corpus collapses to a (word, freq) table first
+    (one map-side-combined agg — the domain is vocabulary-sized, tiny
+    vs. the corpus), so per-iteration cost is independent of corpus
+    size. Pair explosion is a JVM higher-order transform over char
+    positions (no UDF); the final count shuffles only the symbol-pair
+    domain.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pair_idx = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = words.select(
+        F.explode(
+            F.transform(pair_idx, lambda i: F.col("word").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "l32_weighted_sample",
+    sql="""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / (((doc_id * 2654435761) % 1000003) + 1) AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM pri
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 25
+    """,
+    tags=("L9", "O3", "P2"),
+)
+def l32_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling for corpus mixing (priority
+    sampling, Duffield-Lund-Thorup 2007): each doc gets priority
+    w/u — weight n_chars over a deterministic pseudo-uniform u from a
+    multiplicative hash of doc_id — and the global top-k by priority is
+    the sample. Longer docs are proportionally likelier, yet the draw
+    is exactly reproducible across runs, engines, and repartitionings
+    (no rand(), no seed-per-partition drift).
+
+    Every arithmetic step (integer hash, +1, one double division) is
+    correctly rounded under IEEE-754, so Spark and DuckDB rank
+    identical bits — the reproducibility claim is hash-verified, not
+    approximate. Top-k is TakeOrderedAndProject: per-partition heaps,
+    no global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000003)) + 1
+    pri = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    return pri.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(25)
+
+
+@query(
+    "l33_corpus_shuffle",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 40503) % 1000000007 AS shuffle_key
+      FROM documents
+    )
+    SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+           doc_id, shuffle_key
+    FROM ranked
+    ORDER BY pos
+    LIMIT 40
+    """,
+    tags=("L9", "O1", "S6"),
+)
+def l33_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the final pretraining step
+    that decorrelates document order before sequence packing. Ordering
+    by a multiplicative hash of doc_id gives a reproducible permutation
+    that is stable across engines, runs, and input partitionings
+    (unlike rand() or repartition-by-random, whose draw depends on
+    partition layout).
+
+    At 100 TB you never materialize the permutation with one global
+    sort: write with repartitionByRange(shuffle_key) — range partitions
+    are globally ordered, each file sorts locally, and readers stream
+    files in range order to consume the permutation. The query returns
+    the first 40 positions (row_number over the hash order) as the
+    verifiable fingerprint of that permutation.
+
+    The top-40 is taken FIRST (TakeOrderedAndProject — per-partition
+    heaps, no global sort) and row_number runs over just those 40 rows;
+    numbering the full table through a global window would funnel every
+    row into one partition.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * F.lit(2654435761) + 40503, F.lit(1000000007)).alias(
+            "shuffle_key"
+        ),
+    )
+    head = ranked.orderBy("shuffle_key", "doc_id").limit(40)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return head.select(
+        F.row_number().over(w).alias("pos"), "doc_id", "shuffle_key"
+    )
