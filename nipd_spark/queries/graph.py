@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
 
@@ -125,4 +126,99 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(ecnt)  # three 1-row aggregates
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
+
+
+_PR_EDGE_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u)
+"""
+
+
+@query(
+    "g2_pagerank",
+    sql=f"""
+    WITH {_PR_EDGE_SQL},
+    r0 AS (SELECT node, 1.0 AS r, d FROM deg),
+    r1 AS (
+      SELECT deg.node, 0.15 + 0.85 * sum(r0.r / r0.d) AS r, deg.d
+      FROM e JOIN r0 ON e.u = r0.node JOIN deg ON e.v = deg.node
+      GROUP BY deg.node, deg.d
+    ),
+    r2 AS (
+      SELECT deg.node, 0.15 + 0.85 * sum(r1.r / r1.d) AS r, deg.d
+      FROM e JOIN r1 ON e.u = r1.node JOIN deg ON e.v = deg.node
+      GROUP BY deg.node, deg.d
+    ),
+    r3 AS (
+      SELECT deg.node, 0.15 + 0.85 * sum(r2.r / r2.d) AS r
+      FROM e JOIN r2 ON e.u = r2.node JOIN deg ON e.v = deg.node
+      GROUP BY deg.node
+    )
+    SELECT node, {dround("r", 6)} AS rank
+    FROM r3
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
+    """,
+    tags=("J1", "A1", "W3"),
+)
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85, init 1.0) on the symmetrized part
+    co-purchase graph — Pregel-on-DataFrames: each iteration is one
+    equi-join of the rank vector onto the edge list plus one grouped
+    sum, unrolled here so the whole computation is a single lazy plan
+    the oracle can mirror CTE-for-CTE. The undirected graph has no
+    dangling nodes (every node has degree ≥ 1), so total mass is
+    conserved and ranks converge toward degree-proportionality.
+
+    Scale notes: the rank vector is O(nodes) — orders of magnitude
+    smaller than the edge list — so at 100 TB each iteration shuffles
+    edges once on the join key (or zero times if edges are pre-bucketed
+    by u: the rank side broadcasts when nodes fit, or co-partitions
+    otherwise). For deep iteration counts, persist + localCheckpoint
+    every few rounds to truncate plan lineage; at 3 unrolled rounds the
+    optimizer handles the DAG fine. Ranks are rounded at 6 dp only on
+    output (order-dependent double sums; oracle.py discipline) —
+    iteration-internal values stay full precision, and a 1-ulp
+    cross-engine wobble cannot survive the 0.85³ contraction at 6 dp.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+
+    ranks = deg.select("node", F.lit(1.0).alias("r"), "d")
+    for _ in range(3):
+        contrib = e.join(
+            ranks.select(
+                F.col("node").alias("u"), (F.col("r") / F.col("d")).alias("c")
+            ),
+            "u",
+        ).select(F.col("v").alias("node"), "c")
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(0.15) + 0.85 * F.sum("c")).alias("r"))
+            .join(deg, "node")
+            .select("node", "r", "d")
+        )
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
     )

@@ -520,3 +520,17 @@ def test_heavy_hitter_candidates_cover_topk(spark, sf_dir):
         .collect()
     )
     assert [(r.bigram, r.n) for r in got] == [(r.bigram, r.n) for r in exact]
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """g2's undirected graph has no dangling nodes, so total rank mass
+    stays ≈ n_nodes every iteration; and ranks must be ≥ 0.15."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.graph import g2_pagerank
+    import pyspark.sql.functions as F
+
+    top = g2_pagerank(spark, sf_dir).collect()
+    assert all(r.rank >= 0.15 for r in top)
+    assert all(
+        top[i].rank >= top[i + 1].rank for i in range(len(top) - 1)
+    )
