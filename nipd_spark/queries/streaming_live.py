@@ -435,3 +435,105 @@ def t10_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.read.parquet(store + "/current").select(
         "user_id", "event_type", "first_event", "n_events"
     )
+
+
+@query(
+    "t11_stream_outer_join",
+    # Unmatched left rows only surface when the global watermark passes
+    # click_ts + join bound. multipleWatermarkPolicy=min: the global
+    # watermark is min over BOTH filtered streams' event-time maxima
+    # minus the 1 h delay, so clicks with
+    # click_ts + 1 h < least(max click ts, max purchase ts) − 1 h are
+    # deterministically flushed (boundary confirmed empirically at
+    # sf0.001, where the click stream ends hours before the purchase
+    # stream). Both engines restrict to that region, where stream
+    # output == batch LEFT JOIN exactly.
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, {ts_us()} AS ts, value FROM events
+    ),
+    cutoff AS (
+      SELECT least(max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS lim
+      FROM ev
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM ev c LEFT JOIN ev p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+      AND c.ts < (SELECT lim FROM cutoff)
+    """,
+    tags=("T7", "J2"),
+)
+def t11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream–stream join: every click emits —
+    joined to same-user purchases within the following hour when one
+    exists, with NULL purchase columns otherwise. The null side can
+    only be decided once the purchase watermark has passed the join
+    bound (no purchase can still arrive), so unmatched rows emit from
+    state eviction during the no-data flush batches — bounded state,
+    exactly-once emission.
+
+    The trailing 2 h (from whichever side's stream ends first) is trimmed on BOTH engines (see sql
+    comment): those clicks' outcomes depend on where the final
+    watermark froze, which is a property of stream shutdown, not of
+    the data. Matched pairs still stream out immediately (inner path);
+    the trim keeps the comparison region decidable.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_value",
+    )
+    drained = run_to_completion(joined, "append")
+    lim = (
+        load(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 2 HOUR")
+            ).alias("lim")
+        )
+        .collect()[0]
+        .lim
+    )
+    return drained.filter(F.col("click_ts") < F.lit(lim))
