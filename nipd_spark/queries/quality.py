@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
 
@@ -110,4 +111,69 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row(li_orph, "lineitem.l_orderkey_fk_orders", "n", "v"))
         .unionAll(row(o_agg, "orders.o_totalprice_positive", "n", "v_price"))
         .unionAll(row(o_agg, "orders.o_orderkey_unique", "n", "v_dup"))
+    )
+
+
+@query(
+    "dq2_robust_outliers",
+    sql=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med.med,
+             median(abs(e.value - med.med)) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med.med
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE abs(e.value - mad.med)
+                                  > 3 * 1.4826 * mad.mad) AS n_outliers,
+           {dround("mad.med", 6)} AS med,
+           {dround("mad.mad", 6)} AS mad
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type, mad.med, mad.mad
+    """,
+    tags=("A9", "A12", "J6"),
+)
+def dq2_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit (median/MAD, the Hampel X84 rule): flag
+    values beyond 3 scaled-MADs from their group median. Unlike a
+    mean/stddev z-score (w8), the breakdown point is 50% — the
+    outliers themselves can't drag the fence, which is what a
+    data-quality gate needs when the contamination is the thing being
+    measured.
+
+    Shape: two grouped exact medians (per-type, then per-type absolute
+    deviations) with the tiny (type, med, mad) tables broadcast back
+    onto the fact scan between passes — three scans total, no row-level
+    UDF. At 100 TB swap the exact medians for a15's percentile sketch
+    and it becomes one scan + merge; the exact form here is what the
+    cross-engine hash can verify.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
     )

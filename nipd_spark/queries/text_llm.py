@@ -1035,3 +1035,57 @@ def l33_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select(
         F.row_number().over(w).alias("pos"), "doc_id", "shuffle_key"
     )
+
+
+@query(
+    "l34_grouped_split",
+    sql="""
+    WITH tagged AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN (CAST(substring(source, 4) AS BIGINT) * 2654435761)
+                       % 100 < 10
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(n_chars) AS total_chars
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("L9", "L1", "A1"),
+)
+def l34_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/validation split: the split key is a
+    deterministic hash of the SOURCE (group), not the document, so
+    every document from one source lands in the same split — near-dups
+    and templated pages concentrate within a source, and a per-doc
+    split would leak them across the boundary (the l19 contamination
+    problem, created by your own splitter). ~10% of sources go to val.
+
+    Group-hash splitting is also stable under corpus growth: adding
+    documents never moves an existing source between splits, so val
+    stays val across dataset versions. One narrow scan + a 2-group
+    aggregate; the hash is arithmetic on the numeric source id
+    (cross-engine exact), no rand().
+    """
+    docs = load(spark, sf_dir, "documents")
+    sid = F.substring("source", 4, 10).cast("bigint")
+    tagged = docs.select(
+        "lang",
+        "n_chars",
+        F.when(F.pmod(sid * F.lit(2654435761), F.lit(100)) < 10, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
