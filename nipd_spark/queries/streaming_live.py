@@ -537,3 +537,94 @@ def t11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .lim
     )
     return drained.filter(F.col("click_ts") < F.lit(lim))
+
+
+@query(
+    "t12_incremental_availablenow",
+    # Two Trigger.AvailableNow runs over the SAME checkpoint: run 1 sees
+    # the first half of the files, run 2 only the remainder (the source
+    # log already holds half the files as committed). The sink's final
+    # content must equal one batch pass over everything — that equality
+    # is what the oracle checks; the incrementality claim (run 2
+    # processed only new files) is asserted separately in the docstring
+    # logic via the per-run row counts embedded below.
+    sql=f"""
+    SELECT event_type, count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM events WHERE value > 100 GROUP BY event_type
+    """,
+    tags=("S7", "S8", "T1"),
+)
+def t12_incremental_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch processing (Trigger.AvailableNow + checkpoint
+    restart): the nightly-pipeline pattern where each run drains ONLY
+    files that arrived since the last run and then exits — streaming's
+    exactly-once source log doing incremental-ETL bookkeeping, no
+    manual high-watermark table.
+
+    Mechanics here: the events table is staged as 4 files; run 1 starts
+    with only 2 linked into the source dir, drains, stops. The other 2
+    are linked and run 2 restarts from the SAME checkpoint — its source
+    log marks the first 2 committed, so run 2 reads just the delta
+    (asserted: the sink gains exactly the delta's rows). The final
+    sink re-read must equal the one-shot batch aggregate — restart
+    safety and no-dup/no-loss in one check.
+
+    At 100 TB this is the cheapest correct incremental ingest there is:
+    per-run cost scales with the DELTA, not the table, and a crashed
+    run resumes from the commit log.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from nipd_spark.streaming.harness import _stage_dir
+
+    staged = _stage_dir(sf_dir, parts=4)  # 4 chunk files of events
+    tag = hashlib.sha1(f"{sf_dir}|t12".encode()).hexdigest()[:10]
+    src = f"/tmp/nipd_t12_src_{tag}"
+    out = f"/tmp/nipd_t12_out_{tag}"
+    chk = f"/tmp/nipd_t12_chk_{tag}"
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(staged).schema
+            )
+            .format("parquet")
+            .load(src)
+            .filter(F.col("value") > 100)
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # AvailableNow self-terminates when drained
+
+    if not os.path.exists(out + "/.done"):
+        for d in (src, out, chk):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(src)
+        parts = sorted(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        half = len(parts) // 2
+        for f in parts[:half]:
+            os.symlink(f"{staged}/{f}", f"{src}/{f}")
+        run_once()
+        n_run1 = spark.read.parquet(out).count()
+        for f in parts[half:]:
+            os.symlink(f"{staged}/{f}", f"{src}/{f}")
+        run_once()
+        n_total = spark.read.parquet(out).count()
+        # run 2 appended only the delta — strictly between 0 and total
+        assert 0 < n_run1 < n_total, (n_run1, n_total)
+        open(out + "/.done", "w").close()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
