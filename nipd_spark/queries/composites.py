@@ -838,3 +838,97 @@ def c13_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(dur_us) / 1e6, 6).alias("avg_sec"),
         )
     )
+
+
+@query(
+    "c14_time_decay_attribution",
+    sql=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, {ts_us()} AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_type AS channel, event_id AS t_id,
+             {ts_us()} AS t_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.p_id, p.value, t.channel,
+             1.0 / CAST(1 << CAST(epoch_us(p.p_ts - t.t_ts)
+                                  // 3600000000 AS INT) AS DOUBLE) AS w
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL 24 HOUR
+    ),
+    shares AS (
+      SELECT channel, value * w / sum(w) OVER (PARTITION BY p_id) AS share
+      FROM pairs
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           {dround("sum(share)")} AS attributed_value
+    FROM shares
+    GROUP BY channel
+    """,
+    tags=("J8", "W3", "A1", "F3"),
+)
+def c14_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution (the fractional counterpart of
+    c12's last-touch): every click/view in the 24 h before a purchase
+    earns a share of its value, halving per hour of age —
+    w = 2^-floor(hours), normalized per purchase. Decay weights are
+    EXACT binary powers (integer shift, one division), not pow()/exp()
+    calls, so every share is bit-identical cross-engine before the
+    final rounded sums — transcendental functions are the classic
+    silent cross-engine drift source in attribution pipelines.
+
+    Scale shape: the purchase↔touch pairing is an equi-join on user_id
+    with a time-band predicate — per-user event counts are bounded
+    (~67 here), so pair fan-out is bounded; the per-purchase
+    normalization is one window sum over those small groups, then a
+    5-value hash agg. One shuffle on user_id, one on p_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = (
+        p.join(
+            t,
+            (p.user_id == t.t_user)
+            & (t.t_ts <= p.p_ts)
+            & (t.t_ts > p.p_ts - F.expr("INTERVAL 24 HOURS")),
+        )
+        .withColumn(
+            "age_h",
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("t_ts"))
+                / F.lit(3_600_000_000)
+            ).cast("int"),
+        )
+        .select(
+            "p_id",
+            "value",
+            "channel",
+            F.expr("1.0 / CAST(shiftleft(1, age_h) AS DOUBLE)").alias("w"),
+        )
+    )
+    shares = pairs.select(
+        "channel",
+        (
+            F.col("value")
+            * F.col("w")
+            / F.sum("w").over(Window.partitionBy("p_id"))
+        ).alias("share"),
+    )
+    return shares.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("share"), 4).alias("attributed_value"),
+    )
