@@ -1089,3 +1089,36 @@ def j15_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return df
+
+
+@query("o5_range_partition_sort", sql=None, tags=("O1", "S6"))
+def o5_range_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total order via explicit range partitioning — the
+    mechanism behind both Spark's own orderBy and the sorted-bucketed
+    table layout (s12/l33): repartitionByRange samples the sort key to
+    cut balanced, globally ordered ranges; sortWithinPartitions orders
+    each range locally; nothing ever funnels through one reducer.
+
+    Returns the per-partition evidence (pid, row count, key min/max);
+    tests/test_operators_properties.py asserts the ranges tile without
+    overlap and lose no rows — the two properties that make
+    "concatenate sorted partition files in pid order" a valid 100 TB
+    sort. Rows-only: partition boundaries come from sampling, so the
+    per-partition split (not the total order) may vary across engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ranged = li.repartitionByRange(8, "l_shipdate", "l_orderkey").sortWithinPartitions(
+        "l_shipdate", "l_orderkey"
+    )
+    return (
+        ranged.select(
+            F.spark_partition_id().alias("pid"), "l_shipdate", "l_orderkey"
+        )
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("min_key"),
+            F.max("l_shipdate").alias("max_key"),
+        )
+        .orderBy("pid")
+    )

@@ -534,3 +534,16 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert all(
         top[i].rank >= top[i + 1].rank for i in range(len(top) - 1)
     )
+
+
+def test_range_partition_sort_tiles(spark, sf_dir):
+    """o5: partition key ranges must tile (no overlap between
+    consecutive pids) and row counts must sum to the table size."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.relational import o5_range_partition_sort
+
+    rows = o5_range_partition_sort(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_key <= b.min_key, (a, b)
