@@ -293,3 +293,27 @@ def l28_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         F.col("n_sat").cast("int").alias("n_sat"),
     )
+
+
+@query("l35_ann_pq", sql=None, tags=("L5", "L11"))
+def l35_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via product quantization
+    (operators/pq.py; Jégou 2011): 8 subspaces × 16 codes trained with
+    2 deterministic Lloyd rounds, base vectors encoded to 8 code ids
+    (32× compression of float32×64), ADC lookup-table candidate
+    generation over the CODE table only, exact cosine re-rank of the
+    top-50 candidates. Queries: vec_id < 20, matching l5/l5b so the
+    three ANN tiers (LSH / IVF / PQ) are directly comparable.
+
+    Rows-only for the driver (the candidate set is approximate);
+    property tests pin code-table completeness, self-retrieval after
+    re-rank, and recall@5 vs the l4b exact ground truth.
+    """
+    from nipd_spark.operators import pq
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq.train_codebooks(e, m=8, ksub=16, iters=2).cache()
+    codes = pq.assign_codes(pq.subvectors(e, 8), cb)
+    return pq.search_adc(
+        e, codes, e.filter(F.col("vec_id") < 20), cb, k=5, cand=50
+    )

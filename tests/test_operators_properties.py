@@ -547,3 +547,35 @@ def test_range_partition_sort_tiles(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == total
     for a, b in zip(rows, rows[1:]):
         assert a.max_key <= b.min_key, (a, b)
+
+
+def test_pq_code_table_and_recall(spark, sf_dir):
+    """PQ invariants: (a) the code table has exactly M codes per vector,
+    all in [0, KSUB); (b) ADC+re-rank returns full result sets whose
+    re-ranked cosines are bit-identical to the exact kNN's on shared
+    pairs; (c) candidate recall overlaps truth (isotropic corpus — no
+    cluster structure to exploit, so only a floor is pinned)."""
+    from nipd_spark.operators import knn, pq
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20)
+    cb = pq.train_codebooks(e, m=8, ksub=16, iters=2).cache()
+    codes = pq.assign_codes(pq.subvectors(e, 8), cb).cache()
+
+    n_vec = e.count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n_vec and all(r["count"] == 8 for r in per_vec)
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] < 16
+
+    truth = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in knn.topk_per_query_gemm(e, q, k=5).collect()
+    }
+    got = pq.search_adc(e, codes, q, cb, k=5, cand=50).collect()
+    assert len(got) == len(truth)  # full result sets
+    shared = [(r.q_id, r.neighbor_id, r.cosine) for r in got
+              if (r.q_id, r.neighbor_id) in truth]
+    assert shared, "no overlap with exact kNN at cand=50"
+    for q_id, n_id, cos in shared:  # re-rank is exact arithmetic
+        assert cos == truth[(q_id, n_id)], (q_id, n_id)
