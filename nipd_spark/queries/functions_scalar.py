@@ -265,3 +265,70 @@ def f12_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
+
+
+@query(
+    "f13_bitwise_family",
+    sql="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS all_and,
+           bit_or(l_linenumber)  AS all_or,
+           bit_xor(l_linenumber) AS all_xor,
+           sum(l_linenumber & 3) AS sum_low2,
+           sum(l_linenumber << 2) AS sum_shl,
+           sum(l_linenumber >> 1) AS sum_shr,
+           sum(xor(l_linenumber, 5)) AS sum_xor5
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("F3", "A2"),
+)
+def f13_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family: AND/OR/XOR aggregates and
+    shift/mask row expressions — flag-packing and bitmap bookkeeping
+    primitives (the row-level cousins of a19's bitmap distinct).
+    Integer-exact on both engines; no rounding discipline needed.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(ln).alias("all_and"),
+        F.bit_or(ln).alias("all_or"),
+        F.bit_xor(ln).alias("all_xor"),
+        F.sum(ln.bitwiseAND(3)).alias("sum_low2"),
+        F.sum(F.shiftleft(ln, 2)).alias("sum_shl"),
+        F.sum(F.shiftright(ln, 1)).alias("sum_shr"),
+        F.sum(ln.bitwiseXOR(5)).alias("sum_xor5"),
+    )
+
+
+@query(
+    "a20_boolean_aggregates",
+    sql="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '2-HIGH') AS any_high,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+           bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS all_after_95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A2", "F4"),
+)
+def a20_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every/any/bool_and/bool_or): predicate
+    summaries per group — the SQL-standard way to assert invariants
+    inline (dq1's rule engine uses the count-filter spelling; these are
+    the boolean-lattice duals). Short-circuit-friendly partial
+    aggregation: AND/OR are commutative monoids, so map-side combine
+    applies like any sum.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "2-HIGH").alias("any_high"),
+        F.count_if(F.col("o_orderpriority") == "2-HIGH").alias("n_high"),
+        F.bool_and(
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        ).alias("all_after_95"),
+    )

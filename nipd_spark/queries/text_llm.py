@@ -1089,3 +1089,69 @@ def l34_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "l36_chunk_documents",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) // 16 AS chunk_id,
+             list_slice(t, CAST(i AS INT) + 1, CAST(i AS INT) + 32) AS chunk
+      FROM toks,
+           LATERAL (SELECT unnest(range(0, greatest(len(t) - 16, 1), 16)) AS i)
+    )
+    SELECT doc_id, chunk_id,
+           len(chunk) AS n_tokens,
+           chunk[1] AS first_token,
+           chunk[len(chunk)] AS last_token
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    LIMIT 200
+    """,
+    tags=("L6", "F5", "L9"),
+)
+def l36_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking: split each document into
+    overlapping token windows (size 32, stride 16 — 50% overlap so no
+    retrieval-relevant span straddles a boundary unseen). The chunk
+    table (doc_id, chunk_id, tokens) is what gets embedded and indexed
+    by the similarity stack (l4/l5/l35); this query returns its shape
+    audit (first/last token, length) for the first 200 chunks.
+
+    All JVM-side: tokenize once, generate window start offsets with
+    sequence(), slice per offset with a higher-order transform, explode.
+    Row expansion is ~2× the token count (stride = size/2) regardless
+    of corpus size — linear, shuffle-free, embarrassingly parallel.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 17, F.lit(0)), F.lit(16)
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    (i / 16).cast("int").alias("chunk_id"),
+                    F.slice("t", i + 1, 32).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").alias("n_tokens"),
+            F.element_at("chunk", 1).alias("first_token"),
+            F.element_at("chunk", F.size("chunk")).alias("last_token"),
+        )
+        .orderBy("doc_id", "chunk_id")
+        .limit(200)
+    )

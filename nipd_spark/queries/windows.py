@@ -548,3 +548,65 @@ def w13_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_med7"
         ),
     )
+
+
+@query(
+    "w14_reset_cumsum",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, {ts_us()} AS ts, value,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_reset
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, event_id, ts, value, is_reset,
+             sum(is_reset) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS segment
+      FROM flagged
+    )
+    SELECT user_id, event_id, segment,
+           {dround("sum(CASE WHEN is_reset = 0 THEN value ELSE 0 END) OVER (PARTITION BY user_id, segment ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)")}
+             AS run_value
+    FROM seg
+    """,
+    tags=("W3", "W2", "F4"),
+)
+def w14_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resettable running total: per-user cumulative value that resets
+    to zero at every 'error' event — the gaps-and-islands segment trick
+    (a running count of reset flags IS the segment id; the cumsum then
+    partitions by (user, segment)). No loop, no state machine, no UDF:
+    two stacked window passes over the same (user, time) sort, which
+    Spark executes with ONE shuffle and one in-partition sort since the
+    partition keys of the second window prefix-extend the first.
+    """
+    ev = load(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "error").cast("int").alias("is_reset"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = flagged.withColumn("segment", F.sum("is_reset").over(w1))
+    w2 = (
+        Window.partitionBy("user_id", "segment")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return seg.select(
+        "user_id",
+        "event_id",
+        "segment",
+        F.round(
+            F.sum(
+                F.when(F.col("is_reset") == 0, F.col("value")).otherwise(0.0)
+            ).over(w2),
+            4,
+        ).alias("run_value"),
+    )
