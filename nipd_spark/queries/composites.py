@@ -932,3 +932,101 @@ def c14_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.round(F.sum("share"), 4).alias("attributed_value"),
     )
+
+
+@query(
+    "c15_ab_test_ztest",
+    sql=f"""
+    WITH conv AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END
+               AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, count(*) AS n_users, sum(converted) AS n_conv,
+             CAST(sum(converted) AS DOUBLE) / count(*) AS rate
+      FROM conv GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+             max(CASE WHEN variant = 'A' THEN n_conv END) AS c_a,
+             max(CASE WHEN variant = 'A' THEN rate END) AS r_a,
+             max(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+             max(CASE WHEN variant = 'B' THEN n_conv END) AS c_b,
+             max(CASE WHEN variant = 'B' THEN rate END) AS r_b
+      FROM arms
+    )
+    SELECT n_a, c_a, {dround("r_a", 6)} AS rate_a,
+           n_b, c_b, {dround("r_b", 6)} AS rate_b,
+           {dround("(r_a - r_b) / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b))", 6)}
+             AS z_stat
+    FROM wide
+    """,
+    tags=("A12", "A2", "F3", "A7"),
+)
+def c15_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for a deterministic A/B split: users are
+    hashed into arms (multiplicative hash parity — reproducible, no
+    rand()), conversion = made ≥1 high-value (>150) purchase, and the pooled z-statistic
+    decides whether the arms differ. The experimentation-platform
+    primitive, computed end-to-end in one pass + a pivot.
+
+    Every float step — rate divisions, pooled variance, sqrt — is an
+    IEEE correctly-rounded operation (sqrt included; no transcendental
+    calls), so the statistic is bit-identical cross-engine before the
+    final display rounding. A null split like this hash parity should
+    land |z| < 2 almost always — the property test asserts the sane
+    range, the oracle asserts the bits.
+    """
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(
+                F.pmod(F.col("user_id") * 2654435761, F.lit(2)) == 0, "A"
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+    )
+    arms = conv.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("rate"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("rate"))).alias("r_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias("c_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("rate"))).alias("r_b"),
+    )
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (F.col("r_a") - F.col("r_b")) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        F.round("r_a", 6).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round("r_b", 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -737,3 +737,66 @@ def sql2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """
     )
+
+
+_SQL3_BODY = """reach(node, depth) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT e.v AS node, reach.depth + 1 AS depth
+      FROM reach JOIN e ON e.u = reach.node
+      WHERE reach.depth < 2
+    ),
+    bfs AS (SELECT node, min(depth) AS dist FROM reach GROUP BY node)
+    SELECT dist, count(*) AS n_nodes
+    FROM bfs
+    GROUP BY dist
+    ORDER BY dist
+"""
+
+
+@query(
+    "sql3_recursive_cte",
+    sql=(
+        """
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    """
+        + _SQL3_BODY
+    ),
+    tags=("J1", "A1", "U1"),
+)
+def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): bounded-depth BFS from
+    part 0 over the co-purchase graph — per-layer reachable-node counts
+    (min-depth semantics via the post-aggregation, so revisits along
+    longer paths don't double count). The fixpoint loop g2 spells as a
+    Python-side unroll is here delegated to the engine's recursion
+    operator; DuckDB runs the identical statement.
+
+    Scale note: each recursion step is one equi-join of the frontier
+    against the edge list — same shuffle shape as an unrolled
+    iteration; the depth bound caps the blow-up on this dense graph
+    (avg degree ≈ 2·orders·C(basket,2)/parts, so depth 2 already
+    reaches most of the component).
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW e AS
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+        """
+    )
+    return spark.sql("WITH RECURSIVE " + _SQL3_BODY)
