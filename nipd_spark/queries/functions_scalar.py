@@ -332,3 +332,50 @@ def a20_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
         ).alias("all_after_95"),
     )
+
+
+@query(
+    "f14_try_family",
+    sql="""
+    SELECT event_id % 7 AS grp,
+           count(*) AS n,
+           sum(CAST((CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE value / (event_id % 5) END) IS NULL AS INT)) AS n_div_null,
+           count(TRY_CAST(props AS DOUBLE)) AS n_cast_ok,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_json_int
+    FROM events
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("F8", "F4", "P5"),
+)
+def f14_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family under ANSI mode: try_divide turns
+    the divide-by-zero that ANSI raises (c15 hit it live) into NULL,
+    try_cast absorbs malformed strings (the raw JSON props never parses
+    as a number → 0 survivors), and the extracted JSON field try_casts
+    cleanly (every k is an int). The ELT-pipeline posture at 100 TB:
+    strict-by-default arithmetic, explicit opt-in nullability at the
+    known-dirty columns, counted so the dirt rate is observable (dq1's
+    job) rather than silently swallowed.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.pmod("event_id", F.lit(7)).alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.try_divide(F.col("value"), F.pmod("event_id", F.lit(5)))
+                .isNull()
+                .cast("int")
+            ).alias("n_div_null"),
+            F.count(F.try_to_number(F.col("props"), F.lit("999.99"))).alias(
+                "n_cast_ok"
+            ),
+            F.count(
+                F.get_json_object("props", "$.k").try_cast("bigint")
+            ).alias("n_json_int"),
+        )
+        .orderBy("grp")
+    )

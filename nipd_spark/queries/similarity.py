@@ -317,3 +317,120 @@ def l35_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.search_adc(
         e, codes, e.filter(F.col("vec_id") < 20), cb, k=5, cand=50
     )
+
+
+@query("l37_ann_ivfpq", sql=None, tags=("L5", "L11"))
+def l37_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (the FAISS IVFPQ layout, Jégou 2011 §V): the
+    coarse quantizer (operators/ivf.py, 8 lists) prunes the search to
+    nprobe=3 inverted lists, and WITHIN the surviving candidates the
+    ADC code-table distance (operators/pq.py) ranks cheaply before the
+    exact cosine re-rank of the top-50. At 100 TB the two stages cut
+    different costs: IVF cuts the fraction of the corpus touched
+    (~nprobe/C), PQ cuts bytes-per-candidate 32× — together the scored
+    working set is ~1% of the raw float store.
+
+    Pipeline is pure DataFrame algebra: list assignment join ∩ probe
+    explode → semi-join restriction of the CODE table → ADC grouped
+    sum → window top-50 → exact re-rank. Rows-only (approximate
+    candidate set); the property test pins result-set completeness and
+    bit-exact re-rank scores vs. brute force on shared pairs.
+    """
+    from pyspark.sql import Window
+    from nipd_spark.operators import ivf, pq, vector
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20)
+
+    cen = ivf.train_centroids(e, n_lists=8, iters=2).cache()
+    assigned = ivf.assign(e, cen)  # (vec_id, list_id)
+    cb = pq.train_codebooks(e, m=8, ksub=16, iters=2).cache()
+    codes = pq.assign_codes(pq.subvectors(e, 8), cb)
+
+    # queries → top-3 probe lists each (broadcast centroids, argmax-k)
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        q.select(F.col("vec_id").alias("q_id"), "embedding")
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "q_id",
+            "list_id",
+            (
+                vector.dot(F.col("embedding"), F.col("centroid"))
+                / vector.l2_norm(F.col("embedding"))
+            ).alias("ccos"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= 3)
+        .select("q_id", "list_id")
+    )
+    # restrict the code table to vectors living in each query's probed
+    # lists: equi-join chain, no cross product
+    in_scope = probes.join(assigned, "list_id").select("q_id", "vec_id")
+    scoped_codes = in_scope.join(codes, "vec_id").select(
+        "q_id", "vec_id", "sub_id", "code"
+    )
+    # ADC over the scoped code table
+    lut = (
+        pq.subvectors(
+            q.select(F.col("vec_id").alias("q_id"), "embedding"),
+            8,
+            id_col="q_id",
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "q_id",
+            "sub_id",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sub"), F.col("centroid"), lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pdist"),
+        )
+    )
+    approx = (
+        scoped_codes.join(F.broadcast(lut), ["q_id", "sub_id", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    cw = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    cands = (
+        approx.withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= 50)
+        .select("q_id", "vec_id")
+    )
+    base_n = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        vector.l2_norm(F.col("embedding")).alias("b_norm"),
+    )
+    q_n = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        vector.l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    rescored = (
+        cands.join(base_n, cands.vec_id == base_n.b_id)
+        .join(F.broadcast(q_n), "q_id")
+        .filter(F.col("q_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            F.col("b_id").alias("neighbor_id"),
+            vector.cosine(
+                F.col("q_emb"), F.col("b_emb"), F.col("q_norm"), F.col("b_norm")
+            ).alias("cosine"),
+        )
+    )
+    rw = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "cosine", "rn")
+    )

@@ -579,3 +579,27 @@ def test_pq_code_table_and_recall(spark, sf_dir):
     assert shared, "no overlap with exact kNN at cand=50"
     for q_id, n_id, cos in shared:  # re-rank is exact arithmetic
         assert cos == truth[(q_id, n_id)], (q_id, n_id)
+
+
+def test_ivfpq_result_shape_and_exact_rescore(spark, sf_dir):
+    """l37: 5 results for every query; re-ranked cosines bit-identical
+    to brute-force kNN on shared (q, neighbor) pairs."""
+    from nipd_spark.operators import knn
+    from nipd_spark.queries.similarity import l37_ann_ivfpq
+
+    got = l37_ann_ivfpq(spark, sf_dir).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert len(per_q) == 20 and all(len(v) == 5 for v in per_q.values())
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in knn.topk_per_query_gemm(e, q, k=5).collect()
+    }
+    shared = [r for r in got if (r.q_id, r.neighbor_id) in truth]
+    assert shared
+    for r in shared:
+        assert r.cosine == truth[(r.q_id, r.neighbor_id)]
