@@ -57,10 +57,12 @@ _QUERY_MODULES = (
 # deferred are the six b-variants whose operator ID is already covered by
 # their base query inside the window (u3b/u4b/f5b/f7b/j9b/t3b) plus
 # rows-only l10b — they land right after the front list for round 4,
-# together with every round-3 addition (l23-l27, l16b, l26, l27, s9,
-# s10, j12, c9). Round 4 front list should be exactly those 17 (all
-# sf0.01-verified repo-side, VERIFY_r03.txt) followed by a re-check
-# rotation of the oldest r1 rows.
+# together with every round-3 addition (all sf0.01-verified repo-side,
+# VERIFY_r03.txt): the early batch (l23-l27, l16b, s9, s10, j12, c9)
+# plus the late batch (j15, a17-a20, w13, w14, c13-c15, dq2, l31-l37,
+# g2, o5, t11, t12, sql3, f13, f14). Round 4 front list should be
+# those ~40 never-driver-checked names followed by a re-check rotation
+# of the oldest r1 rows.
 _FRONT_QUERIES: tuple[str, ...] = (
     # composites (SURVEY §2.12 — genomics heart: c1/c6)
     "c1_sprt_rhdo",

@@ -57,6 +57,17 @@ PROBE = [
     "c9_curation_pipeline",
     "w10_longest_streak",
     "c10_retention_cohorts",
+    # round-3 late additions
+    "j15_bloom_filter_join",
+    "a17_heavy_hitters",
+    "a19_bitmap_distinct",
+    "g2_pagerank",
+    "sql3_recursive_cte",
+    "c14_time_decay_attribution",
+    "l31_bpe_pair_step",
+    "l35_ann_pq",
+    "l36_chunk_documents",
+    "w14_reset_cumsum",
 ]
 
 
