@@ -800,3 +800,53 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("WITH RECURSIVE " + _SQL3_BODY)
+
+
+@query(
+    "sql4_lateral_join",
+    sql=f"""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) t
+    WHERE c.c_acctbal > 9000
+    """,
+    tags=("J1", "O4", "W1"),
+)
+def sql4_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:2016 / Spark 3.2+): per
+    qualifying customer, the top-2 orders by price — the SQL spelling
+    of o4's per-group top-k. Catalyst decorrelates the lateral subquery
+    into the same window-over-join plan the DataFrame form produces;
+    DuckDB runs the statement verbatim, so the surfaces are proven
+    interchangeable rather than asserted.
+
+    Scale note: decorrelation is what saves this at 100 TB — a naive
+    per-row re-execution of the subquery would be O(customers) scans;
+    the rewritten plan is ONE join + one per-key window pass.
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice,
+                      row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                        AS rk
+               FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        WHERE c.c_acctbal > 9000
+        """
+    )

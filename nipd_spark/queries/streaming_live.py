@@ -628,3 +628,80 @@ def t12_incremental_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
+
+
+@query(
+    "t13_stateful_restart",
+    # Kill-and-resume over a checkpointed STATEFUL aggregation: the
+    # final complete-mode table must equal the batch aggregate over all
+    # data — state survived the restart (no loss), and the source log
+    # prevented re-consumption (no double count).
+    sql=f"""
+    SELECT user_id, count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("T4", "S7", "S8"),
+)
+def t13_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed stateful restart: a per-user running aggregation is
+    driven over half the input, the query is STOPPED (simulated crash /
+    deploy), and a NEW query object resumes from the same checkpoint to
+    drain the rest. The per-key state (counts, sums) lives in the state
+    store across the restart; the file-source commit log prevents
+    re-reading batch 1. Complete-mode output after resume must equal
+    the one-shot batch aggregate — the no-loss/no-dup invariant that
+    makes streaming jobs safely deployable, which is an OPERATIONAL
+    property t12's stateless variant can't witness.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from nipd_spark.streaming.harness import _stage_dir
+
+    staged = _stage_dir(sf_dir, parts=4)
+    tag = hashlib.sha1(f"{sf_dir}|t13".encode()).hexdigest()[:10]
+    src = f"/tmp/nipd_t13_src_{tag}"
+    chk = f"/tmp/nipd_t13_chk_{tag}"
+    name = f"t13_sink_{tag}"
+
+    def run_once() -> None:
+        agg = (
+            spark.readStream.schema(spark.read.parquet(staged).schema)
+            .format("parquet")
+            .load(src)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # Rebuilt from scratch on every call: a restarted complete-mode
+    # query with NO new data runs no batch, so a cached checkpoint
+    # would leave a fresh session's memory sink empty. Two short
+    # replay runs per call is the price of an honest restart.
+    for d in (src, chk):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    for f in parts[:2]:
+        os.symlink(f"{staged}/{f}", f"{src}/{f}")
+    run_once()  # run 1: partial state, then "crash"
+    mid = spark.table(name).count()
+    for f in parts[2:]:
+        os.symlink(f"{staged}/{f}", f"{src}/{f}")
+    run_once()  # resume from checkpoint; drains only the delta
+    assert mid <= spark.table(name).count()  # state grew, never reset
+    return spark.table(name)
