@@ -654,3 +654,54 @@ def a19_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.expr("sum(bitmap_count(bm))").alias("n_users")
     )
+
+
+@query(
+    "a17b_approx_top_k",
+    sql="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bi
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 25
+    """,
+    tags=("A1", "A4", "L8"),
+)
+def a17b_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the engine-native sketch (approx_top_k,
+    Spark 4): one aggregate call replaces a17's hand-built two-phase
+    candidate pipeline. maxItemsTracked=65536 exceeds the bigram
+    domain, so the sketch degenerates to exact counts and the plain
+    GROUP BY oracle hash-matches — the same sized-to-exactness trick as
+    the a15/a18 sketch tiers in reverse. At 100 TB with an unbounded
+    domain you shrink maxItemsTracked and accept rank error; the
+    explicit re-count pass (a17) is the variant that keeps counts exact
+    at any domain size.
+    """
+    from nipd_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(text.shingles(F.col("text"), 2)).alias("bigram")
+    )
+    # over-fetch 100 then re-sort with the lexicographic tie-break and
+    # cut to 25: the sketch's own ordering of equal counts at the k-th
+    # boundary is unspecified, the oracle's is not
+    sk = bigrams.agg(
+        F.expr("approx_top_k(bigram, 100, 65536)").alias("top")
+    )
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("bigram"),
+            F.col("e.count").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
