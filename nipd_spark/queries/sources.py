@@ -850,3 +850,86 @@ def sql4_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > 9000
         """
     )
+
+
+@query(
+    "s15_python_datasource",
+    sql="""
+    WITH gen AS (
+      SELECT i AS id, (i * 48271) % 65537 AS val
+      FROM (SELECT unnest(range(0, 40000)) AS i)
+    )
+    SELECT id % 8 AS bucket,
+           count(*) AS n,
+           sum(val) AS total,
+           min(val) AS vmin,
+           max(val) AS vmax
+    FROM gen
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("S2", "S5", "A1"),
+)
+def s15_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4): a
+    DataSource subclass with planned InputPartitions, registered with
+    spark.dataSource.register and consumed through the ordinary
+    spark.read.format(...) path — the extension point for feeds Spark
+    has no built-in reader for (internal APIs, bespoke archives,
+    simulators). The source emits a deterministic Lehmer-LCG stream
+    (id, (id·48271) mod 65537) across 8 planned partitions, so DuckDB
+    can mirror it arithmetically and hash-verify that partition-
+    parallel reads lose/duplicate nothing.
+
+    Scale note: partitions() is the parallelism contract — each
+    InputPartition is an independent task (here 8 ranges; a real
+    connector would map shards/files/offset ranges). Generation is
+    per-partition Python yielding tuples; for wide feeds implement the
+    Arrow batch reader instead of the row iterator.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    n_rows, n_parts = 40_000, 8
+
+    class RangePartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class LcgReader(DataSourceReader):
+        def partitions(self):
+            step = n_rows // n_parts
+            return [
+                RangePartition(i * step, min((i + 1) * step, n_rows))
+                for i in range(n_parts)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, (i * 48271) % 65537)
+
+    class LcgSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "nipd_lcg"
+
+        def schema(self) -> str:
+            return "id bigint, val bigint"
+
+        def reader(self, schema) -> DataSourceReader:
+            return LcgReader()
+
+    try:
+        spark.dataSource.register(LcgSource)
+    except Exception:
+        pass  # already registered in this session
+    gen = spark.read.format("nipd_lcg").load()
+    return (
+        gen.groupBy(F.pmod("id", F.lit(8)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").alias("total"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax"),
+        )
+        .orderBy("bucket")
+    )
