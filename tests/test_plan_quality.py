@@ -394,3 +394,39 @@ def test_j15_bloom_filter_injected(spark, sf_dir):
     assert "bloom" in optimized.lower()
     # conf overrides used to pin the shape must NOT leak into the session
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_a17_semi_join_is_broadcast(spark, sf_dir):
+    """Heavy-hitter phase 2 must probe the candidate set as a broadcast
+    left-semi join — never shuffle the exploded bigram stream against
+    a tiny candidate list."""
+    plan = _plan(spark, sf_dir, "a17_heavy_hitters")
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_c14_attribution_no_cartesian(spark, sf_dir):
+    """Time-decay attribution's time-band pairing must ride the user_id
+    equi-key — no cartesian/BNLJ over the band predicate."""
+    plan = _plan(spark, sf_dir, "c14_time_decay_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql4_lateral_is_decorrelated(spark, sf_dir):
+    """The LATERAL subquery must decorrelate to a window-over-join plan
+    — a correlated re-execution would show as BNLJ/cartesian."""
+    plan = _plan(spark, sf_dir, "sql4_lateral_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_l36_chunking_stays_jvm_side(spark, sf_dir):
+    """Chunk generation is pure JVM expression work — no Python eval
+    stage anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "l36_chunk_documents")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
