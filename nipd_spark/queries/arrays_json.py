@@ -147,3 +147,62 @@ def f7b_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("k_sum"),
         F.round(F.avg(k), 6).alias("k_avg"),
     )
+
+
+@query(
+    "f15_nested_struct_ops",
+    sql="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_transform(
+               list(struct_pack(price := o_totalprice, okey := o_orderkey)
+                    ORDER BY o_totalprice DESC, o_orderkey ASC),
+               s -> s.okey) AS top_keys_raw,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           top_keys_raw[1] AS best_order,
+           top_keys_raw[least(2, len(top_keys_raw))] AS second_order
+    FROM per_cust
+    """,
+    tags=("F5", "F6", "A8"),
+)
+def f15_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build array<struct> per group, sort the
+    structs by a compound (-price, key) ordering key, project fields
+    back out — the struct-as-sort-key idiom every "argmax with
+    tie-break" in this repo leans on (min_by/max_by are the 1-element
+    special case). Output is flattened to scalars so the cross-engine
+    hash sees plain columns; the nested work happens in between, fully
+    inside whole-stage codegen.
+
+    Oracle nuance: Spark sorts (negated-price, key) structs with
+    array_sort's element-wise struct comparison; DuckDB pins the same
+    (desc price, asc key) order with list()'s ORDER BY clause — two
+    spellings of one compound ordering.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("o_totalprice")).alias("nprice"),
+                        F.col("o_orderkey").alias("okey"),
+                    )
+                )
+            ),
+            lambda s: s["okey"],
+        ).alias("top_keys_raw"),
+        F.count("*").alias("n_orders"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        "n_orders",
+        F.element_at("top_keys_raw", 1).alias("best_order"),
+        F.element_at(
+            "top_keys_raw", F.least(F.lit(2), F.size("top_keys_raw"))
+        ).alias("second_order"),
+    )
