@@ -712,3 +712,41 @@ def a17b_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+@query(
+    "a21_string_agg",
+    sql="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("A8", "F1"),
+)
+def a21_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg / string_agg): the distinct
+    order priorities seen per market segment, pipe-joined in sorted
+    order. Determinism rule: an unordered listagg is nondeterministic
+    under parallel aggregation by construction — ALWAYS pin an ORDER BY
+    (here: sort the distinct set before joining), or the same query
+    returns different strings run to run. Spark spelling:
+    sort_array(collect_set()) + array_join, which makes the
+    determinism explicit rather than syntactic.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

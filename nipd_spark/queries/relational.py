@@ -1122,3 +1122,48 @@ def o5_range_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+@query(
+    "p8_not_in_nulls",
+    sql="""
+    WITH probe AS (
+      SELECT nullif(o_orderpriority, '5-LOW') AS pri FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM orders
+        WHERE o_orderpriority NOT IN (SELECT pri FROM probe)) AS n_not_in,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.pri = o.o_orderpriority)) AS n_not_exists,
+      (SELECT count(*) FROM probe WHERE pri IS NULL) AS n_null_probe
+    """,
+    tags=("P5", "P4", "J5"),
+)
+def p8_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN vs NOT EXISTS null trap, pinned cross-engine: the
+    probe list contains NULLs ('5-LOW' nullified), so ``NOT IN``
+    returns UNKNOWN for every row — count 0, silently — while
+    ``NOT EXISTS`` keeps its two-valued logic and counts the rows whose
+    priority genuinely never appears (the '5-LOW' orders, since that
+    value exists only as NULL in the probe). Both engines agree on both
+    semantics; pipelines should reach for NOT EXISTS / left-anti (J5),
+    which is also what Catalyst plans as a null-aware anti join.
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT nullif(o_orderpriority, '5-LOW') AS pri FROM orders
+        )
+        SELECT
+          (SELECT count(*) FROM orders
+            WHERE o_orderpriority NOT IN (SELECT pri FROM probe)) AS n_not_in,
+          (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.pri = o.o_orderpriority)) AS n_not_exists,
+          (SELECT count(*) FROM probe WHERE pri IS NULL) AS n_null_probe
+        """
+    )
