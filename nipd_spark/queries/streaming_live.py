@@ -705,3 +705,73 @@ def t13_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # resume from checkpoint; drains only the delta
     assert mid <= spark.table(name).count()  # state grew, never reset
     return spark.table(name)
+
+
+@query(
+    "t14_python_stream_source",
+    sql="""
+    WITH gen AS (
+      SELECT i AS id, (i * 48271) % 65537 AS val
+      FROM (SELECT unnest(range(0, 10000)) AS i)
+    )
+    SELECT id % 4 AS bucket, count(*) AS n, sum(val) AS total
+    FROM gen
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("S7", "S5", "T1"),
+)
+def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Python Data Source API
+    (Spark 4, SimpleDataSourceStreamReader): the micro-batch engine
+    drives offset-tracked reads of a deterministic Lehmer-LCG feed —
+    5 incremental batches of 2,000 rows, then a drained offset — into a
+    complete-mode aggregation. This is the extension point for feeds
+    with offsets but no built-in reader (internal queues, polling
+    APIs); exactly-once comes from the engine persisting the offsets
+    in the checkpoint/commit log, the reader just honors
+    read-between-offsets. The drained aggregate must equal the
+    arithmetic batch oracle — no batch lost, none double-read.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    total_rows, batch_rows = 10_000, 2_000
+
+    class LcgStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + batch_rows, total_rows)
+            rows = [(i, (i * 48271) % 65537) for i in range(pos, end)]
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, (i * 48271) % 65537) for i in range(start["pos"], end["pos"])]
+            )
+
+    class LcgStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "nipd_lcg_stream"
+
+        def schema(self) -> str:
+            return "id bigint, val bigint"
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return LcgStreamReader()
+
+    try:
+        spark.dataSource.register(LcgStreamSource)
+    except Exception:
+        pass
+    stream = spark.readStream.format("nipd_lcg_stream").load()
+    agg = stream.groupBy(F.pmod("id", F.lit(4)).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("val").alias("total")
+    )
+    return run_to_completion(agg, "complete").orderBy("bucket")
