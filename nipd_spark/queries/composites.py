@@ -1030,3 +1030,162 @@ def c15_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r_b", 6).alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@query(
+    "c16_pretraining_pipeline",
+    sql=f"""
+    WITH cleaned AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    deduped AS (
+      SELECT doc_id, source, t
+      FROM (SELECT *, row_number() OVER (PARTITION BY sha256(t)
+                                         ORDER BY doc_id) AS rn
+            FROM cleaned)
+      WHERE rn = 1
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, len(string_split(t, ' ')) - 3),
+               i -> array_to_string(list_slice(string_split(t, ' '), i, i + 4),
+                                    ' '))) AS g
+      FROM deduped WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT * FROM deduped WHERE doc_id % 97 <> 0),
+    train_grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(t, ' ')) - 3),
+               i -> array_to_string(list_slice(string_split(t, ' '), i, i + 4),
+                                    ' '))) AS g
+      FROM train
+    ),
+    contaminated AS (
+      SELECT DISTINCT tg.doc_id
+      FROM train_grams tg JOIN eval_grams eg ON tg.g = eg.g
+    ),
+    clean_train AS (
+      SELECT t.doc_id, t.source, len(string_split(t.t, ' ')) AS n_tokens
+      FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL AND len(string_split(t.t, ' ')) >= 10
+    ),
+    split AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN (CAST(substring(source, 4) AS BIGINT) * 2654435761)
+                       % 100 < 10
+                  THEN 'val' ELSE 'train' END AS split
+      FROM clean_train
+    ),
+    packed AS (
+      SELECT split, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY split
+                                             ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - 1) / 256) AS BIGINT) AS seq_id
+      FROM split
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           sum(n_tokens) AS n_tokens,
+           count(DISTINCT seq_id) AS n_sequences,
+           {dround("CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT seq_id) * 256)", 6)}
+             AS utilization
+    FROM packed
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("L1", "L9", "L8", "L3", "W3", "A1", "F1"),
+)
+def c16_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-corpus pipeline as ONE lazy plan — the
+    production composition this engine exists for: normalize (l20) →
+    exact-dedup keep-first on content digest (l2) → decontaminate
+    against a held-out eval slice by 5-gram overlap (l19) → minimum-
+    length quality gate (l9b) → leakage-free source-hash split (l34) →
+    concat-and-chop 256-token sequence packing (l25) → per-split
+    corpus card (n_docs, tokens, sequences, packing utilization).
+
+    Every stage was verified standalone; composing them in one DAG
+    shows nothing needs a materialization barrier: Catalyst pipelines
+    clean+tokenize+length into single projections and the only
+    shuffles are the four keyed ones (digest window, gram join, split
+    window, final card agg). At 100 TB each stage's scale note carries
+    over unchanged — the gram join is the one to watch (both sides
+    grow with corpus; the LSH tier substitutes at full scale).
+
+    Packing is the industry-standard concat-and-chop: token counts
+    cumsum per split in deterministic doc_id order, chopped at 256 —
+    seq_id = floor((cumsum-1)/256) — so utilization is exact integer
+    arithmetic until the single final division.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    cleaned = docs.select("doc_id", "source", t.alias("t"))
+    w_dig = Window.partitionBy(F.sha2("t", 256)).orderBy("doc_id")
+    deduped = (
+        cleaned.withColumn("rn", F.row_number().over(w_dig))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    from nipd_spark.operators import text as tx
+
+    grams = lambda c: F.explode(tx.shingles(c, 5))  # noqa: E731
+    eval_grams = (
+        deduped.filter(F.col("doc_id") % 97 == 0)
+        .select(grams(F.col("t")).alias("g"))
+        .distinct()
+    )
+    train = deduped.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.select("doc_id", grams(F.col("t")).alias("g"))
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean_train = (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tx.tokens(F.col("t"))).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 10)
+    )
+    sid = F.substring("source", 4, 10).cast("bigint")
+    split = clean_train.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.pmod(sid * F.lit(2654435761), F.lit(100)) < 10, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    w_pack = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = split.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w_pack) - 1) / 256).cast("bigint"),
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("seq_id").alias("n_sequences"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / (F.countDistinct("seq_id") * 256),
+                6,
+            ).alias("utilization"),
+        )
+        .orderBy("split")
+    )
