@@ -947,7 +947,8 @@ def c14_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     ),
     arms AS (
-      SELECT variant, count(*) AS n_users, sum(converted) AS n_conv,
+      SELECT variant, count(*) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv,
              CAST(sum(converted) AS DOUBLE) / count(*) AS rate
       FROM conv GROUP BY variant
     ),
@@ -1089,7 +1090,7 @@ def c15_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            count(*) AS n_docs,
-           sum(n_tokens) AS n_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            count(DISTINCT seq_id) AS n_sequences,
            {dround("CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT seq_id) * 256)", 6)}
              AS utilization

@@ -274,10 +274,10 @@ def f12_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            bit_and(l_linenumber) AS all_and,
            bit_or(l_linenumber)  AS all_or,
            bit_xor(l_linenumber) AS all_xor,
-           sum(l_linenumber & 3) AS sum_low2,
-           sum(l_linenumber << 2) AS sum_shl,
-           sum(l_linenumber >> 1) AS sum_shr,
-           sum(xor(l_linenumber, 5)) AS sum_xor5
+           CAST(sum(l_linenumber & 3) AS BIGINT) AS sum_low2,
+           CAST(sum(l_linenumber << 2) AS BIGINT) AS sum_shl,
+           CAST(sum(l_linenumber >> 1) AS BIGINT) AS sum_shr,
+           CAST(sum(xor(l_linenumber, 5)) AS BIGINT) AS sum_xor5
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -339,8 +339,8 @@ def a20_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id % 7 AS grp,
            count(*) AS n,
-           sum(CAST((CASE WHEN event_id % 5 = 0 THEN NULL
-                    ELSE value / (event_id % 5) END) IS NULL AS INT)) AS n_div_null,
+           CAST(sum(CAST((CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE value / (event_id % 5) END) IS NULL AS INT)) AS BIGINT) AS n_div_null,
            count(TRY_CAST(props AS DOUBLE)) AS n_cast_ok,
            count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS n_json_int

@@ -861,7 +861,7 @@ def sql4_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id % 8 AS bucket,
            count(*) AS n,
-           sum(val) AS total,
+           CAST(sum(val) AS BIGINT) AS total,
            min(val) AS vmin,
            max(val) AS vmax
     FROM gen

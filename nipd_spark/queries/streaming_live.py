@@ -714,7 +714,7 @@ def t13_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i AS id, (i * 48271) % 65537 AS val
       FROM (SELECT unnest(range(0, 10000)) AS i)
     )
-    SELECT id % 4 AS bucket, count(*) AS n, sum(val) AS total
+    SELECT id % 4 AS bucket, count(*) AS n, CAST(sum(val) AS BIGINT) AS total
     FROM gen
     GROUP BY bucket
     ORDER BY bucket

@@ -901,7 +901,7 @@ def l29_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
              freq
       FROM words WHERE length(word) >= 2
     )
-    SELECT pair, sum(freq) AS n
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
     FROM pairs
     GROUP BY pair
     ORDER BY n DESC, pair ASC
@@ -1050,7 +1050,7 @@ def l33_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split,
            count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM tagged
     GROUP BY split
     ORDER BY split

@@ -564,7 +564,7 @@ def w13_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS segment
       FROM flagged
     )
-    SELECT user_id, event_id, segment,
+    SELECT user_id, event_id, CAST(segment AS BIGINT) AS segment,
            {dround("sum(CASE WHEN is_reset = 0 THEN value ELSE 0 END) OVER (PARTITION BY user_id, segment ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)")}
              AS run_value
     FROM seg
