@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
+from nipd_spark.oracle import dround
 from nipd_spark.operators import vector
 from nipd_spark.registry import query
 
@@ -205,4 +206,41 @@ def f15_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             "top_keys_raw", F.least(F.lit(2), F.size("top_keys_raw"))
         ).alias("second_order"),
+    )
+
+
+@query(
+    "f16_variant_json",
+    sql=f"""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           {dround("avg(value)", 6)} AS avg_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+    tags=("F7", "F8", "A1"),
+)
+def f16_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json once into an
+    open-schema VARIANT column, then variant_get typed extraction —
+    the engine-native answer to schemaless props that f7's
+    get_json_object string-walks per access. VARIANT stores a parsed
+    binary form, so repeated multi-path extraction costs one parse
+    instead of N regex walks, and the extraction is codegen'd.
+    DuckDB's JSON type plays the oracle twin via json_extract.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            (F.try_variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
     )

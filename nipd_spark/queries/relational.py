@@ -1167,3 +1167,41 @@ def p8_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT count(*) FROM probe WHERE pri IS NULL) AS n_null_probe
         """
     )
+
+
+@query(
+    "p9_collated_match",
+    sql="""
+    SELECT p_brand,
+           count(*) AS n_standard,
+           count(DISTINCT p_type) AS n_types
+    FROM part
+    WHERE contains(lower(p_type), 'standard')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("P6", "F1", "A1"),
+)
+def p9_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware matching (Spark 4 string collations): the
+    predicate compares under UTF8_LCASE, so 'STANDARD'/'Standard'/
+    'standard' all hit WITHOUT rewriting the column through lower() —
+    the collation is type-level, pushable, and (unlike lower())
+    preserves the original bytes for output. The oracle twin spells
+    the same semantics portably with lower(); on this ASCII corpus the
+    two are provably identical.
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n_standard,
+               count(DISTINCT p_type) AS n_types
+        FROM part
+        WHERE contains(p_type COLLATE UTF8_LCASE, 'StAnDaRd')
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )

@@ -279,3 +279,47 @@ def d9_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_price", 4).alias("avg_price"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "d10_sql_udf",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")}
+             AS total_charge
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("D1", "A1"),
+)
+def d10_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the business formula is named once and reused like a builtin —
+    and because the body is a SQL expression, Catalyst INLINES it into
+    the calling plan (full codegen, pushdown through it), which no
+    Python UDF (d1) can offer. The oracle twin is the inlined
+    expression itself, proving the indirection costs nothing
+    semantically.
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(
+          price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * (1 - disc) * (1 + tax)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 4)
+                 AS total_charge
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
