@@ -222,3 +222,70 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@query(
+    "g3_connected_components",
+    sql="""
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    walk(node, lbl) AS (
+      SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v AS node, walk.lbl
+      FROM walk JOIN e ON e.u = walk.node
+      WHERE walk.lbl < e.v
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+    SELECT component,
+           count(*) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM comp
+    GROUP BY component
+    ORDER BY n_nodes DESC, component ASC
+    LIMIT 20
+    """,
+    tags=("J1", "A1", "U2"),
+)
+def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the co-purchase graph as a
+    standalone result (operators/components.py min-label propagation —
+    the same operator the dedup clustering l16/l16b consumes): per-
+    component size census, largest first. The DuckDB twin reaches the
+    identical min-label fixpoint through a recursive CTE that walks
+    labels downhill (a label walks to a neighbor only if smaller), so
+    two utterly different fixpoint engines must agree on every
+    component id and size — a strong cross-check for iterative
+    DataFrame algorithms beyond what single-pass oracles exercise.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    from nipd_spark.operators.components import connected_components
+
+    comp = connected_components(und, "u", "v")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("component").asc())
+        .limit(20)
+    )
