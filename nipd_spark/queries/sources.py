@@ -933,3 +933,61 @@ def s15_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "s16_write_audit_publish",
+    sql=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           {dround("sum(o_totalprice)")} AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("S6", "S1", "A1"),
+)
+def s16_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (WAP): the production sink discipline for
+    tables consumers read — data lands in a STAGING path, an audit
+    suite (dq1's shape: row count, nulls, domain checks) runs against
+    staging, and only on a clean audit does an atomic rename make it
+    the PUBLISHED path. Readers never observe a half-written or
+    failed-audit table; a dirty audit leaves the previous publication
+    untouched. (Iceberg/Delta spell this with branch/snapshot commits —
+    connectors.py gates those; the rename protocol is the
+    format-agnostic floor.)
+
+    The returned aggregate reads the PUBLISHED path only; the oracle
+    computes the same from the source, so publication is proven
+    lossless.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.sha1(f"{sf_dir}|s16".encode()).hexdigest()[:10]
+    staging = f"/tmp/nipd_wap_staging_{tag}"
+    published = f"/tmp/nipd_wap_published_{tag}"
+    if not os.path.exists(published):
+        shutil.rmtree(staging, ignore_errors=True)
+        o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+        o.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("o_totalprice") <= 0).alias("bad_price"),
+            F.count_if(F.col("o_orderkey").isNull()).alias("null_key"),
+        ).first()
+        assert audit.n > 0 and audit.bad_price == 0 and audit.null_key == 0, audit
+        os.rename(staging, published)  # atomic publish after clean audit
+    back = spark.read.parquet(published)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
