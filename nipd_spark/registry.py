@@ -59,10 +59,11 @@ _QUERY_MODULES = (
 # rows-only l10b — they land right after the front list for round 4,
 # together with every round-3 addition (all sf0.01-verified repo-side,
 # VERIFY_r03.txt): the early batch (l23-l27, l16b, s9, s10, j12, c9)
-# plus the late batch (j15, a17-a20, w13, w14, c13-c15, dq2, l31-l37,
-# g2, o5, t11, t12, sql3, f13, f14). Round 4 front list should be
-# those ~40 never-driver-checked names followed by a re-check rotation
-# of the oldest r1 rows.
+# plus the late batch (j15, a17, a17b, a18-a21, w13, w14, c13-c16,
+# dq2, l31-l37, g2, g3, o5, p8, p9, t11-t14, sql3, sql4, s15, s16,
+# f13-f16, d10). Round 4 front list should draw from those ~50
+# never-driver-checked names (oracle-twinned first), then a re-check
+# rotation of the oldest r1 rows.
 _FRONT_QUERIES: tuple[str, ...] = (
     # composites (SURVEY §2.12 — genomics heart: c1/c6)
     "c1_sprt_rhdo",
