@@ -15,11 +15,11 @@ count ≫ core count and group size bounded.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
-from nipd_spark.oracle import dround
+from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 
 
@@ -749,4 +749,53 @@ def a21_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "a22_window_distinct",
+    sql=f"""
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(epoch_us({ts_us()}) // 1000000 AS BIGINT) AS sec
+      FROM events
+    )
+    SELECT event_id,
+           count(DISTINCT user_id) OVER (
+             ORDER BY sec
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS dau_24h
+    FROM t
+    ORDER BY event_id
+    LIMIT 500
+    """,
+    tags=("A3", "W5", "A8"),
+)
+def a22_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding event-time frame (trailing-24 h
+    active users as of every event). Spark bans count(DISTINCT) in
+    windows, so the frame-distinct is spelled from primitives —
+    collect_set over the RANGE frame, then size() — which makes the
+    cost visible in the plan: the frame's value set materializes per
+    row. That is fine for bounded frames/domains (user domain here);
+    for unbounded ones this is exactly the a18/a19 sketch territory
+    (per-bucket HLL/bitmap partials unioned over the window instead).
+    DuckDB runs the native frame-DISTINCT as the twin.
+    """
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id", "user_id", (F.unix_micros("ts") / 1_000_000).cast("bigint").alias("sec")
+    )
+    w = (
+        Window.orderBy("sec")
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        t.select(
+            "event_id",
+            "sec",
+            F.size(F.collect_set("user_id").over(w)).alias("dau_24h"),
+        )
+        .select("event_id", "dau_24h")
+        .orderBy("event_id")
+        .limit(500)
     )

@@ -1190,3 +1190,71 @@ def c16_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "c17_bootstrap_ci",
+    sql=f"""
+    WITH resampled AS (
+      SELECT e.event_type, r.r, e.value
+      FROM events e
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS r) r
+      WHERE (e.event_id * 2654435761 + r.r * 40503) % 2 = 0
+    ),
+    med AS (
+      SELECT event_type, r, median(value) AS med
+      FROM resampled
+      GROUP BY event_type, r
+    )
+    SELECT event_type,
+           count(*) AS n_resamples,
+           {dround("min(med)", 6)} AS ci_lo,
+           {dround("max(med)", 6)} AS ci_hi,
+           {dround("avg(med)", 6)} AS med_mean
+    FROM med
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A9", "A1", "F3"),
+)
+def c17_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-style confidence band for the per-type median value —
+    with DETERMINISTIC resamples: replicate r keeps the rows whose
+    (event_id, r) hash is even, giving 10 independent-ish half-samples
+    with zero rand() (reproducible across engines, runs, and partition
+    layouts; the same trick as every sampler in this repo, l17/l29/
+    l32). The spread of the 10 resample medians is the uncertainty
+    band an analyst actually wants next to dq2's point estimates.
+
+    Shape: the replicate axis is a 10-row broadcast cross join (row
+    expansion 10x BEFORE the hash filter halves it — net 5x), then one
+    grouped exact median per (type, replicate) and a 5-row final agg.
+    At 100 TB swap the exact median for a15's sketch and the expansion
+    for per-replicate partial sketches in one pass.
+    """
+    ev = load(spark, sf_dir, "events")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("r"))
+    resampled = (
+        ev.crossJoin(F.broadcast(reps))
+        .filter(
+            F.pmod(
+                F.col("event_id") * F.lit(2654435761) + F.col("r") * 40503,
+                F.lit(2),
+            )
+            == 0
+        )
+        .select("event_type", "r", "value")
+    )
+    med = resampled.groupBy("event_type", "r").agg(
+        F.median("value").alias("med")
+    )
+    return (
+        med.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_resamples"),
+            F.round(F.min("med"), 6).alias("ci_lo"),
+            F.round(F.max("med"), 6).alias("ci_hi"),
+            F.round(F.avg("med"), 6).alias("med_mean"),
+        )
+        .orderBy("event_type")
+    )
