@@ -991,3 +991,47 @@ def s16_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "s17_parquet_bloom_filter",
+    sql=f"""
+    SELECT count(*) AS n_hits,
+           {dround("sum(o_totalprice)")} AS total
+    FROM orders
+    WHERE o_orderkey IN (11, 222, 3333, 4444, 55, 666, 777, 888)
+    """,
+    tags=("S6", "S1", "P4"),
+)
+def s17_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet file-level bloom filters: the orders table is rewritten
+    with a bloom filter on o_orderkey
+    (parquet.bloom.filter.enabled#o_orderkey) and the point-lookup IN
+    probe reads THAT copy. Min/max row-group stats are useless for
+    point lookups on high-cardinality unsorted keys (every group's
+    range contains every probe); the bloom answers "definitely not
+    here" per row group instead — at 100 TB that turns a needle query
+    from a full-table scan into a handful of row groups.
+    tests/test_operators_properties.py proves the filter is physically
+    present (bloom-enabled file is measurably larger than the same
+    data without it) and that results are identical either way.
+    """
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(f"{sf_dir}|s17".encode()).hexdigest()[:10]
+    out = f"/tmp/nipd_bloom_{tag}"
+    if not os.path.exists(out):
+        (
+            load(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    probes = [11, 222, 3333, 4444, 55, 666, 777, 888]
+    return back.filter(F.col("o_orderkey").isin(probes)).agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -603,3 +603,35 @@ def test_ivfpq_result_shape_and_exact_rescore(spark, sf_dir):
     assert shared
     for r in shared:
         assert r.cosine == truth[(r.q_id, r.neighbor_id)]
+
+
+def test_parquet_bloom_filter_written(spark, sf_dir, tmp_path):
+    """s17's write options must physically add a bloom filter: the
+    bloom-enabled copy of orders is measurably larger than an
+    option-free copy of the same rows, and both read back identically."""
+    from nipd_spark.catalog import load
+    import os
+
+    o = load(spark, sf_dir, "orders")
+    plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    o.coalesce(1).write.mode("overwrite").parquet(plain)
+    (
+        o.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+        .parquet(bloom)
+    )
+
+    def pq_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert pq_bytes(bloom) > pq_bytes(plain) + 50_000
+    assert (
+        spark.read.parquet(bloom).orderBy("o_orderkey").collect()
+        == spark.read.parquet(plain).orderBy("o_orderkey").collect()
+    )
