@@ -1258,3 +1258,59 @@ def c17_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "c18_transition_matrix",
+    sql=f"""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY {ts_us()}, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (SELECT from_type, to_type FROM seq WHERE to_type IS NOT NULL),
+    tot AS (SELECT from_type, count(*) AS n_from FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type,
+           count(*) AS n,
+           {dround("CAST(count(*) AS DOUBLE) / any_value(t.n_from)", 6)} AS p_transition
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    GROUP BY p.from_type, p.to_type
+    ORDER BY p.from_type, p.to_type
+    """,
+    tags=("W2", "A1", "J6"),
+)
+def c18_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (state, next-state) pair of event types, the transition count and
+    conditional probability P(next | current) along every user's
+    timeline. The 25-cell matrix is what session simulators, anomaly
+    scorers ("this hop is rare"), and c7-style funnel analyses read
+    off. Rows per user are bounded, so the lead() window is one
+    user_id shuffle; the matrix agg is a 25-key hash agg; the
+    row-total join broadcasts a 5-row table.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    tot = pairs.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

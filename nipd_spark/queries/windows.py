@@ -610,3 +610,45 @@ def w14_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("run_value"),
     )
+
+
+@query(
+    "w15_nth_value_family",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           lead(o_orderkey, 2, -1) OVER w AS after_next,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END
+                       IGNORE NULLS) OVER w AS first_finished
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W6", "W2", "P5"),
+)
+def w15_nth_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offset-window long tail: nth_value (the customer's 2nd-ever
+    order as of each row), lead with an explicit DEFAULT for the
+    off-the-end case (no NULL ambiguity downstream), and IGNORE NULLS
+    first_value (first 'F'-status order so far — the carry-forward
+    idiom c12's as-of attribution builds on). All three share one
+    window sort, so the plan pays a single shuffle+sort for the family.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.lead("o_orderkey", 2, -1).over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("after_next"),
+        F.first(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey")),
+            ignorenulls=True,
+        ).over(w).alias("first_finished"),
+    )
