@@ -1035,3 +1035,66 @@ def s17_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hits"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "s18_managed_table_ddl",
+    sql=f"""
+    SELECT n_name, count(*) AS n_suppliers,
+           {dround("sum(s_acctbal)")} AS total_bal,
+           count(*) FILTER (WHERE s_acctbal > 5000) AS n_rich
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("S5", "S6", "A1"),
+)
+def s18_managed_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse DDL surface: CREATE TABLE ... USING PARQUET (managed,
+    catalog-tracked), INSERT INTO ... SELECT to populate it, ALTER
+    TABLE ADD COLUMNS for in-place schema evolution, UPDATE-shaped
+    backfill via INSERT OVERWRITE, and the final query against the
+    CATALOG name rather than a path. This is how non-programmatic
+    consumers (BI, dbt-style SQL jobs) reach the engine; the oracle
+    answers from the raw sources, proving the DDL round-trip lost
+    nothing.
+    """
+    import hashlib
+
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    tbl = "supplier_mart_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (
+          n_name STRING, s_suppkey BIGINT, s_acctbal DOUBLE
+        ) USING PARQUET
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl}
+        SELECT n_name, s_suppkey, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """
+    )
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (is_rich BOOLEAN)")
+    spark.sql(
+        f"""
+        INSERT OVERWRITE {tbl}
+        SELECT n_name, s_suppkey, s_acctbal, s_acctbal > 5000
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT n_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 4) AS total_bal,
+               count_if(is_rich) AS n_rich
+        FROM {tbl}
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

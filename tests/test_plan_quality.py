@@ -468,3 +468,23 @@ def test_aqe_skew_join_splits(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cached_table_scans_in_memory(spark, sf_dir):
+    """spark.catalog caching: after cacheTable + materialization, plans
+    against the view must read the InMemoryRelation (columnar cache),
+    not re-scan parquet — the interactive-reuse posture for dimension
+    tables hit by many queries in one session."""
+    from nipd_spark.catalog import load
+
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_cache_probe")
+    spark.catalog.cacheTable("nation_cache_probe")
+    try:
+        spark.table("nation_cache_probe").count()  # materialize
+        df = spark.table("nation_cache_probe").groupBy("n_regionkey").count()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.uncacheTable("nation_cache_probe")
