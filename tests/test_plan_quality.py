@@ -485,6 +485,6 @@ def test_cached_table_scans_in_memory(spark, sf_dir):
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
-        assert "InMemoryTableScan" in plan
+        assert "InMemoryRelation" in plan and "Scan parquet" not in plan
     finally:
         spark.catalog.uncacheTable("nation_cache_probe")
