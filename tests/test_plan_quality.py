@@ -485,6 +485,7 @@ def test_cached_table_scans_in_memory(spark, sf_dir):
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
-        assert "InMemoryRelation" in plan and "Scan parquet" not in plan
+        assert "InMemoryRelation" in plan  # cached columnar source
+        assert "Scan parquet" not in plan.split("InMemoryRelation")[0]
     finally:
         spark.catalog.uncacheTable("nation_cache_probe")
