@@ -434,3 +434,72 @@ def l37_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "neighbor_id", "cosine", "rn")
     )
+
+
+@query(
+    "l38_hard_negatives",
+    sql=f"""
+    WITH el AS (
+      SELECT vec_id, label, embedding,
+             sqrt({vector.duck_sq_norm('embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS q_id, a.label AS q_label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             {{cos}} AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {{cos}} DESC, b.vec_id ASC) AS rn
+      FROM el a JOIN el b
+        ON a.vec_id <> b.vec_id AND a.label <> b.label
+      WHERE a.vec_id < 20
+    ) WHERE rn <= 5
+    """.format(cos=f"{vector.duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"),
+    tags=("L4", "L11", "O4"),
+)
+def l38_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query vector, the 5 most-similar vectors of a DIFFERENT label —
+    the near-misses whose contrast teaches the model the class
+    boundary (random negatives are trivially separable and carry no
+    gradient). Exact cosine with the label-differs predicate fused
+    into the pair join, so no same-label pair is ever scored.
+
+    Scale path: this exact form anchors correctness; at corpus scale
+    the candidate set comes from the ANN tiers (l35/l37) and the label
+    filter rides the candidate join — mining cost then scales with
+    candidates, not the corpus square.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", vector.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            vector.cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "q_label", "neg_id", "neg_label", "cosine", "rn")
+    )
