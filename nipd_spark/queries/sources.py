@@ -1098,3 +1098,46 @@ def s18_managed_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "s19_compression_codecs",
+    sql=f"""
+    SELECT l_linestatus, count(*) AS n,
+           {dround("sum(l_quantity)")} AS total_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("S6", "S1"),
+)
+def s19_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar compression codecs: the same lineitem partition written
+    as zstd- and as uncompressed parquet; the query reads the ZSTD copy
+    and must match the source (lossless). The size economics live in
+    the property test (zstd copy materially smaller than uncompressed)
+    — at 100 TB the codec choice IS the storage bill and often the
+    scan bill too (decode cost < saved IO for zstd level-default on
+    text-heavy columns).
+    """
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(f"{sf_dir}|s19".encode()).hexdigest()[:10]
+    out = f"/tmp/nipd_zstd_{tag}"
+    if not os.path.exists(out):
+        (
+            load(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -323,3 +323,43 @@ def d10_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "d11_arrow_udf",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("sum(CASE WHEN l_quantity > 25 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)")}
+             AS bulk_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("D1", "D2"),
+)
+def d11_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``):
+    same per-row Python signature as d1's pickled UDF, but arguments
+    and results move as Arrow batches — the drop-in ~2-5x serialization
+    win when a row-logic UDF can't be vectorized into a pandas UDF
+    (d2) outright. Still the slow path vs builtins: keep it OFF the
+    hot aggregates (plan shows ArrowEvalPython, which the headline
+    queries' guard forbids) — this exists to cover the migration
+    ladder d1 → d11 → d2 → builtin.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(returnType=DoubleType(), useArrow=True)
+    def bulk_rev(qty: float, price: float, disc: float) -> float:
+        return price * (1.0 - disc) if qty > 25 else 0.0
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            bulk_rev("l_quantity", "l_extendedprice", "l_discount").alias("r"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("r"), 4).alias("bulk_revenue"))
+        .orderBy("l_returnflag")
+    )

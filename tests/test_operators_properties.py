@@ -635,3 +635,29 @@ def test_parquet_bloom_filter_written(spark, sf_dir, tmp_path):
         spark.read.parquet(bloom).orderBy("o_orderkey").collect()
         == spark.read.parquet(plain).orderBy("o_orderkey").collect()
     )
+
+
+def test_zstd_smaller_than_uncompressed(spark, sf_dir, tmp_path):
+    """s19's economics claim: zstd parquet of lineitem is materially
+    smaller than the uncompressed encoding of the same rows."""
+    import os
+
+    from nipd_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    plain, zstd = str(tmp_path / "plain"), str(tmp_path / "zstd")
+    li.coalesce(1).write.mode("overwrite").option(
+        "compression", "none"
+    ).parquet(plain)
+    li.coalesce(1).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(zstd)
+
+    def pq_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert pq_bytes(zstd) < 0.8 * pq_bytes(plain)
