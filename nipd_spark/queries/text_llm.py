@@ -426,17 +426,30 @@ def l19_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval side is small at any corpus scale (benchmarks
     are MBs) — its distinct 5-gram set broadcasts; the training side
     explodes to 5-grams map-side and the membership test is a broadcast
-    left-semi hash join, so the 100 TB side never shuffles on text."""
+    left-semi hash join, so the 100 TB side never shuffles on text.
+    n_shared is a pure function of CONTENT, so the expensive explode +
+    probe runs once per DISTINCT training text and the result fans
+    back to every copy by digest (the l26 representative trick) —
+    on the 16x duplicated probe corpus that is a 16x cut in gram rows
+    for identical output."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", "source", F.explode(text.shingles(F.col("text"), 5)).alias("g")
+    ev = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(text.shingles(F.col("text"), 5)).alias("g"))
+        .distinct()
     )
-    ev = grams.filter(F.col("source") == "src0").select("g").distinct()
-    return (
-        grams.filter(F.col("source") != "src0")
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.sha2("text", 256).alias("h"), "text"
+    )
+    rep = train.groupBy("h").agg(F.min_by("text", "doc_id").alias("text"))
+    rep_shared = (
+        rep.select("h", F.explode(text.shingles(F.col("text"), 5)).alias("g"))
         .join(F.broadcast(ev), "g", "left_semi")
-        .groupBy("doc_id")
+        .groupBy("h")
         .agg(F.countDistinct("g").alias("n_shared"))
+    )
+    return train.select("doc_id", "h").join(rep_shared, "h").select(
+        "doc_id", "n_shared"
     )
 
 
