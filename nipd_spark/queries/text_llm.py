@@ -607,17 +607,23 @@ def l23_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     was tried and REVERTED: interpreted per-element lambdas cost
     ~10 ms/doc (60 s at sf0.1) vs ~0.5 µs/gram for the codegen'd
     explode+hash-agg path (~2 s) — whole-stage codegen beats avoiding
-    the shuffle by two orders of magnitude here. flagged emitted as INT
-    for a representation-stable cross-engine hash.
+    the shuffle by two orders of magnitude here. Both metrics are pure
+    functions of CONTENT, so they are computed once per distinct text
+    and fanned back to copies by digest (the l26/l19 representative
+    trick — duplicated corpora pay for distinct content only). flagged
+    emitted as INT for a representation-stable cross-engine hash.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h"), "text"
+    )
+    rep = docs.groupBy("h").agg(F.min_by("text", "doc_id").alias("text"))
 
     def gram_metric(n, agg):
-        grams = docs.select(
-            "doc_id", F.explode(text.shingles(F.col("text"), n)).alias("g")
+        grams = rep.select(
+            "h", F.explode(text.shingles(F.col("text"), n)).alias("g")
         )
-        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-        return counts.groupBy("doc_id").agg(agg)
+        counts = grams.groupBy("h", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("h").agg(agg)
 
     m2 = gram_metric(
         2,
@@ -633,7 +639,8 @@ def l23_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_5gram_frac"),
     )
-    return m2.join(m5, "doc_id").select(
+    per_text = m2.join(m5, "h")
+    return docs.select("doc_id", "h").join(per_text, "h").select(
         "doc_id",
         "top_bigram_frac",
         "dup_5gram_frac",
