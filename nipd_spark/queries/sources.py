@@ -1064,13 +1064,16 @@ def s18_managed_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipd_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    tbl = "supplier_mart_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tbl = "supplier_mart_" + tag
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # explicit LOCATION: the default warehouse dir is $PWD/spark-warehouse,
+    # and the caller's cwd is not ours to write into
     spark.sql(
         f"""
         CREATE TABLE {tbl} (
           n_name STRING, s_suppkey BIGINT, s_acctbal DOUBLE
-        ) USING PARQUET
+        ) USING PARQUET LOCATION '/tmp/nipd_mart_{tag}'
         """
     )
     spark.sql(
