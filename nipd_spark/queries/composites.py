@@ -1314,3 +1314,61 @@ def c18_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "c19_seasonality_profile",
+    sql=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(date_part('dow', {ts_us()}) AS INT) AS dow,
+             value
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, dow, count(*) AS n, {dround("sum(value)")} AS total
+      FROM base GROUP BY event_type, dow
+    ),
+    typ AS (SELECT event_type, sum(n) AS n_type FROM cells GROUP BY event_type)
+    SELECT c.event_type, c.dow, c.n,
+           {dround("CAST(c.n AS DOUBLE) / any_value(t.n_type)", 6)} AS dow_share,
+           c.total
+    FROM cells c JOIN typ t ON c.event_type = t.event_type
+    GROUP BY c.event_type, c.dow, c.n, c.total
+    ORDER BY c.event_type, c.dow
+    """,
+    tags=("F2", "A1", "A12"),
+)
+def c19_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: the share of a
+    type's traffic landing on each weekday plus the value mass — the
+    seasonal fingerprint detrending/anomaly baselines are built from
+    (dq2's outlier fences should really be conditioned on THIS). Spark
+    dayofweek() is 1=Sunday..7; DuckDB date_part('dow') is 0=Sunday..6
+    — the cross-engine off-by-one is normalized to the DuckDB
+    convention in the Spark expression, the classic calendar-semantics
+    trap (SURVEY §4.2) made explicit.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),  # → 0=Sunday..6 (DuckDB dow)
+        "value",
+    )
+    cells = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    typ = cells.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        cells.join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_type"), 6).alias(
+                "dow_share"
+            ),
+            "total",
+        )
+        .orderBy("event_type", "dow")
+    )

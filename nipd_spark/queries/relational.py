@@ -1205,3 +1205,66 @@ def p9_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_brand
         """
     )
+
+
+@query(
+    "j16_drill_across",
+    sql=f"""
+    WITH order_fact AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+             count(*) AS n_orders,
+             {dround("sum(o_totalprice)")} AS order_value
+      FROM orders GROUP BY 1
+    ),
+    ship_fact AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
+             count(*) AS n_lines,
+             {dround("sum(l_extendedprice * (1 - l_discount))")} AS ship_revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.mon, s.mon) AS mon,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(order_value, 0.0) AS order_value,
+           coalesce(n_lines, 0) AS n_lines,
+           coalesce(ship_revenue, 0.0) AS ship_revenue
+    FROM order_fact o FULL JOIN ship_fact s ON o.mon = s.mon
+    ORDER BY mon
+    """,
+    tags=("J3", "A1", "F2"),
+)
+def j16_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across (Kimball): two FACT tables at different grains
+    (orders placed vs lines shipped) summarized independently to the
+    conformed month dimension and full-outer stitched — the BI pattern
+    for "orders vs shipments by month" where neither fact is a subset
+    of the other (late shipments extend past the last order month).
+    The cardinal rule is encoded in the shape: aggregate EACH fact to
+    the conformed grain FIRST, then join the small summaries — joining
+    facts row-level first would fan out line items per order and
+    double-count. Two parallel partial+final aggs and a months-sized
+    join: at 100 TB the stitch cost is trivial; the scans dominate and
+    never touch each other's shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    of = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("order_value"),
+    )
+    sf = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mon")).agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("ship_revenue"),
+    )
+    return (
+        of.join(sf, "mon", "full")
+        .select(
+            "mon",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("ship_revenue", F.lit(0.0)).alias("ship_revenue"),
+        )
+        .orderBy("mon")
+    )

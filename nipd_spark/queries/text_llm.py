@@ -1175,3 +1175,73 @@ def l36_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "chunk_id")
         .limit(200)
     )
+
+
+@query(
+    "l39_content_defined_chunks",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    vals AS (
+      SELECT doc_id,
+             list_transform(t, s -> length(s) * 31 + ascii(s)) AS v
+      FROM toks
+    ),
+    bounds AS (
+      SELECT doc_id,
+             len(v) AS n_tokens,
+             len(list_filter(range(2, len(v) + 1),
+                 i -> (v[i - 1] * 31 + v[i]) % 8 = 0)) AS n_cuts
+      FROM vals
+    )
+    SELECT doc_id, n_tokens, n_cuts + 1 AS n_chunks,
+           CAST(floor(CAST(n_tokens AS DOUBLE)
+                      / (n_cuts + 1) * 1000) AS BIGINT) AS avg_chunk_millitokens
+    FROM bounds
+    ORDER BY doc_id
+    """,
+    tags=("L2", "L8", "F5"),
+)
+def l39_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/rolling-hash family, the rsync/
+    LBFS boundary trick): a chunk boundary falls wherever the rolling
+    hash of the local token window hits 0 mod 8, so boundaries are a
+    function of LOCAL content — an insertion early in a document shifts
+    fixed-stride chunk frames (l36) for the whole tail, but CDC
+    boundaries downstream of the edit stay put, which is what makes
+    chunk-level dedup robust to near-identical long documents. Expected
+    chunk size = the modulus (8 tokens).
+
+    The rolling value is exact integer arithmetic over (length,
+    first-byte) token features — cross-engine deterministic, no string
+    hashing disagreement — computed entirely in JVM higher-order
+    functions (per-doc, map-only, no shuffle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    vals = toks.select(
+        "doc_id",
+        F.transform(
+            "t", lambda s: F.length(s) * 31 + F.ascii(s)
+        ).alias("v"),
+    )
+    n_tokens = F.size("v")
+    cuts = F.size(
+        F.filter(
+            F.sequence(F.lit(2), n_tokens),
+            lambda i: (F.element_at("v", (i - 1).cast("int")) * 31
+                       + F.element_at("v", i.cast("int"))) % 8 == 0,
+        )
+    )
+    return (
+        vals.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (cuts + 1).alias("n_chunks"),
+            F.floor(
+                n_tokens.cast("double") / (cuts + 1) * 1000
+            ).cast("bigint").alias("avg_chunk_millitokens"),
+        )
+        .orderBy("doc_id")
+    )
