@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
-from nipd_spark.oracle import dround
+from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 
 
@@ -176,4 +176,71 @@ def dq2_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("med", 6).alias("med"),
             F.round("mad", 6).alias("mad"),
         )
+    )
+
+
+@query(
+    "dq3_freshness_completeness",
+    sql=f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', min({ts_us()})) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max({ts_us()})) AS TIMESTAMP) AS hi,
+             max({ts_us()}) AS max_ts
+      FROM events
+    ),
+    expected AS (
+      SELECT CAST(hr AS TIMESTAMP) AS hr, max_ts FROM (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr, max_ts
+        FROM bounds
+      )
+    ),
+    observed AS (
+      SELECT CAST(date_trunc('hour', {ts_us()}) AS TIMESTAMP) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT count(*) AS expected_hours,
+           count(o.hr) AS observed_hours,
+           count(*) - count(o.hr) AS missing_hours,
+           CAST(min(coalesce(o.n, 0)) AS BIGINT) AS min_events_per_hour,
+           CAST(max(epoch_us(e.max_ts - e.hr)) / 3600000000.0 >= 1.0 AS INT)
+             AS spans_over_1h
+    FROM expected e LEFT JOIN observed o ON e.hr = o.hr
+    """,
+    tags=("F2", "A2", "J2"),
+)
+def dq3_freshness_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness + freshness audit: generate the EXPECTED hour spine
+    between the table's first and last event hours, left-join the
+    observed per-hour counts, and report coverage (hours with zero
+    events are ingestion gaps a groupBy alone can never show — absent
+    groups produce no row to alarm on). The pattern behind every
+    data-SLA dashboard: expected-domain spine ⟕ observed, audit the
+    null side. The spine is sequence()-generated (tiny at any scale);
+    the observed side is one map-side-combined agg of the fact table.
+    """
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.max("ts").alias("max_ts"),
+    )
+    expected = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+        "max_ts",
+    )
+    observed = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("n")
+    )
+    joined = expected.join(observed, "hr", "left")
+    return joined.agg(
+        F.count("*").alias("expected_hours"),
+        F.count("n").alias("observed_hours"),
+        (F.count("*") - F.count("n")).alias("missing_hours"),
+        F.min(F.coalesce("n", F.lit(0))).alias("min_events_per_hour"),
+        (
+            F.max(F.unix_micros("max_ts") - F.unix_micros("hr")) / 3.6e9 >= 1.0
+        ).cast("int").alias("spans_over_1h"),
     )

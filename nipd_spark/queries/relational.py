@@ -1268,3 +1268,57 @@ def j16_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+@query(
+    "o6_keyset_pagination",
+    sql="""
+    WITH page1 AS (
+      SELECT o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT 100
+    ),
+    anchor AS (
+      SELECT o_orderdate AS a_date, o_orderkey AS a_key
+      FROM page1 ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    )
+    SELECT o.o_orderdate, o.o_orderkey, o.o_totalprice
+    FROM orders o, anchor
+    WHERE (o.o_orderdate, o.o_orderkey) > (anchor.a_date, anchor.a_key)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("O2", "O1", "P3"),
+)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page 2 = first 100 rows STRICTLY AFTER
+    page 1's last (date, key) anchor, via a lexicographic row-tuple
+    comparison — not OFFSET 100. OFFSET-pagination sorts and discards
+    every prior page (page N costs O(N·page) — a full-table sort by the
+    deep pages); the keyset predicate pushes into the scan and each
+    page is a fresh TakeOrderedAndProject over the filtered remainder —
+    page N costs the same as page 1 at any depth. The tuple comparison
+    is spelled as the expanded OR-form in Spark (no native row-value
+    comparison pushdown) and natively in DuckDB — same rows either way.
+    """
+    o = load(spark, sf_dir, "orders")
+    page1 = o.orderBy("o_orderdate", "o_orderkey").limit(100)
+    anchor = page1.orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    ).limit(1).select(
+        F.col("o_orderdate").alias("a_date"), F.col("o_orderkey").alias("a_key")
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_orderdate") > F.col("a_date"))
+            | (
+                (F.col("o_orderdate") == F.col("a_date"))
+                & (F.col("o_orderkey") > F.col("a_key"))
+            )
+        )
+        .select("o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
