@@ -1372,3 +1372,66 @@ def c19_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "c20_rfm_segmentation",
+    sql="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey)  AS f_score,
+             ntile(4) OVER (ORDER BY monetary, o_custkey)   AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(max(CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
+                    THEN 1 ELSE 0 END) AS INT) AS is_champion_cell
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("W1", "A1", "A11"),
+)
+def c20_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency / Frequency /
+    Monetary, each quartiled with ntile (deterministic o_custkey
+    tie-break), customers counted per (r, f, m) cell — the 4x4x4
+    segment grid CRM targeting runs on, with the champions cell
+    (4,4,4) flagged. Three ntiles share ONE unpartitioned window
+    pass each over the customer-grain aggregate (already tiny relative
+    to orders); at larger customer counts swap ntile for
+    percentile-sketch cutpoints (a15) joined back, which avoids the
+    global sort entirely.
+    """
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    champion = (
+        (F.col("r_score") == 4) & (F.col("f_score") == 4) & (F.col("m_score") == 4)
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max(champion.cast("int")).alias("is_champion_cell"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

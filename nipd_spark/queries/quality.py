@@ -244,3 +244,68 @@ def dq3_freshness_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros("max_ts") - F.unix_micros("hr")) / 3.6e9 >= 1.0
         ).cast("int").alias("spans_over_1h"),
     )
+
+
+@query(
+    "dq4_distribution_drift",
+    sql=f"""
+    WITH tagged AS (
+      SELECT source, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS half
+      FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             count(*) FILTER (half = 'a') AS n_a,
+             count(*) FILTER (half = 'b') AS n_b
+      FROM tagged GROUP BY source
+    ),
+    tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM cells)
+    SELECT count(*) AS n_categories,
+           {dround("sum(power(n_a * t_b - n_b * t_a, 2) / (CAST((n_a + n_b) AS DOUBLE) * t_a * t_b))", 6)}
+             AS chi2,
+           CAST(max(CAST((CAST(n_a AS DOUBLE) * t_b
+                          / (t_a * greatest(n_b, 1))) >= 2.0 AS INT))
+                AS BIGINT) AS any_cell_2x
+    FROM cells, tot
+    GROUP BY t_a, t_b
+    """,
+    tags=("A12", "A1", "F3"),
+)
+def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two corpus slices (here the
+    doc_id parity halves standing in for yesterday/today): the
+    chi-square homogeneity statistic over the source mix, plus a
+    flag for any category whose rate shifted ≥2x. Drift gates like
+    this run between every corpus snapshot pair before a retrain —
+    a KL/PSI variant needs ln() (cross-engine transcendental risk,
+    SURVEY §4.2); chi-square is products, squares, and one division —
+    exact IEEE all the way, which is why the twin hash-matches at
+    full precision. One scan, one tiny pivot per category, one 1-row
+    reduce.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("source").agg(
+        F.count_if(F.col("doc_id") % 2 == 0).alias("n_a"),
+        F.count_if(F.col("doc_id") % 2 != 0).alias("n_b"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    chi_term = F.pow(
+        F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a"), 2
+    ) / (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.col("t_a")
+        * F.col("t_b")
+    )
+    ratio = (
+        F.col("n_a").cast("double")
+        * F.col("t_b")
+        / (F.col("t_a") * F.greatest("n_b", F.lit(1)))
+    )
+    return j.groupBy("t_a", "t_b").agg(
+        F.count("*").alias("n_categories"),
+        F.round(F.sum(chi_term), 6).alias("chi2"),
+        F.max((ratio >= 2.0).cast("int")).cast("bigint").alias("any_cell_2x"),
+    ).select("n_categories", "chi2", "any_cell_2x")
