@@ -799,3 +799,69 @@ def a22_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@query(
+    "a24_weighted_median",
+    sql=f"""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, v, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum_wt,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM w
+    )
+    SELECT l_returnflag,
+           {dround("min(CASE WHEN cum_wt >= tot_wt / 2 THEN v END)", 6)}
+             AS weighted_median,
+           {dround("any_value(tot_wt)")} AS total_weight
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A9", "W3", "A11"),
+)
+def a24_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (price weighted by quantity): the smallest
+    value whose running weight reaches half the group's total — the
+    cumulative-weight crossing formulation, which needs only a sorted
+    prefix sum and a conditional min (no dense rank, no second pass).
+    Plain median treats a 1-unit and a 50-unit line equally; the
+    weighted form answers "the price of the median UNIT shipped",
+    which is the statistic pricing teams actually mean. Ordering ties
+    on (v, wt) keeps the prefix sums bit-identical across engines.
+
+    One window shuffle on the group key + a hash agg; the same
+    crossing trick generalizes to any weighted quantile by changing
+    the 1/2.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wspec = Window.partitionBy("l_returnflag").orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tspec = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    ).select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wspec).alias("cum_wt"),
+        F.sum("wt").over(tspec).alias("tot_wt"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("cum_wt") >= F.col("tot_wt") / 2, F.col("v"))),
+                6,
+            ).alias("weighted_median"),
+            F.round(F.first("tot_wt"), 4).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1435,3 +1435,67 @@ def c20_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "c21_leadtime_distribution",
+    sql=f"""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(epoch_us(l.l_shipdate - o.o_orderdate) // 86400000000
+                  AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT priority,
+           count(*) AS n_lines,
+           min(days) AS p0,
+           {dround("quantile_cont(days, 0.50)", 6)} AS p50,
+           {dround("quantile_cont(days, 0.90)", 6)} AS p90,
+           max(days) AS p100
+    FROM lag
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    tags=("J1", "A9", "F2"),
+)
+def c21_leadtime_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution by priority: whole-day lag
+    between order placement and each line's ship date, summarized as
+    exact continuous percentiles — the SLA panel (does 2-HIGH actually
+    ship faster?). Day arithmetic in integer µs (floor-div, no
+    calendar functions), percentile_cont matching DuckDB's
+    quantile_cont interpolation exactly on integer inputs.
+
+    Shape: one fact-fact equi join on orderkey (orders side is smaller
+    — broadcast at this SF, shuffle-hash at 100 TB), then a per-group
+    exact percentile (sort within 5 groups); a15's sketch replaces it
+    beyond memory.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                (
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                )
+                / F.lit(86_400_000_000)
+            ).cast("bigint").alias("days"),
+        )
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("days").alias("p0"),
+            F.round(F.expr("percentile(days, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(days, 0.90)"), 6).alias("p90"),
+            F.max("days").alias("p100"),
+        )
+        .orderBy("priority")
+    )
