@@ -1499,3 +1499,81 @@ def c21_leadtime_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "c22_association_rules",
+    sql=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 3
+    )
+    SELECT p.x, p.y, p.n_pair,
+           {dround("CAST(p.n_pair AS DOUBLE) / ix.n_item", 6)} AS confidence,
+           {dround("CAST(p.n_pair AS DOUBLE) * n.n / (CAST(ix.n_item AS DOUBLE) * iy.n_item)", 6)}
+             AS lift
+    FROM pair p
+    JOIN item ix ON p.x = ix.l_partkey
+    JOIN item iy ON p.y = iy.l_partkey
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, p.x ASC, p.y ASC
+    LIMIT 50
+    """,
+    tags=("J11", "A1", "A5"),
+)
+def c22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts:
+    support (co-occurrence count, min 3), confidence P(y|x), and lift
+    P(x,y)/(P(x)P(y)) — top-50 by lift. The counting layer of
+    Apriori/FP-growth expressed as the basket self-join g1 already
+    uses, plus two broadcast joins against the item-frequency table.
+    Lift > 1 surfaces genuinely associated pairs rather than merely
+    popular ones — the difference between a recommender signal and a
+    bestseller list. The HAVING floor prunes the rule space before the
+    stats joins, which is the Apriori support-pruning insight.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("n_item").alias("nx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("n_item").alias("ny"))
+    return (
+        pair.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .select(
+            "x",
+            "y",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("nx"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * n_orders
+                / (F.col("nx").cast("double") * F.col("ny")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(50)
+    )

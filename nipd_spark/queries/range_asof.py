@@ -5,12 +5,13 @@ events.value bands and event-time sequences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nipd_spark.catalog import load
 from nipd_spark.operators.asof import asof_join
+from nipd_spark.oracle import ts_us
 from nipd_spark.operators.range_join import bucketed_range_join
 from nipd_spark.registry import query
 
@@ -161,4 +162,75 @@ def j9b_asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.unix_micros("ts") - F.unix_micros("cts")) <= 3_600_000_000)
         )
         .select("event_id", "user_id", "click_id")
+    )
+
+
+@query(
+    "j17_nearest_event",
+    sql=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, {ts_us()} AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS c_id, {ts_us()} AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.p_id, c.c_id,
+             abs(epoch_us(p.p_ts - c.c_ts)) AS dist_us,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY abs(epoch_us(p.p_ts - c.c_ts)),
+                                         c.c_id) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 2 HOUR
+                      AND p.p_ts + INTERVAL 2 HOUR
+    )
+    SELECT p_id, c_id AS nearest_click,
+           CAST(dist_us // 1000000 AS BIGINT) AS dist_sec
+    FROM cand WHERE rn = 1
+    ORDER BY p_id
+    """,
+    tags=("J9", "J8", "W1"),
+)
+def j17_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-event join: each purchase matched to the
+    closest same-user click within ±2 h — BEFORE or AFTER — by absolute
+    time distance (j9's as-of join is the backward-only half; sensor
+    alignment and attribution sanity checks need the symmetric form).
+    Time-banded equi join on user_id bounds candidates, then one
+    per-purchase argmin window with (distance, click_id) tie-break —
+    deterministic even when a click sits exactly between two purchases.
+    Distances compared in exact integer µs; divided to seconds only for
+    display.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    dist = F.abs(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+    cand = (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select("p_id", "c_id", dist.alias("dist_us"))
+    )
+    w = Window.partitionBy("p_id").orderBy("dist_us", "c_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            F.col("c_id").alias("nearest_click"),
+            (F.col("dist_us") / 1_000_000).cast("bigint").alias("dist_sec"),
+        )
+        .orderBy("p_id")
     )
