@@ -865,3 +865,34 @@ def a24_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("a25_hll_set_algebra", sql=None, tags=("A4", "U3", "A2"))
+def a25_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on HLL sketches: distinct users who clicked, who
+    purchased, their union (one hll_union of the two sketches — no
+    rescan), and the INTERSECTION estimated by inclusion-exclusion
+    |A∩B| ≈ |A|+|B|−|A∪B|. Sketch unions are lossless-mergeable;
+    intersections are NOT a sketch primitive, and the subtraction
+    amplifies relative error when the union dwarfs the overlap — the
+    property test bounds the error against exact counts, and THAT
+    caveat (fine for dashboards, not for billing) is the operational
+    lesson of this rows-only tier.
+    """
+    ev = load(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    wide = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("b"),
+    )
+    est_a = F.hll_sketch_estimate("a")
+    est_b = F.hll_sketch_estimate("b")
+    est_u = F.hll_sketch_estimate(F.expr("hll_union(a, b)"))
+    return wide.select(
+        est_a.alias("n_click"),
+        est_b.alias("n_purchase"),
+        est_u.alias("n_union"),
+        (est_a + est_b - est_u).alias("n_intersection_est"),
+    )

@@ -661,3 +661,24 @@ def test_zstd_smaller_than_uncompressed(spark, sf_dir, tmp_path):
         )
 
     assert pq_bytes(zstd) < 0.8 * pq_bytes(plain)
+
+
+def test_hll_set_algebra_error_bounds(spark, sf_dir):
+    """a25's estimates stay within the lgK=14 envelope of exact
+    distinct counts; the inclusion-exclusion intersection lands within
+    the compounded bound (3 sketch errors stack)."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.aggregates import a25_hll_set_algebra
+    import pyspark.sql.functions as F
+
+    [r] = a25_hll_set_algebra(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    click = {x.user_id for x in ev.filter(F.col("event_type") == "click")
+             .select("user_id").distinct().collect()}
+    buy = {x.user_id for x in ev.filter(F.col("event_type") == "purchase")
+           .select("user_id").distinct().collect()}
+    tol = lambda n: max(2, 0.025 * n)  # noqa: E731
+    assert abs(r.n_click - len(click)) <= tol(len(click))
+    assert abs(r.n_purchase - len(buy)) <= tol(len(buy))
+    assert abs(r.n_union - len(click | buy)) <= tol(len(click | buy))
+    assert abs(r.n_intersection_est - len(click & buy)) <= 3 * tol(len(click | buy))

@@ -489,3 +489,34 @@ def test_cached_table_scans_in_memory(spark, sf_dir):
         assert "Scan parquet" not in plan.split("InMemoryRelation")[0]
     finally:
         spark.catalog.uncacheTable("nation_cache_probe")
+
+
+def test_sargable_predicate_pushes_nonsargable_does_not(spark, sf_dir):
+    """SARGability evidence: a raw range predicate on o_orderdate
+    reaches the parquet scan as a PushedFilter; wrapping the column in
+    date_trunc() silences pushdown (the scan reads everything and
+    filters after) — the classic query-author footgun, pinned so the
+    repo's own queries keep using the range form (q3/q5/s6c all do)."""
+    from pyspark.sql import functions as F
+
+    from nipd_spark.catalog import load
+
+    o = load(spark, sf_dir, "orders")
+    good = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+    bad = o.filter(
+        F.date_trunc("year", "o_orderdate")
+        == F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey")
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in plan(good)
+    assert "GreaterThanOrEqual(o_orderdate" not in plan(bad)
+    # both produce identical rows — the cost, not the answer, differs
+    assert good.count() == bad.count()
