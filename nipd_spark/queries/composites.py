@@ -1577,3 +1577,74 @@ def c22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(50)
     )
+
+
+@query(
+    "c23_ordered_funnel",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, {ts_us()} AS ts FROM events
+    ),
+    v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          GROUP BY e.user_id)
+    SELECT count(v.user_id) AS n_viewed,
+           count(c.user_id) AS n_clicked_after,
+           count(p.user_id) AS n_purchased_after,
+           count(CASE WHEN p.p_ts <= v.v_ts + INTERVAL 24 HOUR
+                 THEN 1 END) AS n_completed_24h
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    tags=("J2", "A11", "F2"),
+)
+def c23_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY ORDERED funnel (view → click → purchase, each stage
+    after the previous one's first occurrence, full path within 24 h) —
+    the sequence-matching semantics SQL MATCH_RECOGNIZE provides and
+    Spark lacks, rebuilt from stage-anchored min aggregates: each
+    stage's anchor is the earliest qualifying event AFTER the prior
+    anchor, so 'purchase then click then view' users do NOT count
+    (c7's unordered funnel would count them). Three grouped mins with
+    equi joins on user_id — one shuffle key throughout, no window over
+    full history, no state machine.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked_after"),
+        F.count("p_ts").alias("n_purchased_after"),
+        F.count(
+            F.when(
+                F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"), 1
+            )
+        ).alias("n_completed_24h"),
+    )

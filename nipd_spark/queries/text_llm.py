@@ -1245,3 +1245,48 @@ def l39_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "l41_lexical_diversity",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           count(DISTINCT token) AS n_types,
+           {dround("CAST(count(DISTINCT token) AS DOUBLE) / count(*)", 6)}
+             AS type_token_ratio
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("L9", "L6", "A3"),
+)
+def l41_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: tokens, distinct types, and the
+    type-token ratio — the vocabulary-richness quality signal (spam
+    and template farms sit at the low-TTR extreme; OCR noise at the
+    high). Alongside l9b's surface stats and l23's repetition gates,
+    this completes the standard text-quality triad. One explode + one
+    grouped count-distinct on the token domain (bounded by vocabulary,
+    not corpus — the expand-dedup shuffle stays small at any scale;
+    a4's HLL stands in when vocabulary itself explodes).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("token").alias("n_types"),
+            F.round(
+                F.countDistinct("token").cast("double") / F.count("*"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
