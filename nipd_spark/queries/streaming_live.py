@@ -775,3 +775,80 @@ def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("val").alias("total")
     )
     return run_to_completion(agg, "complete").orderBy("bucket")
+
+
+@query(
+    "t15_stream_multi_sink",
+    # One stream, two sinks, one truth: the per-type counts sink and
+    # the per-user totals sink are written from the SAME micro-batch
+    # inside one foreachBatch call; after the drain, re-aggregating
+    # sink B by type must equal... (type totals live only in sink A, so
+    # the oracle checks A and the in-function assert cross-foots B's
+    # grand total against A's).
+    sql="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE value > 50
+    GROUP BY event_type
+    """,
+    tags=("S8", "T5", "A1"),
+)
+def t15_stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fan-out with per-batch consistency: each micro-batch
+    is written to TWO destinations (a per-type count table and a
+    per-user event log) inside one foreachBatch — the batch DataFrame
+    is persisted so both writes observe the identical snapshot (two
+    separate writeStreams would each re-read the source and could
+    diverge on retries). After the drain, the two sinks must
+    cross-foot: Σ sink-A counts == rows(sink B) — asserted in-function
+    — and sink A must equal the batch oracle.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from nipd_spark.streaming.harness import events_stream
+
+    tag = hashlib.sha1(f"{sf_dir}|t15".encode()).hexdigest()[:10]
+    a_dir = f"/tmp/nipd_t15_a_{tag}"
+    b_dir = f"/tmp/nipd_t15_b_{tag}"
+    chk = f"/tmp/nipd_t15_chk_{tag}"
+    if not os.path.exists(a_dir + "/_done"):
+        for d in (a_dir, b_dir, chk):
+            shutil.rmtree(d, ignore_errors=True)
+
+        def fan_out(batch_df, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                (
+                    batch_df.groupBy("event_type")
+                    .agg(F.count("*").alias("n"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(a_dir)
+                )
+                (
+                    batch_df.select("event_id", "user_id", "event_type")
+                    .write.mode("append")
+                    .parquet(b_dir)
+                )
+            finally:
+                batch_df.unpersist()
+
+        stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+        q = (
+            stream.filter(F.col("value") > 50)
+            .writeStream.foreachBatch(fan_out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(a_dir + "/_done", "w").close()
+    a = spark.read.parquet(a_dir)
+    b = spark.read.parquet(b_dir)
+    total_a = a.agg(F.sum("n")).first()[0]
+    total_b = b.count()
+    assert total_a == total_b, (total_a, total_b)  # sinks cross-foot
+    return a.groupBy("event_type").agg(F.sum("n").alias("n"))

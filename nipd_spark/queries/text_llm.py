@@ -1290,3 +1290,52 @@ def l41_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "l42_stopword_discovery",
+    sql=f"""
+    WITH df AS (
+      SELECT token, count(DISTINCT doc_id) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token, doc_freq,
+           {dround("CAST(doc_freq AS DOUBLE) / n_docs", 6)} AS df_ratio,
+           CAST(CAST(doc_freq AS DOUBLE) / n_docs >= 0.5 AS INT) AS is_stopword
+    FROM df, n
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 40
+    """,
+    tags=("L7", "L9", "A3"),
+)
+def l42_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: tokens present in ≥50% of
+    documents carry no discriminative signal (their IDF ≈ 0 — this is
+    l7's document-frequency table put to its other use) and get
+    flagged for exclusion from similarity/keyword features. Deriving
+    the list from the corpus instead of a fixed English list is what
+    makes the pipeline language- and domain-agnostic — the fixture's
+    query-themed vocabulary has its own 'the's. Distinct-per-doc
+    explode + one grouped distinct count, vocabulary-bounded shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    df_tbl = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    ratio = F.col("doc_freq").cast("double") / n_docs
+    return (
+        df_tbl.select(
+            "token",
+            "doc_freq",
+            F.round(ratio, 6).alias("df_ratio"),
+            (ratio >= 0.5).cast("int").alias("is_stopword"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(40)
+    )
