@@ -896,3 +896,43 @@ def a25_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_u.alias("n_union"),
         (est_a + est_b - est_u).alias("n_intersection_est"),
     )
+
+
+@query(
+    "a26_deterministic_mode",
+    sql="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linenumber AS v, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_linenumber
+    )
+    SELECT l_returnflag,
+           first(v ORDER BY c DESC, v ASC) AS mode_v,
+           max(c) AS mode_count
+    FROM counts
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A11", "A1"),
+)
+def a26_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a PINNED tie-break: the builtin mode() returns an
+    arbitrary element when counts tie — nondeterministic across runs,
+    partitionings, and engines, i.e. unusable under a value-hash
+    contract. The portable spelling is count-then-argmax with an
+    explicit (count DESC, value ASC) order: two hash aggs, fully
+    deterministic. min_by/max_by over a composite struct is the same
+    trick every canonical-representative choice in this repo uses
+    (l16b, a11).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_linenumber").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max_by("v", F.struct(F.col("c"), -F.col("v"))).alias("mode_v"),
+            F.max("c").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -309,3 +309,56 @@ def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(chi_term), 6).alias("chi2"),
         F.max((ratio >= 2.0).cast("int")).cast("bigint").alias("any_cell_2x"),
     ).select("n_categories", "chi2", "any_cell_2x")
+
+
+@query(
+    "dq5_benford_audit",
+    sql=f"""
+    WITH digits AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    cells AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS t FROM cells)
+    SELECT d, n,
+           {dround("CAST(n AS DOUBLE) / t", 6)} AS observed_share
+    FROM cells, tot
+    GROUP BY d, n, t
+    ORDER BY d
+    """,
+    tags=("F1", "A1", "F3"),
+)
+def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order amounts: the
+    leading-digit histogram fraud/fabrication screens compare against
+    Benford's log-curve (fabricated figures over-use 5s and round
+    numbers). The digit is pulled from the value's decimal STRING form
+    (both engines print sub-1e7 doubles in plain shortest-repr
+    notation) rather than via log10 arithmetic — floor(log10(x)) is a
+    transcendental whose last-ulp wobble at power-of-ten boundaries
+    can flip the digit cross-engine (SURVEY §4.2 discipline: never
+    hash through a transcendental). Expected Benford shares are for
+    the reader: 30.1%, 17.6%, 12.5%, 9.7%, 7.9%, 6.7%, 5.8%, 5.1%,
+    4.6% — synthetic uniform prices will NOT match them, which is
+    itself the demo.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("string"), "[1-9]", 0
+        ).cast("int").alias("d")
+    )
+    cells = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+                "observed_share"
+            ),
+        )
+        .orderBy("d")
+    )
