@@ -234,3 +234,74 @@ def j17_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_id")
     )
+
+
+@query(
+    "j18_interval_overlap",
+    sql=f"""
+    WITH spans AS (
+      SELECT user_id, min({ts_us()}) AS lo, max({ts_us()}) AS hi
+      FROM events GROUP BY user_id
+    ),
+    campaigns AS (
+      SELECT * FROM (VALUES
+        ('launch',  TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+        ('mid',     TIMESTAMP '2024-01-12 00:00:00', TIMESTAMP '2024-01-18 00:00:00'),
+        ('closing', TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-30 00:00:00')
+      ) AS t(campaign, c_lo, c_hi)
+    )
+    SELECT c.campaign,
+           count(*) AS n_users_overlapping,
+           CAST(sum(epoch_us(least(s.hi, c.c_hi) - greatest(s.lo, c.c_lo))
+                    // 1000000) AS BIGINT) AS total_overlap_sec
+    FROM spans s JOIN campaigns c
+      ON s.lo < c.c_hi AND s.hi > c.c_lo
+    GROUP BY c.campaign
+    ORDER BY c.campaign
+    """,
+    tags=("J8", "S5", "A1", "F2"),
+)
+def j18_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap AGGREGATION: per campaign window, the number of
+    users whose activity span intersects it and the summed overlap
+    duration — the measure join behind exposure analysis (ads),
+    on-call coverage, and hotel-night style revenue allocation.
+    Overlap = least(hi) − greatest(lo) once the half-open intersection
+    predicate (s.lo < c.hi AND s.hi > c.lo) admits the pair; duration
+    summed in integer µs. The campaign side is a 3-row VALUES literal
+    (S5) broadcast against the per-user span aggregate; with a large
+    interval side this becomes j8's bucketed range join verbatim.
+    """
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    campaigns = spark.createDataFrame(
+        [
+            ("launch", "2024-01-03 00:00:00", "2024-01-07 00:00:00"),
+            ("mid", "2024-01-12 00:00:00", "2024-01-18 00:00:00"),
+            ("closing", "2024-01-25 00:00:00", "2024-01-30 00:00:00"),
+        ],
+        "campaign string, c_lo string, c_hi string",
+    ).select(
+        "campaign",
+        F.col("c_lo").cast("timestamp").alias("c_lo"),
+        F.col("c_hi").cast("timestamp").alias("c_hi"),
+    )
+    overlap_us = F.unix_micros(
+        F.least("hi", "c_hi")
+    ) - F.unix_micros(F.greatest("lo", "c_lo"))
+    return (
+        spans.join(
+            F.broadcast(campaigns),
+            (F.col("lo") < F.col("c_hi")) & (F.col("hi") > F.col("c_lo")),
+        )
+        .groupBy("campaign")
+        .agg(
+            F.count("*").alias("n_users_overlapping"),
+            F.sum(
+                (overlap_us / 1_000_000).cast("bigint")
+            ).cast("bigint").alias("total_overlap_sec"),
+        )
+        .orderBy("campaign")
+    )

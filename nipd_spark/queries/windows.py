@@ -652,3 +652,52 @@ def w15_nth_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ignorenulls=True,
         ).over(w).alias("first_finished"),
     )
+
+
+@query(
+    "w16_cumulative_distinct",
+    sql=f"""
+    WITH t AS (
+      SELECT event_type, event_id, user_id,
+             CAST(epoch_us({ts_us()}) AS BIGINT) AS us
+      FROM events
+    )
+    SELECT event_type, event_id,
+           count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY us
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS users_so_far
+    FROM t
+    ORDER BY event_type, event_id
+    LIMIT 600
+    """,
+    tags=("A3", "W3", "A8"),
+)
+def w16_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user curve per event type — the
+    "unique-users-to-date" growth metric as of every event. Same
+    primitive spelling as a22's sliding version (collect_set over the
+    frame + size: Spark bans DISTINCT aggregates in windows) but with
+    an unbounded RANGE frame; ties in event time share a frame on both
+    engines, so the RANGE (not ROWS) frame is what makes the
+    cross-engine values deterministic without a unique sort key.
+    Partitioned by type — no single-reducer global window.
+    """
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type", "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.select(
+            "event_type",
+            "event_id",
+            F.size(F.collect_set("user_id").over(w)).alias("users_so_far"),
+        )
+        .orderBy("event_type", "event_id")
+        .limit(600)
+    )
