@@ -936,3 +936,58 @@ def a26_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "a27_share_of_parent",
+    sql=f"""
+    WITH leaf AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {dround("sum(c.c_acctbal)")} AS bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, bal,
+           {dround("bal / sum(bal) OVER (PARTITION BY region)", 6)}
+             AS share_of_region,
+           {dround("sum(bal) OVER (PARTITION BY region) / sum(bal) OVER ()", 6)}
+             AS region_share_of_total
+    FROM leaf
+    ORDER BY region, nation
+    """,
+    tags=("A6", "W3", "J6"),
+)
+def a27_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent ratios in one pass: each nation's slice of its
+    region and each region's slice of the grand total, computed as
+    windows OVER THE AGGREGATE (25 leaf rows) rather than re-scanning
+    facts per level — the ratio-to-report OLAP idiom. The
+    whole-partition windows carry no ORDER BY, so no sort happens;
+    Spark evaluates them as a tiny re-aggregation per frame. Float
+    discipline: leaf sums rounded before ratios, ratios rounded after
+    — the same two-level rounding every share calculation here uses.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    leaf = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("c_acctbal"), 4).alias("bal"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return leaf.select(
+        "region",
+        "nation",
+        "bal",
+        F.round(F.col("bal") / F.sum("bal").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("bal").over(w_region) / F.sum("bal").over(w_all), 6
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
