@@ -1339,3 +1339,84 @@ def l42_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
         .limit(40)
     )
+
+
+@query(
+    "l43_perplexity_pruning",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS t FROM lm),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             {dround("avg(ln(CAST(c AS DOUBLE) / t))", 6)} AS lp
+      FROM tok JOIN lm USING (token), tot
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT *, ntile(10) OVER (ORDER BY lp, doc_id) AS band FROM scored
+    )
+    SELECT band,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           {dround("min(lp)", 6)} AS lp_min,
+           {dround("max(lp)", 6)} AS lp_max,
+           CAST(band BETWEEN 3 AND 8 AS INT) AS kept
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("L9", "L6", "W1"),
+)
+def l43_perplexity_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band corpus pruning: score every doc with the l22
+    unigram log-prob, decile it, and keep the MIDDLE bands (3-8) —
+    the data-pruning heuristic where the lowest-perplexity docs are
+    boilerplate the model already knows and the highest are noise/OOD
+    garbage; the informative middle is what's worth training on.
+    Returns the per-band audit (docs, tokens, lp range, kept flag) —
+    the table a curation review actually signs off on.
+
+    The decile ntile runs over the doc-grain AGGREGATE (corpus-count
+    rows, not token rows) with (lp, doc_id) tie-break; banding on the
+    pre-rounded lp keeps the band assignment identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = text.doc_tokens(docs)
+    lm = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = lm.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("lp"),
+        )
+    )
+    banded = scored.withColumn(
+        "band", F.ntile(10).over(Window.orderBy("lp", "doc_id"))
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.min("lp"), 6).alias("lp_min"),
+            F.round(F.max("lp"), 6).alias("lp_max"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_tokens",
+            "lp_min",
+            "lp_max",
+            F.col("band").between(3, 8).cast("int").alias("kept"),
+        )
+        .orderBy("band")
+    )
