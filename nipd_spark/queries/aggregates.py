@@ -991,3 +991,47 @@ def a27_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").over(w_region) / F.sum("bal").over(w_all), 6
         ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
+
+
+@query(
+    "a28_grouping_function",
+    sql=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           count(*) AS n,
+           {dround("sum(l_quantity)")} AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, rf, ls
+    """,
+    tags=("A6", "F4"),
+)
+def a28_grouping_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on a rollup: distinguishes a real NULL group
+    key from a rollup-generated subtotal row — the only robust way to
+    label subtotal levels (coalesce-to-'ALL' alone is ambiguous the
+    day a real 'ALL' value ships). The (g_rf, g_ls) bit pair IS the
+    aggregation level; BI layers key their indentation off it. Same
+    single-pass multi-level hash agg as a6, plus two virtual columns.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            F.col("g_rf").cast("int").alias("g_rf"),
+            F.col("g_ls").cast("int").alias("g_ls"),
+            "n",
+            "qty",
+        )
+        .orderBy("g_rf", "g_ls", "rf", "ls")
+    )

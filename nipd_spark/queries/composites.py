@@ -1648,3 +1648,60 @@ def c23_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_completed_24h"),
     )
+
+
+@query(
+    "c24_discount_response",
+    sql=f"""
+    WITH banded AS (
+      SELECT CAST(floor(l_discount * 20) AS INT) AS disc_band,
+             l_quantity, l_extendedprice * (1 - l_discount) AS net
+      FROM lineitem
+    ),
+    base AS (
+      SELECT {dround("avg(l_quantity)", 6)} AS base_qty
+      FROM banded WHERE disc_band = 0
+    )
+    SELECT disc_band,
+           count(*) AS n_lines,
+           {dround("avg(l_quantity)", 6)} AS avg_qty,
+           {dround("avg(l_quantity) / any_value(base_qty)", 6)} AS qty_lift,
+           {dround("sum(net)")} AS net_revenue
+    FROM banded, base
+    GROUP BY disc_band
+    ORDER BY disc_band
+    """,
+    tags=("A13", "A12", "F3"),
+)
+def c24_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response curve: line items banded by discount depth
+    (5%-wide bands), each band's average quantity expressed as a LIFT
+    over the undiscounted band — the "does discounting move volume"
+    table pricing reads before touching elasticity models (which need
+    logs; the lift ratio is exact arithmetic). The zero-band baseline
+    is a 1-row broadcast join back onto the band aggregate; integer
+    banding via floor(×20) avoids float bucket-edge ambiguity.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.floor(F.col("l_discount") * 20).cast("int").alias("disc_band"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    base = (
+        banded.filter(F.col("disc_band") == 0)
+        .agg(F.round(F.avg("l_quantity"), 6).alias("base_qty"))
+    )
+    return (
+        banded.crossJoin(F.broadcast(base))
+        .groupBy("disc_band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_quantity") / F.first("base_qty"), 6).alias(
+                "qty_lift"
+            ),
+            F.round(F.sum("net"), 4).alias("net_revenue"),
+        )
+        .orderBy("disc_band")
+    )
