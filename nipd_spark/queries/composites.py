@@ -1705,3 +1705,44 @@ def c24_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disc_band")
     )
+
+
+@query(
+    "c25_mom_growth",
+    sql=f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+             {dround("sum(o_totalprice)")} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT mon, revenue,
+           {dround("lag(revenue) OVER (ORDER BY mon)")} AS prev_revenue,
+           {dround("revenue / lag(revenue) OVER (ORDER BY mon) - 1", 6)}
+             AS mom_growth
+    FROM monthly
+    ORDER BY mon
+    """,
+    tags=("W2", "A1", "F2"),
+)
+def c25_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: the period-over-period lag ratio every
+    revenue dashboard opens with. Monthly totals are rounded BEFORE
+    the lag/ratio (the repo's two-level float discipline), so the
+    growth figures divide identical bits on both engines; the first
+    month's growth is NULL by construction (no prior period), not 0 —
+    silently zero-filling it is the classic dashboard lie. The window
+    is over the months-sized aggregate: ~84 rows regardless of fact
+    volume.
+    """
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("mon")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "mon",
+        "revenue",
+        F.round(prev, 4).alias("prev_revenue"),
+        F.round(F.col("revenue") / prev - 1, 6).alias("mom_growth"),
+    ).orderBy("mon")

@@ -1144,3 +1144,44 @@ def s19_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "sql5_scalar_subquery",
+    sql=f"""
+    SELECT c_custkey, c_mktsegment,
+           (SELECT count(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT {dround("coalesce(max(o_totalprice), 0.0)")} FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c_acctbal > 9500
+    ORDER BY c_custkey
+    """,
+    tags=("J2", "A2", "P2"),
+)
+def sql5_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries in the SELECT list — the spreadsheet
+    idiom ("add an order-count column") that naive engines execute as
+    one query per row. Catalyst decorrelates both subqueries into
+    outer-joined aggregates over a single orders scan (count over an
+    empty match set correctly yields 0, max yields NULL→coalesce) —
+    same rows as the explicit join spelling, O(1) scans instead of
+    O(customers). DuckDB performs the same flattening; the twin runs
+    the statement verbatim.
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT round(coalesce(max(o_totalprice), 0.0), 4) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        WHERE c_acctbal > 9500
+        ORDER BY c_custkey
+        """
+    )
