@@ -379,3 +379,54 @@ def f14_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "f18_null_scalar_family",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderpriority, '4-NOT SPECIFIED') AS pri,
+             CASE WHEN o_totalprice > 200000 THEN NULL
+                  ELSE o_totalprice END AS capped
+      FROM orders
+    )
+    SELECT count(*) AS n,
+           count(coalesce(pri, 'x')) AS n_nvl,
+           count(*) FILTER (WHERE pri IS NULL) AS n_unspecified,
+           count(*) FILTER (WHERE
+             (CASE WHEN pri IS NOT NULL THEN 'known' ELSE 'unknown' END)
+             = 'known') AS n_nvl2_known,
+           count(capped) AS n_under_cap,
+           count(*) FILTER (WHERE coalesce(capped, 0.0) = 0.0) AS n_capped_out
+    FROM t
+    """,
+    tags=("F4", "P5"),
+)
+def f18_null_scalar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar family as one audit row: nullif (sentinel →
+    NULL), coalesce/nvl (NULL → default), the nvl2 both-ways branch,
+    and NULL-aware counting (count(col) skips NULLs, count(*) does
+    not) — the six idioms that make NULL propagation intentional
+    instead of accidental. Spark spells them with the same functions
+    the oracle uses, so the twin is nearly verbatim.
+    """
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("pri"),
+        F.when(F.col("o_totalprice") > 200000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("capped"),
+    )
+    return t.agg(
+        F.count("*").alias("n"),
+        F.count(F.coalesce("pri", F.lit("x"))).alias("n_nvl"),
+        F.count_if(F.col("pri").isNull()).alias("n_unspecified"),
+        F.count_if(
+            F.nvl2("pri", F.lit("known"), F.lit("unknown")) == "known"
+        ).alias("n_nvl2_known"),
+        F.count("capped").alias("n_under_cap"),
+        F.count_if(F.coalesce("capped", F.lit(0.0)) == 0.0).alias(
+            "n_capped_out"
+        ),
+    )
