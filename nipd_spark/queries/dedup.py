@@ -519,3 +519,53 @@ def l30_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+@query(
+    "l44_dedup_audit",
+    sql="""
+    WITH norm AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    groups AS (SELECT h, count(*) AS sz FROM norm GROUP BY h)
+    SELECT count(*) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_redundant,
+           max(sz) AS largest_group,
+           count(*) FILTER (WHERE sz > 1) AS n_dup_groups
+    FROM groups
+    """,
+    tags=("L1", "L2", "A2"),
+)
+def l44_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pre-flight audit: BEFORE running the dedup pipeline,
+    measure what it would do — normalized-content groups, redundant
+    copies (rows the keep-first pass would drop), the largest clone
+    family, and how many groups have any duplication at all. The
+    one-row card that sizes the dedup job and catches an accidentally
+    re-ingested corpus (n_redundant jumping to ~half of n_docs) before
+    compute is spent. One normalize+digest pass, one grouped count,
+    one reduce.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.sha2(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ),
+        256,
+    )
+    groups = docs.select(norm.alias("h")).groupBy("h").agg(
+        F.count("*").alias("sz")
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).cast("bigint").alias("n_redundant"),
+        F.max("sz").alias("largest_group"),
+        F.count_if(F.col("sz") > 1).alias("n_dup_groups"),
+    )

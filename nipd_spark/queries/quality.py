@@ -362,3 +362,54 @@ def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "dq6_orphan_trend",
+    sql="""
+    WITH li AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
+             l_orderkey
+      FROM lineitem
+    ),
+    flags AS (
+      SELECT li.mon,
+             CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_orphan
+      FROM li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT mon, count(*) AS n_lines,
+           CAST(sum(is_orphan) AS BIGINT) AS n_orphans
+    FROM flags
+    GROUP BY mon
+    ORDER BY mon
+    """,
+    tags=("J2", "J5", "F2"),
+)
+def dq6_orphan_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity TREND: orphaned fact rows (lineitem with
+    no parent order) counted per ship month — dq1 asserts the orphan
+    count is zero today; this query is the monitoring view that shows
+    WHEN integrity broke if it ever does (a bad backfill shows up as a
+    one-month spike, a broken producer as a step change). Left join
+    against the distinct parent keys + null-flag aggregation; the
+    orphan column is all-zero on this corpus, which the oracle
+    confirms month by month.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    flags = (
+        li.select(
+            F.date_trunc("month", "l_shipdate").alias("mon"), "l_orderkey"
+        )
+        .join(o, li.l_orderkey == o.o_orderkey, "left")
+        .select("mon", F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias("is_orphan"))
+    )
+    return (
+        flags.groupBy("mon")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("is_orphan").cast("bigint").alias("n_orphans"),
+        )
+        .orderBy("mon")
+    )
