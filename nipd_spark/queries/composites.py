@@ -1746,3 +1746,98 @@ def c25_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev, 4).alias("prev_revenue"),
         F.round(F.col("revenue") / prev - 1, 6).alias("mom_growth"),
     ).orderBy("mon")
+
+
+@query(
+    "c26_capped_balance",
+    sql=f"""
+    WITH RECURSIVE d AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN value
+                  WHEN event_type = 'click' THEN -value
+                  ELSE 0.0 END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {ts_us()}, event_id) AS rn
+      FROM events
+    ),
+    walk(user_id, rn, bal, n_floored) AS (
+      SELECT user_id, rn, greatest(0.0, delta),
+             CAST(delta < 0 AND greatest(0.0, delta) = 0.0 AS INT)
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn, greatest(0.0, walk.bal + d.delta),
+             walk.n_floored
+               + CAST(walk.bal + d.delta < 0 AS INT)
+      FROM walk JOIN d ON d.user_id = walk.user_id AND d.rn = walk.rn + 1
+    ),
+    final AS (
+      SELECT user_id, bal, n_floored,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS r
+      FROM walk
+    )
+    SELECT user_id, {dround("bal", 6)} AS final_balance,
+           CAST(n_floored AS BIGINT) AS n_floored
+    FROM final WHERE r = 1
+    ORDER BY user_id
+    """,
+    tags=("D4", "W3", "F4"),
+)
+def c26_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance — the IRREDUCIBLY SEQUENTIAL recurrence:
+    bal_i = max(0, bal_{i-1} + delta_i) (credits from purchases, debits
+    from clicks, floor at zero like a prepaid wallet). The floor makes
+    it non-associative: no window/prefix-sum spelling exists, so this
+    is the honest case for applyInPandas — one Arrow-batched Python
+    pass PER USER, sequential within the group, parallel across the
+    ~67-row groups (SURVEY §2.11 D4's raison d'être; everything
+    window-expressible in this repo deliberately avoids this path).
+    The oracle walks the identical recurrence with a recursive CTE —
+    two different sequential engines agreeing on every (balance,
+    floor-count) pair, at full float precision until the display
+    rounding.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "click", -F.col("value"))
+        .otherwise(0.0)
+        .alias("delta"),
+    )
+
+    def run_balance(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, floored = 0.0, 0
+        for delta in pdf["delta"]:
+            nxt = bal + delta
+            if nxt < 0:
+                floored += 1
+                bal = 0.0
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "raw_balance": [bal],
+                "n_floored": [floored],
+            }
+        )
+
+    return (
+        d.groupBy("user_id")
+        .applyInPandas(
+            run_balance, "user_id bigint, raw_balance double, n_floored bigint"
+        )
+        # round JVM-side: Python's round() is half-to-even, F.round is
+        # HALF_UP — only the latter matches the oracle's dround
+        .select(
+            "user_id",
+            F.round("raw_balance", 6).alias("final_balance"),
+            "n_floored",
+        )
+        .orderBy("user_id")
+    )
