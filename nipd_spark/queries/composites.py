@@ -1841,3 +1841,73 @@ def c26_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "c27_pareto_abc",
+    sql=f"""
+    WITH per_part AS (
+      SELECT l_partkey, {dround("sum(l_extendedprice * (1 - l_discount))")} AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total_rev
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+                  WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    )
+    SELECT abc_class,
+           count(*) AS n_parts,
+           {dround("sum(rev)")} AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    tags=("W3", "A1", "O1"),
+)
+def c27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: parts ranked by revenue, classed A
+    while the running share stays under 80%, B to 95%, C after — the
+    inventory-prioritization classic ("the vital few"). Per-part
+    revenues are rounded BEFORE the running sum so the cumulative
+    bits (and therefore every A/B boundary decision) are identical
+    cross-engine; (rev DESC, partkey) makes the prefix order total.
+    The unpartitioned running sum is over the PART-grain aggregate —
+    at true scale, band by a15 percentile cutpoints instead of a
+    global ordered window.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("rev")
+    )
+    w_run = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w_run).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    abc = F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A").when(
+        F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B"
+    ).otherwise("C")
+    return (
+        ranked.select(abc.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev"), 4).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

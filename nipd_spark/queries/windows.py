@@ -701,3 +701,57 @@ def w16_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "event_id")
         .limit(600)
     )
+
+
+@query(
+    "w17_time_weighted_avg",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, value, {ts_us()} AS ts,
+             lead({ts_us()}) OVER (PARTITION BY user_id
+                                   ORDER BY {ts_us()}, event_id) AS next_ts
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, value,
+             epoch_us(next_ts - ts) AS w_us
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_obs,
+           CAST(sum(w_us) // 1000000 AS BIGINT) AS span_sec,
+           {dround("sum(value * w_us) / sum(w_us)", 6)} AS twap
+    FROM held
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("W2", "A1", "F2"),
+)
+def w17_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how
+    long it was the latest value — the correct mean for irregularly
+    sampled series (a plain avg over-counts bursts of events and
+    under-counts quiet stretches; TWAP is what pricing, telemetry and
+    billing actually integrate). Weights are exact integer µs from
+    lead(); one window shuffle on user_id then a weighted-sum agg.
+    The open last interval is excluded on both engines (its holding
+    time is unknown until the next event).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).filter(F.col("next_ts").isNotNull())
+    w_us = F.unix_micros("next_ts") - F.unix_micros("ts")
+    held = seq.select("user_id", "value", w_us.alias("w_us"))
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            (F.sum("w_us") / 1_000_000).cast("bigint").alias("span_sec"),
+            F.round(
+                F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
