@@ -1185,3 +1185,54 @@ def sql5_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "s20_file_provenance",
+    sql="""
+    SELECT regexp_extract(filename, '[^/]+$', 0) AS file_name,
+           count(*) AS n_rows,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id
+    FROM read_parquet('/tmp/nipd_s20_parts/*.parquet', filename=true)
+    GROUP BY file_name
+    ORDER BY file_name
+    """,
+    tags=("S1", "S4", "A1"),
+)
+def s20_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File provenance via the hidden ``_metadata`` struct: every
+    file-source row carries its physical origin (file_path, size,
+    row_index) without any column existing in the data — the lineage
+    hook for quarantining a bad producer file, auditing a backfill, or
+    building per-file quality scores. The events table is staged as 4
+    deterministic chunk files; rows are grouped by originating file.
+    DuckDB's ``filename=true`` is the same feature — both engines
+    must attribute every row to the same chunk.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = "/tmp/nipd_s20_parts"
+    if not os.path.exists(f"{d}/.staged"):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        step = (t.num_rows + 3) // 4
+        for i in range(4):
+            pq.write_table(t.slice(i * step, step), f"{d}/chunk{i}.parquet")
+        open(f"{d}/.staged", "w").close()
+    df = spark.read.parquet(d)
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.select(fname.alias("file_name"), "event_id")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("file_name")
+    )
