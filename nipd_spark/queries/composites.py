@@ -1911,3 +1911,93 @@ def c27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "c28_session_paths",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, {ts_us()} AS ts, event_id,
+             CASE WHEN epoch_us({ts_us()} - lag({ts_us()})
+                    OVER (PARTITION BY user_id ORDER BY {ts_us()}, event_id))
+                    > 1800000000
+                  OR lag({ts_us()}) OVER (PARTITION BY user_id
+                                          ORDER BY {ts_us()}, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(substring(event_type, 1, 1), '>'
+                        ORDER BY ts, event_id) AS path
+      FROM sess
+      GROUP BY user_id, sess_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 25
+    """,
+    tags=("T3", "W3", "A8", "F1"),
+)
+def c28_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: sessionize (30-min gap, the t3
+    batch-twin logic), render each session as its ordered
+    first-letter event path ('v>c>p'), and count the most common
+    journeys — the UX/product view of what sessions actually look
+    like, and the input to c18's transition matrix read whole-path.
+    Path strings are built with an ORDER-pinned string aggregation
+    (tie-break event_id), the same determinism rule as a21. Shuffles:
+    one on user_id (session window), one on (user, session) — both
+    bounded keys — then the tiny path-histogram agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            gap_us > 1_800_000_000, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("new_sess"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = seq.withColumn("sess_id", F.sum("new_sess").over(w_run))
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(25)
+    )
