@@ -363,3 +363,59 @@ def d11_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("r"), 4).alias("bulk_revenue"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "d12_udtf_analyze",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           tk[1] AS c0, tk[2] AS c1, tk[3] AS c2, tk[4] AS c3
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("D7", "F5"),
+)
+def d12_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (Spark 4 ``analyze``): the function's OUTPUT
+    SCHEMA is computed at plan time from its arguments — here
+    ``lead_tokens(4, text)`` materializes 4 leading-token columns, and
+    changing the literal re-shapes the relation without touching the
+    class. This is the table-function contract warehouse UDTFs
+    (SPLIT_TO_TABLE, INFER_SCHEMA) are built on; the static-schema
+    UDTF (d7) cannot express it. The oracle twin is plain array
+    indexing, so the exotic surface is held to ordinary relational
+    semantics.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, n: AnalyzeArgument, s: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType().add("doc_id", "long")
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, n: int, s: str):
+            parts = s.split(" ")
+            yield (doc_id, *[
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            ])
+
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("lead_tokens", LeadTokens)
+    return spark.sql(
+        """
+        SELECT t.* FROM documents d,
+               LATERAL lead_tokens(d.doc_id, 4, d.text) t
+        ORDER BY t.doc_id
+        """
+    )
