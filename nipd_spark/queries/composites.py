@@ -2001,3 +2001,50 @@ def c28_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(25)
     )
+
+
+@query(
+    "c29_revenue_waterfall",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("sum(l_extendedprice)")} AS gross,
+           {dround("sum(l_extendedprice * l_discount)")} AS discount_given,
+           {dround("sum(l_extendedprice * (1 - l_discount))")} AS net,
+           {dround("sum(l_extendedprice * (1 - l_discount) * l_tax)")} AS tax_collected,
+           {dround("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS billed,
+           {dround("sum(l_extendedprice) - sum(l_extendedprice * l_discount) - sum(l_extendedprice * (1 - l_discount))", 4)}
+             AS reconciliation_gap
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A1", "A12", "F3"),
+)
+def c29_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall: gross → discounts given → net → tax → billed,
+    per return flag, WITH the reconciliation column computed from the
+    same sums (gross − discounts − net ≡ 0 up to float association) —
+    finance's first question about any revenue table is whether the
+    steps foot, so the footing is part of the result, not a separate
+    check. Every measure reads the one scan; Catalyst computes all six
+    aggregates in a single partial+final pass.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    tax = F.col("l_tax")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(price), 4).alias("gross"),
+            F.round(F.sum(price * disc), 4).alias("discount_given"),
+            F.round(F.sum(price * (1 - disc)), 4).alias("net"),
+            F.round(F.sum(price * (1 - disc) * tax), 4).alias("tax_collected"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)), 4).alias("billed"),
+            F.round(
+                F.sum(price) - F.sum(price * disc) - F.sum(price * (1 - disc)),
+                4,
+            ).alias("reconciliation_gap"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -755,3 +755,61 @@ def w17_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "w18_mann_whitney_u",
+    sql=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN CAST(date_part('dow', {ts_us()}) AS INT) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS grp,
+             event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT grp,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank
+      FROM s
+    )
+    SELECT count(*) FILTER (WHERE grp = 'weekend') AS n1,
+           count(*) FILTER (WHERE grp = 'weekday') AS n2,
+           {dround("sum(CASE WHEN grp = 'weekend' THEN midrank END)", 4)} AS r1,
+           {dround("sum(CASE WHEN grp = 'weekend' THEN midrank END) - count(*) FILTER (WHERE grp = 'weekend') * (count(*) FILTER (WHERE grp = 'weekend') + 1) / 2.0", 4)}
+             AS u_stat
+    FROM ranked
+    """,
+    tags=("W1", "A12", "F3"),
+)
+def w18_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (two-sample rank test): do weekend purchases run
+    larger than weekday ones, WITHOUT assuming normality — the
+    nonparametric sibling of c15's z-test, and the robust choice for
+    skewed monetary values. Built from exact integer rank arithmetic:
+    midranks for ties via rank() + (tie_count−1)/2 (halves are exact
+    binary doubles), rank-sum, U = R₁ − n₁(n₁+1)/2. No transcendental
+    touches anything, so both engines agree to the last bit before the
+    display rounding. One global ordered window over the purchase
+    slice (bounded), one reduce.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = ev.select(
+        "value",
+        F.when(
+            (F.dayofweek("ts") - 1).isin(0, 6), "weekend"
+        ).otherwise("weekday").alias("grp"),
+    )
+    midrank = (
+        F.rank().over(Window.orderBy("value"))
+        + (F.count("*").over(Window.partitionBy("value")) - 1) / 2.0
+    )
+    ranked = s.select("grp", midrank.alias("midrank"))
+    n1 = F.count_if(F.col("grp") == "weekend")
+    r1 = F.sum(F.when(F.col("grp") == "weekend", F.col("midrank")))
+    return ranked.agg(
+        n1.alias("n1"),
+        F.count_if(F.col("grp") == "weekday").alias("n2"),
+        F.round(r1, 4).alias("r1"),
+        F.round(r1 - n1 * (n1 + 1) / 2.0, 4).alias("u_stat"),
+    )
