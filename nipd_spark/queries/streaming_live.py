@@ -8,7 +8,7 @@ streaming and batch plans directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
@@ -852,3 +852,70 @@ def t15_stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_b = b.count()
     assert total_a == total_b, (total_a, total_b)  # sinks cross-foot
     return a.groupBy("event_type").agg(F.sum("n").alias("n"))
+
+
+@query(
+    "t16_update_mode_changelog",
+    sql=f"""
+    SELECT user_id, count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("S8", "T4", "W6"),
+)
+def t16_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode as a CHANGELOG: each micro-batch emits only
+    the keys whose aggregate changed; foreachBatch stamps them with
+    batch_id and appends to a parquet changelog — the CDC-style feed a
+    downstream store consumes (complete mode re-emits everything;
+    append mode can't emit updates at all). Reconstructing current
+    state = latest record per key by batch_id, which must equal the
+    one-shot batch aggregate — proving the changelog lost no update
+    and ordered them correctly. Multi-batch replay (4 chunk files,
+    one per trigger) makes the per-batch delta behavior real.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from nipd_spark.streaming.harness import events_stream
+
+    tag = hashlib.sha1(f"{sf_dir}|t16".encode()).hexdigest()[:10]
+    log_dir = f"/tmp/nipd_t16_log_{tag}"
+    chk = f"/tmp/nipd_t16_chk_{tag}"
+    if not os.path.exists(log_dir + "/_done"):
+        for d in (log_dir, chk):
+            shutil.rmtree(d, ignore_errors=True)
+
+        def capture(batch_df, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(log_dir)
+            )
+
+        agg = (
+            events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(capture)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(log_dir + "/_done", "w").close()
+    log = spark.read.parquet(log_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", "total_value")
+    )
