@@ -1035,3 +1035,49 @@ def a28_grouping_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_rf", "g_ls", "rf", "ls")
     )
+
+
+@query(
+    "a29_harmonic_mean",
+    sql=f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           {dround("avg(unit_price)", 6)} AS arith_mean,
+           {dround("count(*) / sum(1.0 / unit_price)", 6)} AS harmonic_mean
+    FROM r
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A2", "F3"),
+)
+def a29_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic vs arithmetic mean of unit prices: when averaging
+    RATES (price per unit, km/h, tokens/sec), the arithmetic mean
+    over-weights expensive units — the harmonic mean n/Σ(1/x) is the
+    quantity-consistent answer (it equals total spend over total units
+    when weights are equal). Reporting both side by side makes the
+    gap visible; a14's geometric mean completes the Pythagorean trio.
+    Same single-pass shape as any sum: the reciprocal is a per-row
+    expression, the rest is one partial+final agg.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    r = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("unit_price"), 6).alias("arith_mean"),
+            F.round(
+                F.count("*") / F.sum(F.lit(1.0) / F.col("unit_price")), 6
+            ).alias("harmonic_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

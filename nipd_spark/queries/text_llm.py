@@ -1420,3 +1420,61 @@ def l43_perplexity_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "l45_blocklist_filter",
+    sql=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+                 '\\b(drop|delete|truncate)\\b')) AS n_hits,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE n_hits > 0) AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           {dround("avg(CAST(n_hits AS DOUBLE) / n_chars * 1000)", 6)}
+             AS hits_per_kchar
+    FROM hits
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("L9", "P6", "F1"),
+)
+def l45_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening: word-boundary regex hits against a
+    curated term list (here destructive SQL verbs standing in for a
+    safety blocklist), reported as per-language flag rates and hit
+    density — the screening report a corpus safety review reads
+    before the l24-style redaction or drop decision. Word boundaries
+    (not substrings) are the difference between flagging 'delete' and
+    flagging 'deleted'-inside-'undeletable'; both engines compile the
+    same \\b semantics. Map-only regex in codegen + one small agg.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_hits = F.size(
+        F.regexp_extract_all(
+            "text", F.lit(r"\b(drop|delete|truncate)\b"), F.lit(0)
+        )
+    )
+    hits = docs.select(
+        "lang",
+        n_hits.alias("n_hits"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("n_hits") > 0).alias("n_flagged"),
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+            F.round(
+                F.avg(F.col("n_hits").cast("double") / F.col("n_chars") * 1000),
+                6,
+            ).alias("hits_per_kchar"),
+        )
+        .orderBy("lang")
+    )
