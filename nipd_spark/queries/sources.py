@@ -1236,3 +1236,46 @@ def s20_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "sql6_sql_pivot",
+    sql=f"""
+    SELECT l_returnflag,
+           {dround("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)")} AS qty_open,
+           {dround("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)")} AS qty_filled,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A7", "A12"),
+)
+def sql6_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (a7 is the DataFrame spelling): line status
+    rotated into (sum, count) measure columns per flag — multi-measure
+    pivots name their output columns from the aggregate aliases. The
+    oracle spells the identical rotation portably as conditional
+    aggregation, which is also exactly what Catalyst lowers PIVOT to
+    (one hash agg, no join): the clause is sugar, and the twin proves
+    it.
+    """
+    from nipd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(O_qty, 4) AS qty_open,
+               round(F_qty, 4) AS qty_filled,
+               O_n AS n_open,
+               F_n AS n_filled
+        FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        PIVOT (
+          sum(l_quantity) AS qty, count(*) AS n
+          FOR l_linestatus IN ('O' AS O, 'F' AS F)
+        )
+        ORDER BY l_returnflag
+        """
+    )
