@@ -569,3 +569,66 @@ def l44_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").alias("largest_group"),
         F.count_if(F.col("sz") > 1).alias("n_dup_groups"),
     )
+
+
+@query(
+    "l46_semdedup",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    p AS (
+      SELECT b.vec_id, b.label,
+             max(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm)) AS max_cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id, b.label
+    )
+    SELECT vec_id, label, max_cos
+    FROM p WHERE max_cos >= 0.35
+    ORDER BY vec_id
+    """,
+    tags=("L5", "L11", "J11"),
+)
+def l46_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup that
+    prunes embeddings whose cosine to an earlier item in the SAME
+    cluster exceeds tau=0.35 (keep-first by vec_id, the paper's
+    deterministic tie-break). The fixture `label` column stands in for
+    the cluster id so the DuckDB oracle can twin the query; at scale
+    the id comes from the IVF coarse quantizer (operators/ivf.py),
+    which is exactly the paper's k-means step.
+
+    Scale shape: the pair join is EQUI-keyed on the cluster id, so
+    pairwise cost is sum(|cluster|^2), not |corpus|^2 — with k ~ n/1e4
+    clusters the quadratic term stays bounded per cluster and the whole
+    pass is one shuffle on cluster id. Cosines use the sequential-fold
+    expression (operators/vector.py) so both engines agree bitwise and
+    max() is exact.
+    """
+    from nipd_spark.operators import vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        vector.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = vector.cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.label").alias("label"))
+        .agg(F.max(cos).alias("max_cos"))
+        .filter(F.col("max_cos") >= 0.35)
+        .orderBy("vec_id")
+    )

@@ -1478,3 +1478,63 @@ def l45_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "l47_balanced_shards",
+    sql="""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n,
+             row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS r
+      FROM sized
+    ),
+    assigned AS (
+      SELECT doc_id, n,
+             CAST(CASE WHEN (r // 16) % 2 = 0 THEN r % 16
+                       ELSE 15 - (r % 16) END AS BIGINT) AS shard
+      FROM ranked
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           max(n) AS max_doc_tokens
+    FROM assigned GROUP BY shard
+    """,
+    tags=("L9", "O1", "A1"),
+)
+def l47_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment: docs sorted by token
+    count (desc, doc_id tie-break) are dealt onto 16 shards in
+    serpentine order (shard 0..15 then 15..0, alternating) — the
+    classic LPT/boustrophedon approximation that keeps per-shard token
+    totals within one max-doc of each other without an iterative bin
+    packer. Out: per-shard doc count, token total, largest doc.
+
+    Scale shape: the global sort runs over the (doc_id, n) METADATA
+    projection only — two longs per doc, ~16 bytes/row, so even a
+    100 TB corpus sorts a few GB — and the heavy text column never
+    shuffles; the final write would join the tiny assignment back and
+    `partitionBy(shard)`. The serpentine formula is rank arithmetic,
+    so both engines agree exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).alias("n")
+    )
+    r = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("doc_id"))) - 1
+    assigned = sized.select(
+        "doc_id",
+        "n",
+        F.when(F.floor(r / 16) % 2 == 0, r % 16)
+        .otherwise(15 - (r % 16))
+        .cast("long")
+        .alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.max("n").alias("max_doc_tokens"),
+    )
