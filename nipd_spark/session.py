@@ -33,7 +33,10 @@ def get_spark(app_name: str = "nipd_spark", cpus: int | None = None) -> SparkSes
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config(
-            "spark.sql.shuffle.partitions", "8" if profile == "local" else "2000"
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+            if profile == "local"
+            else "2000",
         )  # scale: high ceiling, AQE coalesces down by advisory size
         .config(
             # local: let file-split count be purely bytes-driven
