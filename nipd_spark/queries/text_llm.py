@@ -1538,3 +1538,101 @@ def l47_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_tokens"),
         F.max("n").alias("max_doc_tokens"),
     )
+
+
+@query(
+    "l48_dsir_importance",
+    sql="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % 256 AS b
+      FROM big
+    ),
+    src AS (SELECT b, count(*) AS n_s FROM occ GROUP BY b),
+    tgt AS (SELECT b, count(*) AS n_t FROM occ WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM occ) AS s_tot,
+                   (SELECT count(*) FROM occ WHERE lang = 'en') AS t_tot),
+    w AS (
+      SELECT s.b,
+             ln(((coalesce(t.n_t, 0) + 1.0) / (tot.t_tot + 256))
+                / ((s.n_s + 1.0) / (tot.s_tot + 256))) AS lw
+      FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT o.doc_id, count(*) AS n_bigrams,
+             {score} AS score
+      FROM occ o JOIN w ON o.b = w.b
+      GROUP BY o.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.n_bigrams, s.score
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.score DESC, s.doc_id ASC
+    LIMIT 25
+    """.format(score=dround("sum(w.lw) / count(*)", 6)),
+    tags=("L9", "L8", "A1", "J6"),
+)
+def l48_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., arXiv:2302.03169): score every
+    raw document by its hashed-n-gram importance weight against a
+    target domain — here the en-language slice stands in for the
+    curated target corpus. Bigram occurrences hash into 256 buckets
+    (md5-prefix, portable across engines); bucket log-likelihood
+    ratios ln(p_target/p_raw) use Laplace(+1) smoothing; a doc's score
+    is its mean bucket LLR, and the top 25 would be kept for training.
+
+    Scale shape: bucket vocab is FIXED (256 rows), so the weight table
+    broadcasts and scoring is a map-side join over the exploded
+    occurrences — one wide shuffle on doc_id for the per-doc mean,
+    nothing quadratic, raw text never leaves the scan. Mean LLR is
+    order-dependent so both engines round (oracle.dround discipline).
+    """
+    docs = load(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text.shingles(F.col("text"), 2)).alias("g"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long"), F.lit(256)
+    )
+    occ = big.select("doc_id", "lang", bucket.alias("b"))
+    src = occ.groupBy("b").agg(F.count("*").alias("n_s"))
+    tgt = occ.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("n_t")
+    )
+    tot = occ.agg(
+        F.count("*").alias("s_tot"),
+        F.count_if(F.col("lang") == "en").alias("t_tot"),
+    )
+    w = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce("n_t", F.lit(0)) + F.lit(1.0)) / (F.col("t_tot") + 256))
+                / ((F.col("n_s") + F.lit(1.0)) / (F.col("s_tot") + 256))
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        occ.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lw") / F.count("*"), 6).alias("score"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_bigrams", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
