@@ -1081,3 +1081,25 @@ def a29_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("a30_tdigest_quantiles", sql=None, tags=("A9", "A4", "D6"))
+def a30_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed t-digest percentiles of l_extendedprice
+    (operators/tdigest.py): per-partition partial digests (mapInPandas,
+    ≤ δ=100 centroids each) → one associative merge → interpolated
+    p50/p90/p99/p999. Rows-only by design (the estimate depends on
+    partition layout within rank-error bounds); the property test pins
+    |est_rank − true_rank| against the exact sort, and a15 is the
+    built-in-sketch twin.
+
+    This is the mergeable-sketch execution shape every 100 TB
+    percentile uses: the data is never sorted globally — only
+    ~(δ × n_partitions) centroid rows shuffle to one reducer.
+    """
+    from nipd_spark.operators import tdigest
+
+    li = load(spark, sf_dir, "lineitem")
+    return tdigest.tdigest_quantiles(
+        li, "l_extendedprice", [0.5, 0.9, 0.99, 0.999]
+    ).select("q", "est", "n_centroids")

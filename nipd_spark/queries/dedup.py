@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
-from nipd_spark.operators import minhash
+from nipd_spark.operators import minhash, text
 from nipd_spark.registry import query
 
 # DuckDB twin of operators.text.shingles (3-gram over single-space split)
@@ -631,4 +631,123 @@ def l46_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(cos).alias("max_cos"))
         .filter(F.col("max_cos") >= 0.35)
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "l49_repeated_spans",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 7)) AS pos,
+             unnest(list_transform(range(1, len(t) - 6),
+                    i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             min(pos) AS s, max(pos) + 7 AS e
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_spans,
+             max(e - s + 1) AS longest_span,
+             CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans, p.longest_span, p.covered_tokens,
+           len(t.t) AS n_tokens,
+           CAST(p.covered_tokens AS DOUBLE) / len(t.t) AS dup_frac
+    FROM per_doc p JOIN toks t USING (doc_id)
+    ORDER BY p.covered_tokens DESC, p.doc_id ASC
+    LIMIT 30
+    """,
+    tags=("L1", "L8", "W3"),
+)
+def l49_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (Lee et al., arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every doc, the maximal spans covered by 8-token grams that also
+    occur in ANOTHER doc — span count, longest run, covered-token
+    total, and duplicated fraction; top 30 most-duplicated docs. This
+    is the per-doc report the suffix-array ExactSubstr dedup produces,
+    built from positional n-gram matching: consecutive duplicated gram
+    starts (gap ≤ 8) merge into one island via a windowed break-flag
+    cumsum.
+
+    Scale shape: gram → dup-gram reduction is one equi-keyed groupBy
+    (HAVING distinct-doc ≥ 2) + semi-join back — the same shape as
+    decontamination (l19); island-building is a per-doc window (sorted
+    within partition). Nothing pairwise, no suffix array needed: at
+    100 TB the gram table is the only large intermediate and it
+    shuffles once on the gram hash.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    grams = toks.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 8)),
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = hits.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= 8, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    islands = marked.select(
+        "doc_id", "pos", F.sum("brk").over(w).alias("island")
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 7).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.max(F.col("e") - F.col("s") + 1).alias("longest_span"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        per_doc.join(toks.select("doc_id", F.size("t").alias("n_tokens")), "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "longest_span",
+            "covered_tokens",
+            "n_tokens",
+            (F.col("covered_tokens").cast("double") / F.col("n_tokens")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.col("covered_tokens").desc(), F.col("doc_id").asc())
+        .limit(30)
     )

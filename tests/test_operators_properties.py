@@ -682,3 +682,59 @@ def test_hll_set_algebra_error_bounds(spark, sf_dir):
     assert abs(r.n_purchase - len(buy)) <= tol(len(buy))
     assert abs(r.n_union - len(click | buy)) <= tol(len(click | buy))
     assert abs(r.n_intersection_est - len(click & buy)) <= 3 * tol(len(click | buy))
+
+
+def test_tdigest_rank_error_bound(spark, sf_dir):
+    """t-digest estimates (operators/tdigest.py) must land within 1%
+    RANK error of the exact empirical quantile — the digest guarantee
+    at δ=100 is much tighter near the tails, so 0.01 is conservative —
+    and the merged digest must stay bounded at ≤ δ centroids."""
+    import bisect
+
+    from nipd_spark.operators import tdigest
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99, 0.999]
+    got = {
+        r.q: (r.est, r.n_centroids)
+        for r in tdigest.tdigest_quantiles(li, "l_extendedprice", qs).collect()
+    }
+    vals = sorted(
+        r.v for r in li.select(F.col("l_extendedprice").alias("v")).collect()
+    )
+    n = len(vals)
+    for q in qs:
+        est, n_cent = got[q]
+        assert n_cent <= 100
+        rank = bisect.bisect_left(vals, est) / n
+        assert abs(rank - q) <= 0.01, (q, est, rank)
+
+
+def test_tdigest_merge_invariance(spark, sf_dir):
+    """Repartitioning the input must not move any estimate by more than
+    the rank-error budget — the merge is what makes the sketch usable
+    distributed, so estimates from 2 and 16 partitions must agree."""
+    from nipd_spark.operators import tdigest
+
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = [0.5, 0.99]
+    a = {
+        r.q: r.est
+        for r in tdigest.tdigest_quantiles(
+            li.repartition(2), "l_extendedprice", qs
+        ).collect()
+    }
+    b = {
+        r.q: r.est
+        for r in tdigest.tdigest_quantiles(
+            li.repartition(16), "l_extendedprice", qs
+        ).collect()
+    }
+    vals = sorted(r.l_extendedprice for r in li.collect())
+    n = len(vals)
+    import bisect
+
+    for q in qs:
+        ra = bisect.bisect_left(vals, a[q]) / n
+        rb = bisect.bisect_left(vals, b[q]) / n
+        assert abs(ra - rb) <= 0.02, (q, a[q], b[q])
