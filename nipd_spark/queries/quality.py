@@ -413,3 +413,54 @@ def dq6_orphan_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+@query(
+    "dq7_observe_metrics",
+    sql=f"""
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_big_discount,
+           count(*) FILTER (WHERE l_quantity IS NULL) AS n_null_qty,
+           {dround("sum(l_extendedprice)")} AS total_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+    tags=("A2", "S1"),
+)
+def dq7_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-pass QC via the Observation API (`df.observe`): the metrics
+    (row count, big-discount count, null count, revenue total, flag
+    cardinality) are computed AS A SIDE EFFECT of a normal action over
+    the scan — zero extra passes over the data, which at 100 TB is the
+    whole point: the alternative is a second full read just to fill
+    the QC dashboard. The query materializes the observed metrics as
+    its one-row result; the oracle recomputes them relationally.
+    """
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+        F.count_if(F.col("l_quantity").isNull()).alias("n_null_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    # the "real" job this pipeline stage would run anyway
+    observed.groupBy("l_returnflag").agg(F.count("*")).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_big_discount"],
+                m["n_null_qty"],
+                float(m["total_price"]),
+                float(m["max_price"]),
+            )
+        ],
+        "n_rows long, n_big_discount long, n_null_qty long, "
+        "total_price double, max_price double",
+    )
