@@ -63,7 +63,11 @@ _QUERY_MODULES = (
 # dq2, l31-l37, g2, g3, o5, p8, p9, t11-t14, sql3, sql4, s15, s16,
 # f13-f16, d10). Round 4 front list should draw from those ~50
 # never-driver-checked names (oracle-twinned first), then a re-check
-# rotation of the oldest r1 rows.
+# rotation of the oldest r1 rows. Round-3 additions (all sf0.01-verified
+# repo-side before commit): l46_semdedup, l47_balanced_shards,
+# l48_dsir_importance, l49_repeated_spans, dq7_observe_metrics
+# (oracle-twinned) and a30_tdigest_quantiles (rows-only,
+# property-tested) — include them in the round-4 window too.
 _FRONT_QUERIES: tuple[str, ...] = (
     # composites (SURVEY §2.12 — genomics heart: c1/c6)
     "c1_sprt_rhdo",
