@@ -520,3 +520,40 @@ def test_sargable_predicate_pushes_nonsargable_does_not(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" not in plan(bad)
     # both produce identical rows — the cost, not the answer, differs
     assert good.count() == bad.count()
+
+
+def test_semdedup_pair_join_is_equi_on_cluster(spark, sf_dir):
+    """l46's pairwise stage must plan as an equi join on the cluster id
+    (plus the vec_id band filter) — never a cartesian pair blow-up."""
+    plan = _plan(spark, sf_dir, "l46_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weight_table_broadcasts_no_python(spark, sf_dir):
+    """l48: the 256-bucket weight table broadcasts (map-side scoring)
+    and the whole pipeline stays JVM-side."""
+    plan = _plan(spark, sf_dir, "l48_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_repeated_spans_no_pairwise_join(spark, sf_dir):
+    """l49: dup-gram detection is groupBy + semi-join — nothing
+    pairwise, no nested-loop fallback."""
+    plan = _plan(spark, sf_dir, "l49_repeated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_balanced_shards_sorts_metadata_only(spark, sf_dir):
+    """l47: the global row_number window must see only the (doc_id, n)
+    metadata projection — the text column never reaches the sort."""
+    plan = _plan(spark, sf_dir, "l47_balanced_shards")
+    import re
+
+    w = re.search(r"\(\d+\) Window[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", plan)
+    assert w is not None
+    assert "text" not in w.group(1)
