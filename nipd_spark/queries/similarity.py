@@ -503,3 +503,80 @@ def l38_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "q_label", "neg_id", "neg_label", "cosine", "rn")
     )
+
+
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign = parity of the first
+    md5 hex nibble of "j,i" — no RNG, reproducible in any engine."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j},{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def _jl_sql(k: int = 16, d: int = 64) -> str:
+    signs = _jl_signs(k, d)
+    dims = []
+    for j in range(k):
+        terms = " + ".join(
+            f"({'' if signs[j][i] == 1 else '-'}CAST(embedding[{i + 1}] AS DOUBLE))"
+            for i in range(d)
+        )
+        dims.append(f"({terms})")
+    proj_sq = " + ".join(f"({p} * {p})" for p in dims)
+    orig_sq = (
+        "list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return f"""
+    SELECT vec_id,
+           {orig_sq} AS orig_sq,
+           ({proj_sq}) / {k} AS proj_sq
+    FROM embeddings
+    WHERE vec_id < 100
+    """
+
+
+@query("l51_jl_projection", sql=_jl_sql(), tags=("L11", "F3"))
+def l51_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    deterministic ±1 (Achlioptas 2003) matrix: per-vector original and
+    projected squared norms (projected scaled by 1/k, so the ratio
+    concentrates near 1). The cheap dim-reduction step ahead of an ANN
+    tier — 4× fewer bytes per vector into LSH/IVF — with the distance
+    guarantee property-tested on pairs.
+
+    Scale shape: the matrix is 16×64 CONSTANTS folded into the
+    projection expressions — map-only, whole-stage codegen, zero
+    shuffles, no Python. Both engines evaluate the same left-assoc
+    sums, so doubles match bitwise (no rounding needed).
+    """
+    signs = _jl_signs()
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = [F.col("embedding").getItem(i).cast("double") for i in range(64)]
+    dims = []
+    for j in range(16):
+        s = signs[j]
+        expr = (emb[0] if s[0] == 1 else -emb[0])
+        for i in range(1, 64):
+            expr = expr + (emb[i] if s[i] == 1 else -emb[i])
+        dims.append(expr)
+    proj_sq = dims[0] * dims[0]
+    for j in range(1, 16):
+        proj_sq = proj_sq + dims[j] * dims[j]
+    orig_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select(
+        "vec_id",
+        orig_sq.alias("orig_sq"),
+        (proj_sq / 16).alias("proj_sq"),
+    )

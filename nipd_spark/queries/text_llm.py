@@ -1636,3 +1636,127 @@ def l48_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+@query(
+    "l50_gopher_rules",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, len(t) AS n_words,
+             list_aggregate(list_transform(t, w -> len(w)), 'avg') AS mwl
+      FROM toks
+    ),
+    freq AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest(t) AS token FROM toks)
+      GROUP BY token ORDER BY c DESC, token ASC LIMIT 8
+    ),
+    fw AS (
+      SELECT doc_id, count(DISTINCT token) AS n_fw
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      WHERE token IN (SELECT token FROM freq)
+      GROUP BY doc_id
+    ),
+    toptok AS (
+      SELECT doc_id, max(c) AS top_c FROM (
+        SELECT doc_id, token, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        GROUP BY doc_id, token
+      ) GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT s.doc_id,
+             s.n_words BETWEEN 30 AND 90 AS r_words,
+             s.mwl BETWEEN 4.0 AND 5.0 AS r_mwl,
+             coalesce(f.n_fw, 0) >= 2 AS r_function_words,
+             CAST(t.top_c AS DOUBLE) / s.n_words <= 0.2 AS r_repetition
+      FROM stats s
+      LEFT JOIN fw f USING (doc_id)
+      JOIN toptok t USING (doc_id)
+    )
+    SELECT count(*) AS n_docs,
+           count(*) FILTER (WHERE r_words) AS pass_words,
+           count(*) FILTER (WHERE r_mwl) AS pass_mwl,
+           count(*) FILTER (WHERE r_function_words) AS pass_function_words,
+           count(*) FILTER (WHERE r_repetition) AS pass_repetition,
+           count(*) FILTER (WHERE r_words AND r_mwl AND r_function_words
+                            AND r_repetition) AS pass_all
+    FROM rules
+    """,
+    tags=("L9", "F5", "A12"),
+)
+def l50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al., arXiv:2112.11446 App. A),
+    calibrated to this corpus: word count in [30, 90], mean word
+    length in [4, 5], ≥2 distinct function words (the corpus's 8 most
+    frequent tokens stand in for the English stop set), and top-token
+    frequency ≤ 20% (the repetition rule). One-row scoreboard of
+    per-rule and all-rules pass counts.
+
+    Scale shape: rules 1-2 are in-row higher-order array math (zero
+    shuffles); the function-word set is 8 rows (broadcast semi-join);
+    the repetition rule is the only explode+groupBy pass. A 100 TB
+    gate runs one scan + one doc-keyed shuffle, then a 1-row reduce.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    stats = toks.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform("t", lambda w: F.length(w).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("t")
+        ).alias("mwl"),
+    )
+    exploded = toks.select("doc_id", F.explode("t").alias("token"))
+    freq = (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(8)
+        .select("token")
+    )
+    fw = (
+        exploded.join(F.broadcast(freq), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("n_fw"))
+    )
+    toptok = (
+        exploded.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    rules = (
+        stats.join(fw, "doc_id", "left")
+        .join(toptok, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").between(30, 90).alias("r_words"),
+            F.col("mwl").between(4.0, 5.0).alias("r_mwl"),
+            (F.coalesce("n_fw", F.lit(0)) >= 2).alias("r_function_words"),
+            (F.col("top_c").cast("double") / F.col("n_words") <= 0.2).alias(
+                "r_repetition"
+            ),
+        )
+    )
+    return rules.agg(
+        F.count("*").alias("n_docs"),
+        F.count_if("r_words").alias("pass_words"),
+        F.count_if("r_mwl").alias("pass_mwl"),
+        F.count_if("r_function_words").alias("pass_function_words"),
+        F.count_if("r_repetition").alias("pass_repetition"),
+        F.count_if(
+            F.col("r_words")
+            & F.col("r_mwl")
+            & F.col("r_function_words")
+            & F.col("r_repetition")
+        ).alias("pass_all"),
+    )

@@ -738,3 +738,18 @@ def test_tdigest_merge_invariance(spark, sf_dir):
         ra = bisect.bisect_left(vals, a[q]) / n
         rb = bisect.bisect_left(vals, b[q]) / n
         assert abs(ra - rb) <= 0.02, (q, a[q], b[q])
+
+
+def test_jl_projection_norm_concentration(spark, sf_dir):
+    """l51: the 1/k-scaled projected squared norms must be unbiased —
+    mean ratio to the original within [0.9, 1.1] over the 100-vector
+    sample — and every individual ratio inside the loose k=16 JL band.
+    The matrix is deterministic, so this is a fixed-value regression."""
+    from nipd_spark.queries.similarity import l51_jl_projection
+
+    rows = l51_jl_projection(spark, sf_dir).collect()
+    assert len(rows) == 100
+    ratios = [r.proj_sq / r.orig_sq for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 <= mean <= 1.1, mean
+    assert all(0.1 <= x <= 3.0 for x in ratios)
