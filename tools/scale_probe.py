@@ -68,6 +68,14 @@ PROBE = [
     "l35_ann_pq",
     "l36_chunk_documents",
     "w14_reset_cumsum",
+    # round-3 published-method additions
+    "l46_semdedup",
+    "l47_balanced_shards",
+    "l48_dsir_importance",
+    "l49_repeated_spans",
+    "l50_gopher_rules",
+    "l51_jl_projection",
+    "a30_tdigest_quantiles",
 ]
 
 
