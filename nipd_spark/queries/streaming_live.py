@@ -919,3 +919,46 @@ def t16_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n", "total_value")
     )
+
+
+@query(
+    "t17_stream_sliding_window",
+    # Complete mode + drained source → the final table equals t2's batch
+    # sliding aggregation exactly; the oracle materializes the slide by
+    # offset expansion (each event lands in 2 windows).
+    sql=f"""
+    WITH ev AS (SELECT {ts_us()} AS ts, value FROM events),
+    slid AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - INTERVAL (j * 30) MINUTE AS window_start,
+             value
+      FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS j)
+    )
+    SELECT window_start, count(*) AS n, {dround("sum(value)")} AS total_value
+    FROM slid
+    GROUP BY window_start
+    """,
+    tags=("T2", "T4", "S7"),
+)
+def t17_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t2's sliding window (1 h every 30 min) as a genuine stream with
+    a 10-min watermark — each event enters two window states; complete
+    mode keeps all windows so the drained replay equals the batch twin
+    exactly (hash-oracle, not rows-only).
+
+    At scale the sliding factor (size/slide) multiplies state rows, not
+    input rows — the watermark still bounds total state to
+    (horizon/slide)+1 windows per key.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, "complete")
