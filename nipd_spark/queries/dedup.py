@@ -607,9 +607,17 @@ def l46_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair join is EQUI-keyed on the cluster id, so
     pairwise cost is sum(|cluster|^2), not |corpus|^2 — with k ~ n/1e4
     clusters the quadratic term stays bounded per cluster and the whole
-    pass is one shuffle on cluster id. Cosines use the sequential-fold
-    expression (operators/vector.py) so both engines agree bitwise and
-    max() is exact.
+    pass is one shuffle on cluster id. Byte-identical embeddings are
+    collapsed to one representative BEFORE the pairwise stage (the same
+    degeneracy fix the MinHash tier uses, operators/minhash.py): for an
+    exact copy the cosine to its lower-id twin is exactly the self-
+    cosine expression dot(e,e)/nrm² (identical fold order → identical
+    bits), so copies re-enter the result closed-form and the quadratic
+    term sees only DISTINCT vectors — a 16×-duplicated corpus pairs
+    16² = 256× fewer rows. Result-identical to the naive all-pairs form
+    (property-tested); cosines use the sequential-fold expression
+    (operators/vector.py) so both engines agree bitwise and max() is
+    exact.
     """
     from nipd_spark.operators import vector
 
@@ -617,11 +625,22 @@ def l46_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding",
         vector.l2_norm(F.col("embedding")).alias("nrm"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    # collapse exact duplicates: representative = min vec_id per
+    # (label, embedding) byte-equal group
+    groups = e.groupBy("label", "embedding").agg(
+        F.min("vec_id").alias("rep_id")
+    )
+    reps = groups.select(
+        F.col("rep_id").alias("vec_id"),
+        "label",
+        "embedding",
+        vector.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = reps.alias("a"), reps.alias("b")
     cos = vector.cosine(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
     )
-    return (
+    rep_max = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
@@ -629,6 +648,23 @@ def l46_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.label").alias("label"))
         .agg(F.max(cos).alias("max_cos"))
+    )
+    # non-representative copies: max_cos is the self-cosine vs their
+    # lower-id twin (distinct-vector cosines are strictly smaller on
+    # any non-degenerate corpus; here they top out ≈ 0.48)
+    members = (
+        e.join(groups, ["label", "embedding"])
+        .filter(F.col("vec_id") != F.col("rep_id"))
+        .select(
+            "vec_id",
+            "label",
+            vector.cosine(
+                F.col("embedding"), F.col("embedding"), F.col("nrm"), F.col("nrm")
+            ).alias("max_cos"),
+        )
+    )
+    return (
+        rep_max.unionByName(members)
         .filter(F.col("max_cos") >= 0.35)
         .orderBy("vec_id")
     )

@@ -753,3 +753,49 @@ def test_jl_projection_norm_concentration(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.9 <= mean <= 1.1, mean
     assert all(0.1 <= x <= 3.0 for x in ratios)
+
+
+def test_semdedup_collapse_equals_naive_on_duplicated_corpus(spark, sf_dir):
+    """l46's exact-duplicate collapse must be result-identical to the
+    naive all-pairs max on a corpus where every vector has an exact
+    copy — the 16×-replica degeneracy it exists for, in miniature."""
+    from nipd_spark.operators import vector
+    from nipd_spark.queries import dedup as _d
+
+    base = load(spark, sf_dir, "embeddings").limit(150)
+    copy = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = base.select("vec_id", "label", "embedding").unionByName(copy)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(_d, "load", lambda s, d, n: corpus):
+        got = {
+            (r.vec_id, r.label): r.max_cos
+            for r in _d.l46_semdedup(spark, sf_dir).collect()
+        }
+
+    e = corpus.select(
+        "vec_id", "label", "embedding",
+        vector.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = vector.cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    naive = {
+        (r.vec_id, r.label): r.max_cos
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.label").alias("label"))
+        .agg(F.max(cos).alias("max_cos"))
+        .filter(F.col("max_cos") >= 0.35)
+        .collect()
+    }
+    assert set(got) == set(naive)
+    for k, v in naive.items():
+        assert got[k] == v, (k, got[k], v)  # bit-exact, not approx
