@@ -29,12 +29,28 @@ def doc_tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; empty when < n tokens.
 
-    sequence(1, k) would count DOWN for k ≤ 0 (Spark sequence is
-    bidirectional), so the guard clamps to an empty array first.
+    Built by folding n-1 ``zip_with``s of the token array against its
+    k-shifted tails (each element concatenates with its successor) —
+    one cheap lambda per output element. The earlier form
+    (``transform(sequence(...), i -> concat_ws(slice(toks, i, n)))``)
+    copied an n-slice per shingle inside an interpreted higher-order
+    function and measured 5-8× slower on the 16× corpus (scale probe);
+    both forms produce the identical array. Trailing partial grams
+    (zip_with null-pads the shorter side; concat_ws skips nulls) are
+    cut by the final slice, and the k ≥ 1 guard keeps short docs empty.
     """
     toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
+    sz = F.size(toks)
+    acc = toks
+    for j in range(1, n):
+        # pair each element with its j-th successor; greatest(sz,1)
+        # keeps the slice length argument positive on empty docs
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, F.greatest(sz, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    k = sz - (n - 1)
+    return F.when(k >= 1, F.slice(acc, 1, k)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

@@ -1603,24 +1603,22 @@ def l48_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long"), F.lit(256)
     )
     occ = big.select("doc_id", "lang", bucket.alias("b"))
-    src = occ.groupBy("b").agg(F.count("*").alias("n_s"))
-    tgt = occ.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").alias("n_t")
+    # one pass builds source AND target bucket counts; corpus totals
+    # come from the 256-row stats table, not another scan — the
+    # exploded gram table is read twice total (stats + scoring), not 4x
+    stats = occ.groupBy("b").agg(
+        F.count("*").alias("n_s"),
+        F.count_if(F.col("lang") == "en").alias("n_t"),
     )
-    tot = occ.agg(
-        F.count("*").alias("s_tot"),
-        F.count_if(F.col("lang") == "en").alias("t_tot"),
+    tot = stats.agg(
+        F.sum("n_s").alias("s_tot"), F.sum("n_t").alias("t_tot")
     )
-    w = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.log(
-                ((F.coalesce("n_t", F.lit(0)) + F.lit(1.0)) / (F.col("t_tot") + 256))
-                / ((F.col("n_s") + F.lit(1.0)) / (F.col("s_tot") + 256))
-            ).alias("lw"),
-        )
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("n_t") + F.lit(1.0)) / (F.col("t_tot") + 256))
+            / ((F.col("n_s") + F.lit(1.0)) / (F.col("s_tot") + 256))
+        ).alias("lw"),
     )
     scored = (
         occ.join(F.broadcast(w), "b")
