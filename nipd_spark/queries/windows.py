@@ -813,3 +813,68 @@ def w18_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 4).alias("r1"),
         F.round(r1 - n1 * (n1 + 1) / 2.0, 4).alias("u_stat"),
     )
+
+
+@query(
+    "w19_theil_sen",
+    sql=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_us({ts_us()}) AS us, value
+      FROM events WHERE user_id < 15
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.value - a.value)
+               / (CAST(b.us - a.us AS DOUBLE) / 1000000.0) AS slope
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.event_id < b.event_id
+      WHERE b.us <> a.us
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           {dround("median(slope)", 9)} AS sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+    tags=("A9", "J11", "F3"),
+)
+def w19_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator: per event type, the median of
+    all pairwise slopes (Δvalue/Δseconds) over a bounded user cohort —
+    the 29%-breakdown alternative to least-squares drift detection
+    (pairs with outliers can't drag the median the way they drag a
+    regression line; complements dq2's median/MAD location gate with a
+    robust SLOPE).
+
+    Scale shape: pairs are generated by an equi self-join on the group
+    key, so cost is Σ|group|² — Theil-Sen is inherently quadratic per
+    group; production bounds the cohort (here user_id < 15) or samples
+    pairs. Δt in µs-long arithmetic divided once (identical expression
+    both engines); the median is order-free, so only it needs dround.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "event_id", "event_type", F.unix_micros("ts").alias("us"), "value"
+        )
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(F.col("b.us") != F.col("a.us"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.value") - F.col("a.value"))
+                / ((F.col("b.us") - F.col("a.us")).cast("double") / 1000000.0)
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.median("slope"), 9).alias("sen_slope"),
+    )

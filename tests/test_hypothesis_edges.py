@@ -208,3 +208,31 @@ def test_sequence_packing_matches_python_reference(spark, sizes, budget):
         for _, row in pdf[pdf.bucket == b].iterrows():
             assert got[row.doc_id] == cum // budget, (b, row.doc_id)
             cum += row.n
+
+
+@given(
+    docs=st.lists(
+        st.lists(_tok, min_size=0, max_size=12), min_size=1, max_size=6
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, docs, n):
+    """operators/text.shingles (folded zip_with form) == the obvious
+    Python sliding-window reference on randomized token lists, for all
+    gram sizes — including docs shorter than n (empty array) and the
+    n-1 trailing positions the null-padding must cut."""
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators.text import shingles
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r.i: r.s
+        for r in df.select("i", shingles(F.col("text"), n).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        assert got[i] == want, (n, toks, got[i], want)
