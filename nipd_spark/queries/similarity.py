@@ -580,3 +580,31 @@ def l51_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         orig_sq.alias("orig_sq"),
         (proj_sq / 16).alias("proj_sq"),
     )
+
+
+@query("l52_pca_spectrum", sql=None, tags=("L11", "A10", "D6"))
+def l52_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table (operators/pca.py):
+    partition-wise (n, Σx, XᵀX) sufficient statistics via mapInPandas,
+    associative merge, 64×64 eigenproblem on the driver — top-5
+    eigenvalues with explained-variance ratios. The embedding-analytics
+    companion to JL (l51): JL is the cheap oblivious projection, PCA
+    the data-adapted one (whitening, energy compaction before PQ).
+
+    Rows-only by design: partials merge in partition order, so the
+    covariance's last ulp is layout-dependent; the property test pins
+    the spectrum against an exact numpy reference at 1e-8 relative.
+    Scale shape: one map-only pass + a 4-KB-per-partition reduce — the
+    vectors themselves never shuffle.
+    """
+    from nipd_spark.operators import pca
+
+    e = load(spark, sf_dir, "embeddings")
+    vals, ratio, _vecs, n = pca.pca_spectrum(e, "embedding", d=64, k=5)
+    return spark.createDataFrame(
+        [
+            (i + 1, round(float(v), 6), round(float(r), 6), int(n))
+            for i, (v, r) in enumerate(zip(vals, ratio))
+        ],
+        "component int, eigenvalue double, explained_ratio double, n_vectors int",
+    )

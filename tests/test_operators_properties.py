@@ -799,3 +799,32 @@ def test_semdedup_collapse_equals_naive_on_duplicated_corpus(spark, sf_dir):
     assert set(got) == set(naive)
     for k, v in naive.items():
         assert got[k] == v, (k, got[k], v)  # bit-exact, not approx
+
+
+def test_pca_spectrum_matches_numpy_reference(spark, sf_dir):
+    """Distributed Gram-partial PCA (operators/pca.py) must reproduce
+    the exact single-machine numpy covariance spectrum to 1e-8
+    relative, independent of partition layout."""
+    import numpy as np
+
+    from nipd_spark.operators import pca
+
+    e = load(spark, sf_dir, "embeddings")
+    x = np.vstack(
+        [r.embedding for r in e.select("embedding").collect()]
+    ).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1][:5]
+
+    for parts in (2, 16):
+        vals, ratio, vecs, n = pca.pca_spectrum(
+            e.repartition(parts), "embedding", d=64, k=5
+        )
+        assert n == x.shape[0]
+        assert np.allclose(vals, want, rtol=1e-8), (parts, vals, want)
+        # eigenvectors orthonormal and sign-normalized
+        assert np.allclose(vecs.T @ vecs, np.eye(5), atol=1e-8)
+        for j in range(5):
+            i = int(np.argmax(np.abs(vecs[:, j])))
+            assert vecs[i, j] > 0
+    assert abs(ratio.sum() - (want.sum() / np.linalg.eigvalsh(cov).sum())) < 1e-8
