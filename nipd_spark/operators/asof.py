@@ -31,15 +31,29 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Result = all left columns + right_payload columns
-    (null when no right row precedes). ``tiebreak`` orders equal-ts right
-    rows (last one wins); pass a unique right column for determinism."""
+    (null when no right row matches). ``tiebreak`` orders equal-ts right
+    rows; pass a unique right column for determinism.
+
+    ``direction``: "backward" (default) carries the LATEST right row with
+    right_ts <= left_ts via last(ignorenulls) over
+    unbounded-preceding..current (equal-ts right rows sort before the
+    left row; last one wins). "forward" mirrors it — the EARLIEST right
+    row with right_ts >= left_ts via first(ignorenulls) over
+    current..unbounded-following (equal-ts right rows sort after the
+    left row; first one wins, so the tiebreak is ascending). Same
+    one-shuffle one-sort cost profile either way.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    back = direction == "backward"
     payload = F.struct(*[F.col(c) for c in right_payload])
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(0 if back else 1).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
         payload.alias("__payload"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
@@ -47,20 +61,26 @@ def asof_join(
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(1 if back else 0).alias("__side"),
         F.lit(0).alias("__tb"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *left.columns,
     )
+    frame = (
+        (Window.unboundedPreceding, 0) if back else (0, Window.unboundedFollowing)
+    )
     w = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__side", "__tb")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(*frame)
     )
-    carried = l.unionByName(r).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
+    carry = (
+        F.last("__payload", ignorenulls=True)
+        if back
+        else F.first("__payload", ignorenulls=True)
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    carried = l.unionByName(r).withColumn("__match", carry.over(w))
+    out = carried.filter(F.col("__side") == (1 if back else 0)).select(
         *left.columns,
         *[F.col(f"__match.{c}").alias(c) for c in right_payload],
     )

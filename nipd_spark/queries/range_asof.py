@@ -305,3 +305,64 @@ def j18_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+@query(
+    "j19_asof_forward",
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, c.user_id, p.purchase_id, p.value,
+           epoch_us(p.pts) - epoch_us(c.cts) AS lag_us
+    FROM clicks c
+    ASOF JOIN purchases p ON c.user_id = p.user_id AND c.cts <= p.pts
+    """,
+    tags=("J9",),
+)
+def j19_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's NEXT
+    purchase at-or-after it — the click→conversion lag, the mirror of
+    j9's latest-prior-click attribution (pandas merge_asof
+    direction='forward'). The oracle is DuckDB's native forward ASOF
+    JOIN (`c.cts <= p.pts`), an independent engine implementing the
+    same semantics; inner behavior: clicks with no later purchase drop.
+
+    Same union+window algorithm as backward (operators/asof.py) with
+    the frame mirrored: first(ignorenulls) over
+    current..unbounded-following, equal-ts right rows sorting after the
+    left row — one shuffle on user_id + one in-partition sort.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="cts",
+        right_ts="pts",
+        right_payload=["purchase_id", "pts", "value"],
+        tiebreak="purchase_id",
+        direction="forward",
+    )
+    return out.filter(F.col("purchase_id").isNotNull()).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        "value",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+    )
