@@ -1758,3 +1758,78 @@ def l50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("r_repetition")
         ).alias("pass_all"),
     )
+
+
+@query(
+    "l53_source_similarity",
+    sql="""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE)
+             / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY jaccard DESC, src_a ASC, src_b ASC
+    LIMIT 40
+    """,
+    tags=("L9", "L3", "J11", "A3"),
+)
+def l53_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture similarity matrix: vocabulary Jaccard between
+    every pair of sources (top 40 most-similar pairs) — the input to
+    data-mixture design (near-identical sources are redundant in the
+    mix; distant ones add diversity; cf. the domain-weighting setup in
+    DoReMi, arXiv:2305.10429).
+
+    Scale shape: the unit of comparison is the per-source DISTINCT
+    vocabulary, aggregated BEFORE any pairing — bounded by the token
+    vocabulary, not the corpus; the pair intersection is an equi-join
+    on token (never a doc-level cross product), and with S sources the
+    output is S² tiny rows. At 100 TB: same plan, vocab tables a few
+    MB each.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("src_a").asc(), F.col("src_b").asc())
+        .limit(40)
+    )
