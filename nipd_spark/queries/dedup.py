@@ -787,3 +787,71 @@ def l49_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("covered_tokens").desc(), F.col("doc_id").asc())
         .limit(30)
     )
+
+
+@query(
+    "l54_containment",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a_id, i.b_id, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / sa.n AS containment
+    FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / sa.n >= 0.8
+    ORDER BY containment DESC, a_id ASC, b_id ASC
+    """,
+    tags=("L3", "L2", "J11"),
+)
+def l54_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity (Broder 1997's asymmetric companion to
+    resemblance): |A∩B| / |A| over 3-shingle sets — ≥ 0.8 means doc A
+    is essentially an EXCERPT of doc B, which plain Jaccard misses
+    whenever B is much longer (the union term drowns the overlap).
+    The quote/boilerplate-extraction detector of a dedup pipeline;
+    emitted directionally (a_id contained-in b_id).
+
+    Scale shape: identical to the exact-Jaccard anchor — distinct
+    (doc, shingle) explode, equi-join on shingle, grouped count — with
+    the denominator joined from the per-doc set size; the LSH tier
+    (minhash bands) generates candidates for it at 100 TB the same way
+    it does for resemblance.
+    """
+    from nipd_spark.operators import minhash
+
+    docs = load(spark, sf_dir, "documents")
+    sh = minhash.doc_shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    return (
+        inter.join(sa, "a_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("n_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .orderBy(F.col("containment").desc(), F.col("a_id").asc(), F.col("b_id").asc())
+    )
