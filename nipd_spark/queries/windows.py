@@ -878,3 +878,100 @@ def w19_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.round(F.median("slope"), 9).alias("sen_slope"),
     )
+
+
+@query(
+    "w20_cusum_drift",
+    sql=f"""
+    WITH stats AS (
+      SELECT event_type,
+             {dround("avg(value)", 6)} AS mean_r,
+             {dround("stddev_pop(value)", 6)} AS sd_r
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, {ts_us("e.ts")} AS ts,
+             CAST(round((e.value - s.mean_r - 0.25 * s.sd_r) * 1e6) AS BIGINT) AS d,
+             CAST(round(5 * s.sd_r * 1e6) AS BIGINT) AS h
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    ),
+    pre1 AS (
+      SELECT event_type, event_id, ts, h,
+             sum(d) OVER w AS p
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pre AS (
+      SELECT event_type, ts, h, p,
+             min(p) OVER w2 AS minp
+      FROM pre1
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cusum AS (
+      SELECT event_type, ts, h,
+             p - least(minp, 0) AS s
+      FROM pre
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE s > h) AS n_alarms,
+           min(ts) FILTER (WHERE s > h) AS first_alarm,
+           CAST(max(s) AS DOUBLE) / 1e6 AS max_cusum
+    FROM cusum GROUP BY event_type
+    """,
+    tags=("W3", "W9", "A10"),
+)
+def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (Page 1954) per event type: the one-sided
+    cumulative sum s_i = max(0, s_{i-1} + (x_i − μ − k)) with slack
+    k = 0.25σ and decision interval h = 5σ — the classic
+    process-control detector for a sustained upward mean shift.
+
+    The recursion is NOT window-expressible directly, but the closed
+    form s_i = P_i − min(0, min_{j≤i} P_j) over the prefix sums
+    P = Σ(x − μ − k) is — two stacked window functions, no recursion,
+    no UDF. Cross-engine determinism is by FIXED-POINT quantization:
+    deviations are rounded to integer micro-units (×1e6 → BIGINT)
+    before the cumulative sums, because windowed double-sums are NOT
+    order-stable across engines (DuckDB's segment-tree accumulation vs
+    Spark's streaming fold differ in the last ulp — observed flipping
+    a 6-dp rounding boundary); int64 addition is associative, so the
+    prefix sums, the min, and every alarm comparison are exact in both
+    engines (headroom: |d| ≲ 1e9 µ-units × 1e5 rows ≪ 2^63). One
+    shuffle on event_type + one in-partition sort.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_r"),
+        F.round(F.stddev_pop("value"), 6).alias("sd_r"),
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round((F.col("value") - F.col("mean_r") - 0.25 * F.col("sd_r")) * 1e6, 0)
+        .cast("long")
+        .alias("d"),
+        F.round(5 * F.col("sd_r") * 1e6, 0).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = dev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "h",
+        F.sum("d").over(w).alias("p"),
+    ).withColumn("minp", F.min("p").over(w))
+    cusum = pre.select(
+        "event_type", "ts", "h", (F.col("p") - F.least("minp", F.lit(0).cast("long"))).alias("s")
+    )
+    return cusum.groupBy("event_type").agg(
+        F.count_if(F.col("s") > F.col("h")).alias("n_alarms"),
+        F.min(F.when(F.col("s") > F.col("h"), F.col("ts"))).alias("first_alarm"),
+        (F.max("s").cast("double") / 1e6).alias("max_cusum"),
+    )
