@@ -43,8 +43,11 @@ def asof_join(
     left row; last one wins). "forward" mirrors it — the EARLIEST right
     row with right_ts >= left_ts via first(ignorenulls) over
     current..unbounded-following (equal-ts right rows sort after the
-    left row; first one wins, so the tiebreak is ascending). Same
-    one-shuffle one-sort cost profile either way.
+    left row, __tb DESCENDING, so first one wins). Tie semantics are
+    therefore direction-invariant: among equal-ts right rows the
+    LARGEST tiebreak wins in both directions — switching direction
+    never silently changes the tie rule. Same one-shuffle one-sort
+    cost profile either way.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -69,9 +72,10 @@ def asof_join(
     frame = (
         (Window.unboundedPreceding, 0) if back else (0, Window.unboundedFollowing)
     )
+    tb_order = F.col("__tb").asc() if back else F.col("__tb").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side", "__tb")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), tb_order)
         .rowsBetween(*frame)
     )
     carry = (

@@ -15,10 +15,19 @@ embeddings are isotropic Gaussian (no cluster structure — verified), so
 absolute recall is intrinsically modest; tests assert the candidate
 generation and re-rank are exactly right, and recall is reported.
 
-Planes use a fixed seed → fully deterministic output.
+Planes use a fixed seed → fully deterministic output. The plane count
+is NOT a corpus constant (round-4 fix): ``planes_for(n)`` scales it
+~log2(n / target_bucket) so expected bucket occupancy stays bounded —
+a fixed 64-bucket table at 100 TB would make every probe a
+near-cross-join. ``_planes(p)`` draws rows in C order from one seeded
+stream, so the p-plane family is always a prefix of the (p+1)-plane
+family: growing the corpus refines buckets without reshuffling the
+geometry of existing planes.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -26,56 +35,79 @@ from pyspark.sql import functions as F
 
 from nipd_spark.operators import vector
 
-N_PLANES = 6
+N_PLANES = 6  # floor; toy-SF default (64 buckets)
 SEED = 42
 DIMS = 64
+TARGET_BUCKET = 1024  # aimed-for expected vectors per bucket at scale
 
 
-def _planes() -> list[list[float]]:
+def planes_for(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Plane count for a corpus of n vectors: ceil(log2(n/target)),
+    floored at N_PLANES. 65k vectors → 6 planes; 1B → 20; 1T → 30."""
+    if n_vectors <= target_bucket:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
+def _planes(n_planes: int = N_PLANES) -> list[list[float]]:
     rng = np.random.RandomState(SEED)
-    return rng.randn(N_PLANES, DIMS).tolist()
+    return rng.randn(n_planes, DIMS).tolist()
 
 
-def with_bucket(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    """Append the hyperplane sign-bucket (0 .. 2^N_PLANES-1)."""
+def with_bucket(
+    df: DataFrame, emb_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
+    """Append the hyperplane sign-bucket (0 .. 2^n_planes-1)."""
     emb = F.col(emb_col)
     bucket = F.lit(0)
-    for j, plane in enumerate(_planes()):
+    for j, plane in enumerate(_planes(n_planes)):
         p = F.array(*[F.lit(x) for x in plane])
         bit = F.when(vector.dot(emb, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return df.withColumn("bucket", bucket)
 
 
-def probe_buckets(bucket_col: str = "bucket") -> F.Column:
+def probe_buckets(
+    bucket_col: str = "bucket", n_planes: int = N_PLANES
+) -> F.Column:
     """Multiprobe set: own bucket + all Hamming-distance-1 neighbors."""
     b = F.col(bucket_col)
-    return F.array(b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)])
+    return F.array(b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
 
 
 def ann_topk(
-    base: DataFrame, queries: DataFrame, k: int = 5
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int | None = None,
+    target_bucket: int = TARGET_BUCKET,
 ) -> DataFrame:
     """Top-k approximate neighbors per query row.
 
     base/queries: (vec_id, embedding[, ...]). Returns
     (q_id, neighbor_id, cosine, rn) with deterministic tie-breaks.
+    n_planes=None sizes the bucket table from a count of the base side
+    (parquet-metadata cheap) via planes_for — callers that know their
+    corpus size can pass it explicitly and skip the count action.
     """
     from pyspark.sql import Window
 
-    b = with_bucket(base).select(
+    if n_planes is None:
+        n_planes = planes_for(base.count(), target_bucket)
+
+    b = with_bucket(base, n_planes=n_planes).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         vector.l2_norm(F.col("embedding")).alias("n_nrm"),
         "bucket",
     )
     q = (
-        with_bucket(queries)
+        with_bucket(queries, n_planes=n_planes)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             vector.l2_norm(F.col("embedding")).alias("q_nrm"),
-            F.explode(probe_buckets()).alias("probe"),
+            F.explode(probe_buckets(n_planes=n_planes)).alias("probe"),
         )
     )
     cand = (

@@ -36,6 +36,8 @@ def gram_partials(df: DataFrame, col: str, d: int) -> DataFrame:
         s = np.zeros(d)
         g = np.zeros((d, d))
         for pdf in batches:
+            if pdf.empty:  # mapInPandas can deliver empty Arrow batches
+                continue
             x = np.vstack(pdf[col].to_numpy()).astype(np.float64)
             n += x.shape[0]
             s += x.sum(axis=0)

@@ -618,6 +618,15 @@ def l46_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (property-tested); cosines use the sequential-fold expression
     (operators/vector.py) so both engines agree bitwise and max() is
     exact.
+
+    Precondition (oracle-guarded): the copies-re-enter-closed-form step
+    assumes no distinct same-cluster pair's computed cosine reaches the
+    computed self-cosine — true unless the corpus contains POSITIVELY
+    SCALED copies (near-parallel distinct vectors), whose cosine can
+    tie the self-cosine in the last ulp. This fixture's distinct
+    cosines top out ≈0.48, far from 1; if a fixture change ever adds
+    scaled duplicates, the DuckDB all-pairs twin will flag the parity
+    break — treat that as this precondition failing, not a mystery.
     """
     from nipd_spark.operators import vector
 

@@ -787,11 +787,20 @@ def w18_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger than weekday ones, WITHOUT assuming normality — the
     nonparametric sibling of c15's z-test, and the robust choice for
     skewed monetary values. Built from exact integer rank arithmetic:
-    midranks for ties via rank() + (tie_count−1)/2 (halves are exact
-    binary doubles), rank-sum, U = R₁ − n₁(n₁+1)/2. No transcendental
-    touches anything, so both engines agree to the last bit before the
-    display rounding. One global ordered window over the purchase
-    slice (bounded), one reduce.
+    midrank(v) = lt(v) + (cnt(v)+1)/2 where lt(v) = #rows strictly
+    below v (halves are exact binary doubles), rank-sum,
+    U = R₁ − n₁(n₁+1)/2. No transcendental touches anything, so both
+    engines agree to the last bit before the display rounding.
+
+    Scale shape (round-4 rewrite): NO unpartitioned window. Rows
+    collapse to one per distinct value (cnt, weekend cnt), then lt(v)
+    is a two-pass histogram rank — deterministic equi-width value
+    buckets, a bucket-partitioned running sum for the local prefix,
+    and a broadcast join of per-bucket totals (triangle-aggregated,
+    B² rows for B buckets) for the global offset. The old
+    rank().over(Window.orderBy(...)) funnelled the whole input through
+    one partition ("Moving all data to a single partition"); this plan
+    shuffles only on bucket and the rank arithmetic stays exact.
     """
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     s = ev.select(
@@ -800,16 +809,53 @@ def w18_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek("ts") - 1).isin(0, 6), "weekend"
         ).otherwise("weekday").alias("grp"),
     )
-    midrank = (
-        F.rank().over(Window.orderBy("value"))
-        + (F.count("*").over(Window.partitionBy("value")) - 1) / 2.0
+    pv = s.groupBy("value").agg(
+        F.count("*").alias("cnt"),
+        F.count_if(F.col("grp") == "weekend").alias("wk_cnt"),
     )
-    ranked = s.select("grp", midrank.alias("midrank"))
-    n1 = F.count_if(F.col("grp") == "weekend")
-    r1 = F.sum(F.when(F.col("grp") == "weekend", F.col("midrank")))
+    n_buckets = 32
+    rng = pv.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_buckets)
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = pv.join(F.broadcast(rng)).withColumn("bucket", bucket)
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "lt_local", F.coalesce(F.sum("cnt").over(w_local), F.lit(0))
+    )
+    totals = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("btotal"))
+    offsets = (
+        totals.alias("ta")
+        .join(
+            totals.alias("tb"),
+            F.col("tb.bucket") < F.col("ta.bucket"),
+            "left",
+        )
+        .groupBy(F.col("ta.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("tb.btotal"), F.lit(0)).alias("boffset"))
+    )
+    ranked = local.join(F.broadcast(offsets), "bucket").select(
+        "cnt",
+        "wk_cnt",
+        (
+            F.col("lt_local") + F.col("boffset") + (F.col("cnt") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    n1 = F.sum("wk_cnt")
+    r1 = F.sum(F.col("wk_cnt") * F.col("midrank"))
     return ranked.agg(
         n1.alias("n1"),
-        F.count_if(F.col("grp") == "weekday").alias("n2"),
+        F.sum(F.col("cnt") - F.col("wk_cnt")).alias("n2"),
         F.round(r1, 4).alias("r1"),
         F.round(r1 - n1 * (n1 + 1) / 2.0, 4).alias("u_stat"),
     )
@@ -940,6 +986,13 @@ def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sums, the min, and every alarm comparison are exact in both
     engines (headroom: |d| ≲ 1e9 µ-units × 1e5 rows ≪ 2^63). One
     shuffle on event_type + one in-partition sort.
+
+    Residual risk (accepted): mean_r/sd_r are themselves order-
+    dependent double aggregates rounded to 6 dp — a last-ulp engine
+    difference exactly AT a rounding boundary would shift every
+    quantized deviation by 1 µ-unit. If this ever flakes, quantize
+    from a deterministically-ordered aggregation (sum of pre-rounded
+    per-row values) instead of rounding avg/stddev outputs.
     """
     ev = load(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(

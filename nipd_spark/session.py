@@ -7,10 +7,16 @@ Pins that keep the DuckDB differential oracle stable:
   - AQE on with partition coalescing (right-sizes tiny-SF shuffles and
     re-plans skew/broadcast at 100 TB alike)
 
-Scale notes (100 TB): the same builder works on a cluster master; only
-``master``/memory change. Shuffle partition *count* is deliberately left
-to AQE (``advisoryPartitionSizeInBytes`` 64 MB) instead of a hard-coded
-number so plans survive a 1000× scale-up without retuning.
+Scale notes (100 TB): the master is NOT hardcoded — ``SPARK_GRAFT_MASTER``
+(or the ``master=`` argument) accepts any Spark master URL
+(``spark://host:7077``, ``yarn``, ``k8s://...``); default is
+``local[cpus]``. Under ``spark-submit`` (master already set on the
+command line / cluster conf) pass ``master=""`` or set
+``SPARK_GRAFT_MASTER=""`` to defer entirely to the submit-time config —
+see integration/Snakefile for the spark-submit path. Shuffle partition
+*count* is deliberately left to AQE (``advisoryPartitionSizeInBytes``
+64 MB) instead of a hard-coded number so plans survive a 1000×
+scale-up without retuning.
 """
 
 from __future__ import annotations
@@ -20,17 +26,26 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "nipd_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "nipd_spark",
+    cpus: int | None = None,
+    master: str | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     # Profile: 'local' (default) = sub-second queries on small SF — AQE OFF
     # (its per-stage re-planning adds ~0.1 s fixed latency per query with
     # nothing to adapt at MB scale); 'scale' = cluster/100 TB posture —
     # AQE ON for runtime coalescing, skew splitting, and plan switching.
     profile = os.environ.get("SPARK_GRAFT_PROFILE", "local")
     aqe = "true" if profile == "scale" else "false"
+    builder = SparkSession.builder
+    if master:  # empty string = defer to spark-submit's --master
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
         .config(
             "spark.sql.shuffle.partitions",

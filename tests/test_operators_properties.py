@@ -77,6 +77,69 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_asof_tiebreak_direction_invariant(spark):
+    """Among equal-ts right rows the LARGEST tiebreak wins in BOTH
+    directions — switching backward<->forward must not silently change
+    the tie rule."""
+    from nipd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, 100)], "k: long, ts: long, lid: long")
+    right = spark.createDataFrame(
+        [(1, 5, 1), (1, 5, 2), (1, 5, 3)], "k: long, ts: long, rid: long"
+    )
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            left,
+            right,
+            key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["rid"],
+            tiebreak="rid",
+            direction=direction,
+        ).collect()
+        assert [r.rid for r in got] == [3], direction
+
+
+def test_lsh_planes_scale_with_corpus():
+    """Plane count must grow ~log2(n/target) — a constant bucket table
+    makes every probe a near-cross-join at 100 TB."""
+    assert lsh.planes_for(1_000) == lsh.N_PLANES
+    assert lsh.planes_for(65_536) == lsh.N_PLANES  # 64k/1k = 64 buckets
+    assert lsh.planes_for(1_048_576) == 10
+    assert lsh.planes_for(10**9) == 20
+    assert lsh.planes_for(10**12) == 30
+    # seeded prefix property: growing the family keeps existing planes
+    assert lsh._planes(6) == lsh._planes(10)[:6]
+
+
+def test_lsh_bucket_occupancy_bounded_on_16x(spark):
+    """On a 16x corpus, planes_for keeps expected bucket occupancy near
+    target: no bucket should hold more than a small multiple of it."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, target = 4096, 64
+    vecs = rng.randn(n, lsh.DIMS)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id: long, embedding: array<double>",
+    )
+    p = lsh.planes_for(n, target)
+    assert p == lsh.N_PLANES  # 4096/64 = 64 buckets at the floor
+    occ = (
+        lsh.with_bucket(df, n_planes=p)
+        .groupBy("bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert occ <= 4 * target  # Gaussian corpus: buckets near-balanced
+    # 16x the corpus with the same target -> 4 more planes, 16x buckets
+    assert lsh.planes_for(16 * n, target) == p + 4
+
+
 def test_ann_rerank_is_exact_over_candidates(spark, sf_dir):
     """L5's reported cosines must equal the exact cosine for those pairs,
     and each query's rows must be sorted by (cosine desc, id asc)."""

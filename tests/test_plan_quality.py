@@ -58,6 +58,33 @@ def test_minhash_band_join_is_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_w18_no_unpartitioned_window(spark, sf_dir):
+    """Mann-Whitney midranks must come from the two-pass histogram rank
+    (bucket-partitioned prefix sums + offset join), never an
+    unpartitioned Window — rank().over(Window.orderBy(...)) moves the
+    whole input to a single partition. In formatted plans an empty
+    window partition spec prints as ', [], [' before the sort spec."""
+    plan = _plan(spark, sf_dir, "w18_mann_whitney_u")
+    assert "windowspecdefinition" in plan  # the local prefix sum exists
+    assert ", [], [" not in plan
+
+
+def test_minhash_verify_is_candidate_driven(spark, sf_dir):
+    """The LSH verify stage must score ONLY candidate pairs: per-doc
+    collect_set(shingle) joined to candidates, intersection via
+    size(array_intersect). A shingle-equality self-join anywhere in the
+    plan means the verify stage pays the full co-shingled pair blow-up
+    (quadratic on a hot shingle at 100 TB) regardless of where the
+    candidate filter sits — Catalyst will not push a join below the
+    pair-count aggregate."""
+    import re
+
+    plan = _plan(spark, sf_dir, "l3b_minhash_lsh")
+    assert "array_intersect" in plan
+    for m in re.finditer(r"keys \[\d+\]: \[([^\]]*)\]", plan):
+        assert "shingle" not in m.group(1), m.group(0)
+
+
 @pytest.mark.parametrize(
     "name", ["q1_pricing_summary", "t1_tumbling_hourly", "l6_token_tf"]
 )
