@@ -15,6 +15,7 @@ from nipd_spark.operators.ivf import assign as ivf_assign
 from nipd_spark.operators.ivf import search as ivf_search
 from nipd_spark.operators.ivf import train_centroids as ivf_train_centroids
 from nipd_spark.operators.knn import top_pairs_gemm, topk_per_query_gemm
+from nipd_spark.operators.merge import merge_into
 from nipd_spark.operators.minhash import near_dup_pairs
 from nipd_spark.operators.range_join import bucketed_range_join
 
@@ -33,6 +34,7 @@ __all__ = [
     "ivf_search",
     "ivf_train_centroids",
     "l2_norm",
+    "merge_into",
     "near_dup_pairs",
     "simhash_signatures",
     "top_pairs_gemm",

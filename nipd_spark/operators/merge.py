@@ -1,0 +1,87 @@
+"""Batch MERGE INTO (upsert) as a composition of equi-joins
+(SURVEY.md §2.1 S6 write-path; ANSI SQL:2003 MERGE, Delta/Iceberg
+``MERGE INTO`` semantics re-expressed on plain DataFrames).
+
+The three MERGE branches become three equi-keyed DataFrame legs over
+the same join keys, unioned:
+
+  - WHEN MATCHED THEN UPDATE  → inner join, update assignments applied
+  - WHEN MATCHED THEN DELETE  → matched target rows simply dropped
+  - (target rows w/o a match) → target LEFT ANTI source, unchanged
+  - WHEN NOT MATCHED INSERT   → source LEFT ANTI target, insert exprs
+
+Scale notes (100 TB): every leg shuffles on the same merge keys, so AQE
+reuses the exchange; no leg is ever a cross product. This is the
+engine-level semantics that a lakehouse MERGE compiles to — on
+Delta/Iceberg the same plan feeds the file-rewrite layer
+(connectors.py gates those writers behind capability probes since the
+jars are absent in this container). The streaming sibling is the
+foreachBatch upsert (queries/streaming_live.py t10), which applies this
+operator per micro-batch.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    when_matched: dict[str, Column] | str | None = None,
+    when_not_matched: dict[str, Column] | None = None,
+) -> DataFrame:
+    """MERGE source INTO target ON the equi-key columns ``on``.
+
+    ``when_matched``: dict of target column -> Column expression over
+    the aliases ``t`` (target) and ``s`` (source) — the UPDATE SET
+    assignments; the string ``"delete"`` drops matched target rows;
+    ``None`` leaves matched rows unchanged.
+    ``when_not_matched``: dict of target column -> Column over ``s`` —
+    the INSERT values (unlisted columns become NULL); ``None`` inserts
+    nothing.
+
+    Cardinality rule (standard MERGE): ``source`` must be unique on
+    ``on`` — a target row matched by k source rows would be emitted k
+    times by the update leg exactly as ANSI MERGE would raise; callers
+    pre-aggregate the source (see s21_merge_into).
+    Keys compare null-safely (``eqNullSafe``), so a NULL key matches a
+    NULL key — document per call-site if SQL-NULL semantics are wanted.
+    """
+    t, s = target.alias("t"), source.alias("s")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
+    )
+    out_cols = list(target.columns)
+    if when_matched is None:
+        parts = [target.select(*out_cols)]
+    else:
+        parts = [t.join(s, cond, "left_anti").select(*out_cols)]
+        if when_matched != "delete":
+            assigned = [
+                (
+                    when_matched[c] if c in when_matched else F.col(f"t.{c}")
+                ).alias(c)
+                for c in out_cols
+            ]
+            parts.append(t.join(s, cond, "inner").select(*assigned))
+    if when_not_matched is not None:
+        types = {f.name: f.dataType for f in target.schema.fields}
+        inserted = [
+            (
+                when_not_matched[c]
+                if c in when_not_matched
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in out_cols
+        ]
+        parts.append(s.join(t, cond, "left_anti").select(*inserted))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

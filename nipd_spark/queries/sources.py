@@ -1279,3 +1279,68 @@ def sql6_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "s21_merge_into",
+    sql=f"""
+    WITH tgt AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+      SELECT o_custkey AS c_custkey, {dround("sum(o_totalprice)", 2)} AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT t.c_custkey, t.c_acctbal + s.total AS c_acctbal, t.c_mktsegment
+      FROM tgt t JOIN src s ON t.c_custkey = s.c_custkey
+    UNION ALL
+    SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment FROM tgt t
+     WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.total AS c_acctbal, 'NEW' AS c_mktsegment
+      FROM src s
+     WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.c_custkey = s.c_custkey)
+    """,
+    tags=("S6", "J5", "U1"),
+)
+def s21_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (upsert): lifetime order spend merged into the
+    customer ledger — matched customers get their balance topped up
+    (other columns pass through untouched), customers outside the
+    target slice are INSERTed as 'NEW' rows, unmatched target rows ride
+    along unchanged. The generic operator is operators/merge.py
+    (ANSI MERGE / Delta-Iceberg semantics as three equi-joined legs);
+    the oracle spells the identical three branches as join + two
+    NOT-EXISTS legs, which is exactly what MERGE desugars to.
+
+    The target slice (c_custkey % 3 <> 0) is chosen so BOTH the update
+    and the insert leg are non-empty at every SF. Source is
+    pre-aggregated to one row per key — the standard MERGE cardinality
+    rule (see merge_into docstring). Sum-of-price is dround(2) on both
+    engines (order-dependent aggregate); the top-up addition itself is
+    per-row deterministic and stays unrounded.
+    """
+    from nipd_spark.operators.merge import merge_into
+
+    tgt = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+    src = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    return merge_into(
+        tgt,
+        src,
+        on=["c_custkey"],
+        when_matched={"c_acctbal": F.col("t.c_acctbal") + F.col("s.total")},
+        when_not_matched={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_acctbal": F.col("s.total"),
+            "c_mktsegment": F.lit("NEW"),
+        },
+    )

@@ -46,90 +46,82 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 3): the driver hash-checks the FIRST 50
-# queries() entries per round (CORRECTNESS_r01/r02 == the exact prefix).
-# Rounds 1-2 verified sources/relational/tpch + the LLM stack +
-# aggregates/windows(w1-w4); 57 queries have never had a driver row
-# (VERDICT.md r2 item 3). This front list is exactly the 50 of those 57
-# that fit the window: composites and w5-w9 first (VERDICT item 8), then
-# streaming twins, range/as-of joins, set ops, scalar/array/JSON function
-# families, the UDF surface, multimodal, live streaming, and CBO. The 7
-# deferred are the six b-variants whose operator ID is already covered by
-# their base query inside the window (u3b/u4b/f5b/f7b/j9b/t3b) plus
-# rows-only l10b — they land right after the front list for round 4,
-# together with every round-3 addition (all sf0.01-verified repo-side,
-# VERIFY_r03.txt): the early batch (l23-l27, l16b, s9, s10, j12, c9)
-# plus the late batch (j15, a17, a17b, a18-a21, w13, w14, c13-c16,
-# dq2, l31-l37, g2, g3, o5, p8, p9, t11-t14, sql3, sql4, s15, s16,
-# f13-f16, d10). Round 4 front list should draw from those ~50
-# never-driver-checked names (oracle-twinned first), then a re-check
-# rotation of the oldest r1 rows. Round-3 additions (all sf0.01-verified
-# repo-side before commit): l46_semdedup, l47_balanced_shards,
-# l48_dsir_importance, l49_repeated_spans, dq7_observe_metrics
-# (oracle-twinned) and a30_tdigest_quantiles (rows-only,
-# property-tested) — include them in the round-4 window too.
+# Verification rotation (round 4): the driver hash-checks the FIRST 50
+# queries() entries per round (CORRECTNESS_r01/r02/r03 == the exact
+# prefix of their era). Rounds 1-3 cumulatively covered 149 distinct
+# queries; the round-3 judge independently re-verified the remaining 144
+# at sf0.01 (VERDICT.md r3), but a driver row is still stronger
+# evidence. This round-4 front list is 50 never-driver-checked,
+# oracle-twinned names: the round-4 additions first (s21_merge_into;
+# w18 was rewritten this round — scale-safe histogram rank — so it
+# leads), then the deferred b-variants, as-of/range extensions,
+# business composites, window family tail, graph, data-quality, SQL
+# surface, lakehouse write-path sources, join strategies, and the LLM
+# curation tail. Everything here is green in tools/diffcheck.py
+# (sf0.001) and was judge-verified at sf0.01 in r3 (except s21, new,
+# verified at both SFs before commit).
 _FRONT_QUERIES: tuple[str, ...] = (
-    # composites (SURVEY §2.12 — genomics heart: c1/c6)
-    "c1_sprt_rhdo",
-    "c2_zscore_screen",
-    "c3_fetal_fraction",
-    "c4_coverage_qc",
-    "c5_version_diff",
-    "c6_rmd",
-    "c7_funnel",
-    "c8_lexical_semantic",
-    # windows w5-w9 (never-checked half of the window family)
-    "w5_range_frame",
-    "w6_first_last",
-    "w7_pct_rank_cume",
-    "w8_zscore",
-    "w9_threshold_crossing",
-    # streaming batch twins
-    "t1_tumbling_hourly",
-    "t2_sliding_window",
-    "t3_session_window",
-    # range / as-of joins
-    "j8_range_join",
-    "j9_asof_join",
-    # set operations
-    "u1_union_all",
-    "u2_union_distinct",
-    "u3_intersect",
-    "u4_except",
-    # scalar function families
-    "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_funcs",
-    "f4_case_ladder",
-    "f8_casts",
-    # array / map / JSON families
-    "f5_array_ops",
-    "f6_map_ops",
-    "f7_json_extract",
-    # UDF surface (d1-d9)
-    "d1_scalar_udf",
-    "d2_pandas_udf",
-    "d3_iterator_udf",
-    "d4_grouped_zscore",
-    "d5_grouped_agg_udf",
-    "d6_mapinpandas",
-    "d7_udtf",
-    "d8_cogrouped",
-    "d9_pandas_api",
-    # multimodal plumbing
-    "l10_multimodal_decode",
-    "l10c_frame_sample",
-    # live streaming (readStream harness)
-    "t4_stream_tumbling_watermark",
-    "t5_stream_dedup",
-    "t6_stream_static_join",
-    "t7_stream_session_window",
-    "t7b_stream_stream_join",
-    "t8_stateful_user_tracker",
-    "t9_stream_parquet_sink",
-    # cost-based-optimization demos
-    "cbo1_stats_join_reorder",
-    "cbo2_filter_cardinality",
+    # round-4 additions / rewrites
+    "s21_merge_into",
+    "w18_mann_whitney_u",
+    # deferred b-variants (operator IDs covered, variants never checked)
+    "u3b_intersect_all",
+    "u4b_except_all",
+    "f5b_posexplode",
+    "f7b_json_agg",
+    "j9b_asof_bounded",
+    "t3b_session_window_native",
+    # as-of / interval extensions
+    "j17_nearest_event",
+    "j18_interval_overlap",
+    "j19_asof_forward",
+    # business/stat composites
+    "c9_curation_pipeline",
+    "c10_retention_cohorts",
+    "c11_scd2_merge",
+    "c12_touch_attribution",
+    "c13_time_in_state",
+    "c15_ab_test_ztest",
+    "c16_pretraining_pipeline",
+    "c20_rfm_segmentation",
+    # window family tail
+    "w10_longest_streak",
+    "w12_ewma",
+    "w13_moving_median",
+    "w14_reset_cumsum",
+    "w16_cumulative_distinct",
+    "w19_theil_sen",
+    "w20_cusum_drift",
+    # graph ops
+    "g1_triangle_count",
+    "g2_pagerank",
+    "g3_connected_components",
+    # data quality
+    "dq2_robust_outliers",
+    "dq4_distribution_drift",
+    "dq5_benford_audit",
+    "dq7_observe_metrics",
+    # SQL surface
+    "sql2_correlated_subquery",
+    "sql3_recursive_cte",
+    "sql4_lateral_join",
+    "sql5_scalar_subquery",
+    "sql6_sql_pivot",
+    # lakehouse write-path sources
+    "s12_zorder_skipping",
+    "s13_compaction",
+    "s16_write_audit_publish",
+    "s17_parquet_bloom_filter",
+    # join strategies
+    "j12_shuffled_hash",
+    "j13_salted_join",
+    "j14_nullsafe_join",
+    "j15_bloom_filter_join",
+    # LLM curation tail
+    "l43_perplexity_pruning",
+    "l46_semdedup",
+    "l48_dsir_importance",
+    "l54_containment",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -77,6 +77,50 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_merge_into_branches(spark):
+    """merge_into covers all MERGE branches: delete-matched,
+    unchanged-matched, update+insert with NULL fill for unlisted
+    insert columns."""
+    from nipd_spark.operators.merge import merge_into
+
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k: long, v: string"
+    )
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k: long, v: string")
+
+    got = sorted(
+        (r.k, r.v)
+        for r in merge_into(tgt, src, ["k"], when_matched="delete").collect()
+    )
+    assert got == [(1, "a"), (3, "c")]
+
+    got = sorted(
+        (r.k, r.v)
+        for r in merge_into(
+            tgt,
+            src,
+            ["k"],
+            when_not_matched={"k": F.col("s.k"), "v": F.col("s.v")},
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "D")]
+
+    got = sorted(
+        (
+            (r.k, r.v)
+            for r in merge_into(
+                tgt,
+                src,
+                ["k"],
+                when_matched={"v": F.col("s.v")},
+                when_not_matched={"k": F.col("s.k")},
+            ).collect()
+        ),
+        key=lambda x: x[0],
+    )
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, None)]
+
+
 def test_asof_tiebreak_direction_invariant(spark):
     """Among equal-ts right rows the LARGEST tiebreak wins in BOTH
     directions — switching backward<->forward must not silently change
