@@ -47,7 +47,7 @@ def t1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    return (
+    df = (
         ev.select(
             (us - us % hour_us).alias("bucket_us"),
             "event_type",
@@ -65,6 +65,20 @@ def t1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+    # Reduce side is 3,600 groups — a handful of KB. In 'scale' profile
+    # AQE coalesces the exchange by advisory size at runtime; in 'local'
+    # profile (AQE off for latency) pin the same decision at plan build:
+    # 2 reduce partitions instead of the session default, saving ~6
+    # task launches per run on a query whose cost is the fixed action
+    # floor (see BASELINE.md methodology).
+    if spark.conf.get("spark.sql.adaptive.enabled") != "true":
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "2")
+            df._jdf.queryExecution().executedPlan()  # lock physical plan
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return df
 
 
 @query(
