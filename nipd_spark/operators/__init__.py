@@ -17,6 +17,11 @@ from nipd_spark.operators.ivf import train_centroids as ivf_train_centroids
 from nipd_spark.operators.knn import top_pairs_gemm, topk_per_query_gemm
 from nipd_spark.operators.merge import merge_into
 from nipd_spark.operators.minhash import near_dup_pairs
+from nipd_spark.operators.snapshots import (
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
 from nipd_spark.operators.range_join import bucketed_range_join
 
 # aliased: the bare name `simhash` must stay the submodule, not the fn
@@ -36,7 +41,10 @@ __all__ = [
     "l2_norm",
     "merge_into",
     "near_dup_pairs",
+    "read_snapshot",
     "simhash_signatures",
     "top_pairs_gemm",
     "topk_per_query_gemm",
+    "vacuum",
+    "write_snapshot",
 ]

@@ -1344,3 +1344,88 @@ def s21_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment": F.lit("NEW"),
         },
     )
+
+
+@query(
+    "s22_time_travel",
+    sql="""
+    WITH v1 AS (SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier),
+    v2 AS (
+      SELECT s_suppkey, s_nationkey,
+             CASE WHEN s_nationkey = 3 THEN s_acctbal + 100
+                  ELSE s_acctbal END AS s_acctbal
+      FROM v1
+    ),
+    v3 AS (SELECT * FROM v2 WHERE s_acctbal >= 0)
+    SELECT v1.s_suppkey,
+           v1.s_acctbal AS bal_v1,
+           v3.s_acctbal AS bal_latest,
+           CASE WHEN v3.s_suppkey IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change
+    FROM v1 LEFT JOIN v3 ON v1.s_suppkey = v3.s_suppkey
+    WHERE v3.s_suppkey IS NULL OR v3.s_acctbal <> v1.s_acctbal
+    """,
+    tags=("S6", "J2"),
+)
+def s22_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a versioned snapshot table
+    (operators/snapshots.py): three committed versions of a supplier
+    ledger — v1 the base load, v2 a MERGE top-up (+100 for nation 3,
+    via operators/merge.py), v3 a MERGE delete of negative balances —
+    then an audit query reads v1 AND the latest version *by version
+    pin* and reports every row that changed or vanished between them.
+    The oracle recomputes the same three versions inline; the Spark
+    side exercises the actual storage layout (atomic rename commits,
+    manifest, _latest pointer) end-to-end.
+
+    Scale notes: each version is an immutable parquet directory —
+    time-travel reads are path selection with full pushdown/pruning;
+    nothing is rewritten to read history (see snapshots.py module doc).
+    """
+    from nipd_spark.operators.merge import merge_into
+    from nipd_spark.operators.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = _stage(sf_dir, "supplier_snapshots")
+    if latest_version(table) is None or latest_version(table) < 3:
+        v1 = load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        write_snapshot(v1, table)
+        cur = read_snapshot(spark, table)
+        v2 = merge_into(
+            cur,
+            cur.filter(F.col("s_nationkey") == 3).select("s_suppkey"),
+            on=["s_suppkey"],
+            when_matched={"s_acctbal": F.col("t.s_acctbal") + 100},
+        )
+        write_snapshot(v2, table)
+        cur = read_snapshot(spark, table)
+        v3 = merge_into(
+            cur,
+            cur.filter(F.col("s_acctbal") < 0).select("s_suppkey"),
+            on=["s_suppkey"],
+            when_matched="delete",
+        )
+        write_snapshot(v3, table)
+
+    base = read_snapshot(spark, table, version=1).alias("v1")
+    head = read_snapshot(spark, table).alias("v3")
+    return (
+        base.join(head, F.col("v1.s_suppkey") == F.col("v3.s_suppkey"), "left")
+        .filter(
+            F.col("v3.s_suppkey").isNull()
+            | (F.col("v3.s_acctbal") != F.col("v1.s_acctbal"))
+        )
+        .select(
+            F.col("v1.s_suppkey").alias("s_suppkey"),
+            F.col("v1.s_acctbal").alias("bal_v1"),
+            F.col("v3.s_acctbal").alias("bal_latest"),
+            F.when(F.col("v3.s_suppkey").isNull(), "deleted")
+            .otherwise("updated")
+            .alias("change"),
+        )
+    )

@@ -372,26 +372,33 @@ def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("T5", "S8", "A11"),
 )
 def t10_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch upsert: each micro-batch merges its per-key partial
-    (min event_id, count) into a persistent keyed store by
-    read-union-aggregate-swap — the pattern for maintaining a serving
-    table from a stream when the sink has no native row-level merge.
-    The merge function is commutative/associative over batches, so the
-    final store equals the batch aggregation no matter how the replay
-    chops micro-batches (that's the invariant the oracle checks).
+    """foreachBatch upsert: each micro-batch MERGEs its per-key partial
+    (min event_id, count) into a persistent keyed store via the batch
+    ``merge_into`` operator (operators/merge.py) — matched keys update
+    (least/sum of the mergeable partials), new keys insert — then an
+    atomic directory swap publishes the new version. This is the
+    pattern for maintaining a serving table from a stream when the sink
+    has no native row-level merge. The merge function is commutative/
+    associative over batches, so the final store equals the batch
+    aggregation no matter how the replay chops micro-batches (that's
+    the invariant the oracle checks).
 
-    Scale notes: read-modify-overwrite is correct while the keyed state
-    is dimension-sized; at fact-sized state switch to partition-
-    targeted overwrite (s6e) keyed by hash bucket, or a table format
-    with MERGE. foreachBatch gives exactly-once via the checkpoint's
-    batch-id dedup as long as the swap is idempotent per batch id —
-    here the replay is synchronous and single-writer.
+    Scale notes: merge_into touches only matched + inserted keys (two
+    equi-joins on the store key), not a full re-aggregation of the
+    store; rewrite cost is the store size per batch, which is correct
+    while the keyed state is dimension-sized. At fact-sized state
+    switch to partition-targeted overwrite (s6e) keyed by hash bucket,
+    or a table format with MERGE. foreachBatch gives exactly-once via
+    the checkpoint's batch-id dedup as long as the swap is idempotent
+    per batch id — here the replay is synchronous and single-writer.
     """
     import hashlib
     import os
     import shutil
 
-    tag = hashlib.sha1(f"{sf_dir}|t10".encode()).hexdigest()[:10]
+    from nipd_spark.operators.merge import merge_into
+
+    tag = hashlib.sha1(f"{sf_dir}|t10v2".encode()).hexdigest()[:10]
     store = f"/tmp/nipd_upsert_{tag}"
     chk = store + "_chk"
     done = store + "/.done"
@@ -408,13 +415,22 @@ def t10_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             cur = store + "/current"
             if os.path.exists(cur):
                 prev = batch.sparkSession.read.parquet(cur)
-                part = (
-                    prev.unionAll(part)
-                    .groupBy("user_id", "event_type")
-                    .agg(
-                        F.min("first_event").alias("first_event"),
-                        F.sum("n_events").alias("n_events"),
-                    )
+                part = merge_into(
+                    prev,
+                    part,
+                    on=["user_id", "event_type"],
+                    when_matched={
+                        "first_event": F.least(
+                            F.col("t.first_event"), F.col("s.first_event")
+                        ),
+                        "n_events": F.col("t.n_events") + F.col("s.n_events"),
+                    },
+                    when_not_matched={
+                        "user_id": F.col("s.user_id"),
+                        "event_type": F.col("s.event_type"),
+                        "first_event": F.col("s.first_event"),
+                        "n_events": F.col("s.n_events"),
+                    },
                 )
             nxt = store + f"/next_{batch_id}"
             part.write.mode("overwrite").parquet(nxt)

@@ -63,6 +63,7 @@ _QUERY_MODULES = (
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-4 additions / rewrites
     "s21_merge_into",
+    "s22_time_travel",
     "w18_mann_whitney_u",
     # deferred b-variants (operator IDs covered, variants never checked)
     "u3b_intersect_all",
@@ -109,7 +110,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "sql6_sql_pivot",
     # lakehouse write-path sources
     "s12_zorder_skipping",
-    "s13_compaction",
     "s16_write_audit_publish",
     "s17_parquet_bloom_filter",
     # join strategies

@@ -77,6 +77,29 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_snapshot_table_lifecycle(spark, tmp_path):
+    """Versioned snapshots: monotone versions, version-pinned reads,
+    manifest row counts, vacuum keeps the newest and rejects reads of
+    dropped versions."""
+    import pytest
+
+    from nipd_spark.operators import snapshots as snap
+
+    table = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k: long, v: string")
+    v2 = spark.createDataFrame([(1, "a2")], "k: long, v: string")
+    assert snap.write_snapshot(v1, table) == 1
+    assert snap.write_snapshot(v2, table) == 2
+    assert snap.latest_version(table) == 2
+    assert [m["n_rows"] for m in snap.read_manifest(table)] == [2, 1]
+    assert snap.read_snapshot(spark, table, version=1).count() == 2
+    assert snap.read_snapshot(spark, table).count() == 1
+    assert snap.vacuum(table, keep_last=1) == [1]
+    with pytest.raises(ValueError):
+        snap.read_snapshot(spark, table, version=1)
+    assert snap.read_snapshot(spark, table).count() == 1
+
+
 def test_merge_into_branches(spark):
     """merge_into covers all MERGE branches: delete-matched,
     unchanged-matched, update+insert with NULL fill for unlisted
