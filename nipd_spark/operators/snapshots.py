@@ -31,8 +31,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_path(table_dir: str) -> str:
@@ -93,6 +95,80 @@ def read_snapshot(
             f"version {version} not in manifest {sorted(versions)}"
         )
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def table_diff(pre: DataFrame, post: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Row-level changelog between two same-schema tables, in Delta
+    CDF's vocabulary: one row per inserted/deleted key, TWO rows per
+    updated key (``update_preimage`` with the old values,
+    ``update_postimage`` with the new), tagged in ``_change_type``.
+
+    Scale shape: one full-outer equi-join on the key columns (null-safe)
+    plus null-safe column compares — a single key shuffle, no window,
+    no collect. Updates where no non-key column changed are NOT
+    emitted (no-op writes produce no changelog rows).
+    """
+    cols = list(pre.columns)
+    if list(post.columns) != cols:
+        raise ValueError(f"schema mismatch: {cols} vs {list(post.columns)}")
+    non_key = [c for c in cols if c not in key_cols]
+    a = pre.withColumn("_pre", F.lit(1)).alias("a")
+    b = post.withColumn("_post", F.lit(1)).alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols],
+    )
+    j = a.join(b, cond, "full")
+
+    def side(s: str) -> list:
+        return [F.col(f"{s}.{c}").alias(c) for c in cols]
+
+    deletes = (
+        j.filter(F.col("b._post").isNull())
+        .select(*side("a"), F.lit("delete").alias("_change_type"))
+    )
+    inserts = (
+        j.filter(F.col("a._pre").isNull())
+        .select(*side("b"), F.lit("insert").alias("_change_type"))
+    )
+    changed = (
+        reduce(
+            lambda x, y: x | y,
+            [~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in non_key],
+        )
+        if non_key
+        else F.lit(False)
+    )
+    upd = j.filter(
+        F.col("a._pre").isNotNull() & F.col("b._post").isNotNull() & changed
+    )
+    pre_rows = upd.select(
+        *side("a"), F.lit("update_preimage").alias("_change_type")
+    )
+    post_rows = upd.select(
+        *side("b"), F.lit("update_postimage").alias("_change_type")
+    )
+    return deletes.unionByName(inserts).unionByName(pre_rows).unionByName(
+        post_rows
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change data feed between two committed snapshot versions — the
+    read side of what Delta calls CDF, computed from the immutable
+    version directories (no changelog files needed: versions are full
+    snapshots, so the diff IS the feed)."""
+    return table_diff(
+        read_snapshot(spark, table_dir, v_from),
+        read_snapshot(spark, table_dir, v_to),
+        key_cols,
+    )
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:

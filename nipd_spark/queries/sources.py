@@ -1346,6 +1346,63 @@ def s21_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Staged 4-version supplier ledger (shared by s22/s23), each step
+    committed through operators/snapshots.write_snapshot:
+      v1 base load; v2 MERGE top-up (+100, nation 3); v3 MERGE delete
+      (negative balances); v4 MERGE insert (nation-7 rows cloned to
+      key+1_000_000 with balance 0). Built incrementally, so a store
+      staged by an older code vintage upgrades in place."""
+    from nipd_spark.operators.merge import merge_into
+    from nipd_spark.operators.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = _stage(sf_dir, "supplier_snapshots")
+    while (latest_version(table) or 0) < 4:
+        v = (latest_version(table) or 0) + 1
+        if v == 1:
+            df = load(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_nationkey", "s_acctbal"
+            )
+        else:
+            cur = read_snapshot(spark, table)
+            if v == 2:
+                df = merge_into(
+                    cur,
+                    cur.filter(F.col("s_nationkey") == 3).select("s_suppkey"),
+                    on=["s_suppkey"],
+                    when_matched={"s_acctbal": F.col("t.s_acctbal") + 100},
+                )
+            elif v == 3:
+                df = merge_into(
+                    cur,
+                    cur.filter(F.col("s_acctbal") < 0).select("s_suppkey"),
+                    on=["s_suppkey"],
+                    when_matched="delete",
+                )
+            else:
+                newbies = cur.filter(F.col("s_nationkey") == 7).select(
+                    (F.col("s_suppkey") + 1_000_000).alias("s_suppkey"),
+                    "s_nationkey",
+                    F.lit(0.0).alias("s_acctbal"),
+                )
+                df = merge_into(
+                    cur,
+                    newbies,
+                    on=["s_suppkey"],
+                    when_not_matched={
+                        "s_suppkey": F.col("s.s_suppkey"),
+                        "s_nationkey": F.col("s.s_nationkey"),
+                        "s_acctbal": F.col("s.s_acctbal"),
+                    },
+                )
+        write_snapshot(df, table)
+    return table
+
+
 @query(
     "s22_time_travel",
     sql="""
@@ -1369,51 +1426,24 @@ def s21_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s22_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over a versioned snapshot table
-    (operators/snapshots.py): three committed versions of a supplier
-    ledger — v1 the base load, v2 a MERGE top-up (+100 for nation 3,
-    via operators/merge.py), v3 a MERGE delete of negative balances —
-    then an audit query reads v1 AND the latest version *by version
-    pin* and reports every row that changed or vanished between them.
-    The oracle recomputes the same three versions inline; the Spark
-    side exercises the actual storage layout (atomic rename commits,
-    manifest, _latest pointer) end-to-end.
+    (operators/snapshots.py): the staged 4-version supplier ledger
+    (_supplier_snapshot_table) — then an audit query reads v1 AND v3
+    *by version pin* (ignoring the later v4 commit entirely — that is
+    the time-travel point) and reports every row that changed or
+    vanished between them. The oracle recomputes the same versions
+    inline; the Spark side exercises the actual storage layout (atomic
+    rename commits, manifest, _latest pointer) end-to-end. s23 reads
+    the same table as a change data feed.
 
     Scale notes: each version is an immutable parquet directory —
     time-travel reads are path selection with full pushdown/pruning;
     nothing is rewritten to read history (see snapshots.py module doc).
     """
-    from nipd_spark.operators.merge import merge_into
-    from nipd_spark.operators.snapshots import (
-        latest_version,
-        read_snapshot,
-        write_snapshot,
-    )
+    from nipd_spark.operators.snapshots import read_snapshot
 
-    table = _stage(sf_dir, "supplier_snapshots")
-    if latest_version(table) is None or latest_version(table) < 3:
-        v1 = load(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_nationkey", "s_acctbal"
-        )
-        write_snapshot(v1, table)
-        cur = read_snapshot(spark, table)
-        v2 = merge_into(
-            cur,
-            cur.filter(F.col("s_nationkey") == 3).select("s_suppkey"),
-            on=["s_suppkey"],
-            when_matched={"s_acctbal": F.col("t.s_acctbal") + 100},
-        )
-        write_snapshot(v2, table)
-        cur = read_snapshot(spark, table)
-        v3 = merge_into(
-            cur,
-            cur.filter(F.col("s_acctbal") < 0).select("s_suppkey"),
-            on=["s_suppkey"],
-            when_matched="delete",
-        )
-        write_snapshot(v3, table)
-
+    table = _supplier_snapshot_table(spark, sf_dir)
     base = read_snapshot(spark, table, version=1).alias("v1")
-    head = read_snapshot(spark, table).alias("v3")
+    head = read_snapshot(spark, table, version=3).alias("v3")
     return (
         base.join(head, F.col("v1.s_suppkey") == F.col("v3.s_suppkey"), "left")
         .filter(
@@ -1428,4 +1458,62 @@ def s22_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("updated")
             .alias("change"),
         )
+    )
+
+
+@query(
+    "s23_snapshot_cdf",
+    sql="""
+    WITH v1 AS (SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier),
+    v2 AS (
+      SELECT s_suppkey, s_nationkey,
+             CASE WHEN s_nationkey = 3 THEN s_acctbal + 100
+                  ELSE s_acctbal END AS s_acctbal
+      FROM v1
+    ),
+    v3 AS (SELECT * FROM v2 WHERE s_acctbal >= 0),
+    v4 AS (
+      SELECT * FROM v3
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey,
+             0.0 AS s_acctbal
+      FROM v3 WHERE s_nationkey = 7
+    ),
+    upd AS (
+      SELECT a.s_suppkey, a.s_nationkey, a.s_acctbal AS pre_bal,
+             b.s_acctbal AS post_bal
+      FROM v1 a JOIN v4 b ON a.s_suppkey = b.s_suppkey
+      WHERE a.s_acctbal <> b.s_acctbal OR a.s_nationkey <> b.s_nationkey
+    )
+    SELECT a.s_suppkey, a.s_nationkey, a.s_acctbal,
+           'delete' AS _change_type
+      FROM v1 a
+     WHERE NOT EXISTS (SELECT 1 FROM v4 b WHERE b.s_suppkey = a.s_suppkey)
+    UNION ALL
+    SELECT b.s_suppkey, b.s_nationkey, b.s_acctbal, 'insert'
+      FROM v4 b
+     WHERE NOT EXISTS (SELECT 1 FROM v1 a WHERE a.s_suppkey = b.s_suppkey)
+    UNION ALL
+    SELECT s_suppkey, s_nationkey, pre_bal, 'update_preimage' FROM upd
+    UNION ALL
+    SELECT s_suppkey, s_nationkey, post_bal, 'update_postimage' FROM upd
+    """,
+    tags=("S6", "J3", "U1"),
+)
+def s23_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the snapshot table: the row-level
+    changelog between v1 and v4 of the staged supplier ledger, in
+    Delta CDF vocabulary (insert / delete / update_preimage /
+    update_postimage) — computed by operators/snapshots.snapshot_diff
+    as ONE null-safe full-outer key join over the two immutable
+    version directories. The v2 top-up surfaces as update pre/post
+    pairs, the v3 delete as delete rows, the v4 backfill as inserts;
+    no-op rows produce no changelog rows. Oracle recomputes the same
+    feed from the base table with join + NOT-EXISTS legs.
+    """
+    from nipd_spark.operators.snapshots import snapshot_diff
+
+    table = _supplier_snapshot_table(spark, sf_dir)
+    return snapshot_diff(
+        spark, table, v_from=1, v_to=4, key_cols=["s_suppkey"]
     )

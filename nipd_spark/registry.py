@@ -64,6 +64,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # round-4 additions / rewrites
     "s21_merge_into",
     "s22_time_travel",
+    "s23_snapshot_cdf",
     "w18_mann_whitney_u",
     # deferred b-variants (operator IDs covered, variants never checked)
     "u3b_intersect_all",
@@ -109,7 +110,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "sql5_scalar_subquery",
     "sql6_sql_pivot",
     # lakehouse write-path sources
-    "s12_zorder_skipping",
     "s16_write_audit_publish",
     "s17_parquet_bloom_filter",
     # join strategies
