@@ -52,9 +52,10 @@ _QUERY_MODULES = (
 # queries; the round-3 judge independently re-verified the remaining 144
 # at sf0.01 (VERDICT.md r3), but a driver row is still stronger
 # evidence. This round-4 front list is 50 never-driver-checked,
-# oracle-twinned names: the round-4 additions first (s21_merge_into;
-# w18 was rewritten this round — scale-safe histogram rank — so it
-# leads), then the deferred b-variants, as-of/range extensions,
+# oracle-twinned names: the round-4 additions first (s21 MERGE, s22
+# time travel, s23 CDF, s24 incremental view maintenance; w18 was
+# rewritten this round — scale-safe histogram rank — so it leads
+# too), then the deferred b-variants, as-of/range extensions,
 # business composites, window family tail, graph, data-quality, SQL
 # surface, lakehouse write-path sources, join strategies, and the LLM
 # curation tail. Everything here is green in tools/diffcheck.py
@@ -65,6 +66,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "s21_merge_into",
     "s22_time_travel",
     "s23_snapshot_cdf",
+    "s24_incremental_agg",
     "w18_mann_whitney_u",
     # deferred b-variants (operator IDs covered, variants never checked)
     "u3b_intersect_all",
@@ -114,7 +116,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "s17_parquet_bloom_filter",
     # join strategies
     "j12_shuffled_hash",
-    "j13_salted_join",
     "j14_nullsafe_join",
     "j15_bloom_filter_join",
     # LLM curation tail

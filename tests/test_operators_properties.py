@@ -77,6 +77,42 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_ivm_equals_full_recompute(spark):
+    """incremental_group_agg(state, table_diff(pre, post)) must equal
+    the aggregate computed directly over post — including a group that
+    empties out (dropped) and a brand-new group (inserted)."""
+    from nipd_spark.operators.ivm import incremental_group_agg
+    from nipd_spark.operators.snapshots import table_diff
+
+    pre = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 5), (2, 3, 7), (4, 6, 2)],
+        "k: long, rid: long, v: long",
+    )
+    post = spark.createDataFrame(
+        # group 1: one row deleted; group 2: updated 7->9;
+        # group 3: new; group 4: emptied out entirely
+        [(1, 2, 5), (2, 3, 9), (3, 5, 4)],
+        "k: long, rid: long, v: long",
+    )
+    state = pre.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("total")
+    )
+    changes = table_diff(pre, post, ["rid"]).select("k", "v", "_change_type")
+    got = sorted(
+        (r.k, r.n, r.total)
+        for r in incremental_group_agg(
+            state, changes, keys=["k"], sum_cols={"total": "v"}, count_col="n"
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.n, r.total)
+        for r in post.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got == want == [(1, 1, 5), (2, 1, 9), (3, 1, 4)]
+
+
 def test_snapshot_table_lifecycle(spark, tmp_path):
     """Versioned snapshots: monotone versions, version-pinned reads,
     manifest row counts, vacuum keeps the newest and rejects reads of
