@@ -1538,7 +1538,8 @@ def s23_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_nationkey,
            count(*) AS n_suppliers,
-           sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM v4 GROUP BY s_nationkey
     """,
     tags=("S6", "A1", "U1"),

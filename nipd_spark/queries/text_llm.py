@@ -1833,3 +1833,120 @@ def l53_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("src_a").asc(), F.col("src_b").asc())
         .limit(40)
     )
+
+
+@query(
+    "l55_span_dedup",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+               i -> {'start': i, 'gram': array_to_string(t[i:i+7], ' ')})) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT gram FROM (
+        SELECT g.gram AS gram, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1
+      ) WHERE nd > 1
+    ),
+    cov AS (
+      SELECT DISTINCT sh.doc_id, sh.g.start + r.range AS pos
+      FROM sh JOIN dup ON sh.g.gram = dup.gram, range(0, 8) r
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+               i -> {'pos': i, 'tok': t[i]})) AS p
+      FROM toks
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p.pos AS tpos, pos.p.tok AS tok
+      FROM pos LEFT JOIN cov
+        ON pos.doc_id = cov.doc_id AND pos.p.pos = cov.pos
+      WHERE cov.pos IS NULL
+    )
+    SELECT t.doc_id,
+           len(t.t) AS n_tokens,
+           c.n_removed,
+           coalesce(k.text2, '') AS dedup_text
+    FROM toks t
+    JOIN (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1) c
+      ON t.doc_id = c.doc_id
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text2
+               FROM kept GROUP BY 1) k
+      ON t.doc_id = k.doc_id
+    """,
+    tags=("L3", "L8", "L2"),
+)
+def l55_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    every 8-token span that appears in MORE THAN ONE document is cut
+    from every document containing it, and the surviving tokens are
+    reassembled in order. l49 is the census (which spans repeat); this
+    is the surgery. Returns one row per modified doc: token count,
+    tokens removed, deduplicated text ('' when nothing survives, e.g.
+    exact duplicates).
+
+    Scale shape — all equi-joins, no window: shingle-with-position
+    explode (folded zip_with, operators/text.py), duplicated grams by
+    count(DISTINCT doc_id) > 1, coverage = dup-span starts exploded to
+    their 8 positions (sequence explode keeps it equi — no range join),
+    anti-join tokens against covered positions, per-doc ordered
+    reassembly via array_sort(collect_list(struct)). Cost is bounded by
+    8·|dup-span instances| + |tokens| — honest-linear; the output IS
+    the mutation, so there is no quadratic pair stage anywhere (the
+    cross-doc duplication signal lives entirely in the gram groupBy).
+    """
+    from nipd_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(text.shingles(F.col("text"), 8)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "gram")
+    dup = (
+        sh.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    cov = (
+        sh.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + 7)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = pos.join(cov, ["doc_id", "pos"], "left_anti")
+    n_removed = cov.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
+    text2 = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("text2")
+    )
+    return (
+        toks.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(n_removed, "doc_id")
+        .join(text2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.coalesce(F.col("text2"), F.lit("")).alias("dedup_text"),
+        )
+    )

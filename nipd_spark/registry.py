@@ -102,7 +102,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "g3_connected_components",
     # data quality
     "dq2_robust_outliers",
-    "dq4_distribution_drift",
     "dq5_benford_audit",
     "dq7_observe_metrics",
     # SQL surface
@@ -123,6 +122,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l46_semdedup",
     "l48_dsir_importance",
     "l54_containment",
+    "l55_span_dedup",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -77,6 +77,34 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_span_dedup_output_is_subsequence(spark, sf_dir):
+    """l55's deduplicated text must be an order-preserving subsequence
+    of the original with exactly n_tokens - n_removed tokens left."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.text_llm import l55_span_dedup
+
+    out = {r.doc_id: r for r in l55_span_dedup(spark, sf_dir).collect()}
+    assert out, "fixture contains duplicated spans by construction"
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .join(
+            spark.createDataFrame(
+                [(i,) for i in out], "doc_id: long"
+            ),
+            "doc_id",
+        )
+        .collect()
+    }
+    for doc_id, r in list(out.items())[:25]:
+        orig = texts[doc_id].split(" ")
+        kept = r.dedup_text.split(" ") if r.dedup_text else []
+        assert r.n_tokens == len(orig)
+        assert len(kept) == r.n_tokens - r.n_removed
+        it = iter(orig)
+        assert all(any(t == o for o in it) for t in kept), doc_id
+
+
 def test_ivm_equals_full_recompute(spark):
     """incremental_group_agg(state, table_diff(pre, post)) must equal
     the aggregate computed directly over post — including a group that
