@@ -1889,36 +1889,60 @@ def l55_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens removed, deduplicated text ('' when nothing survives, e.g.
     exact duplicates).
 
-    Scale shape — all equi-joins, no window: shingle-with-position
-    explode (folded zip_with, operators/text.py), duplicated grams by
-    count(DISTINCT doc_id) > 1, coverage = dup-span starts exploded to
-    their 8 positions (sequence explode keeps it equi — no range join),
-    anti-join tokens against covered positions, per-doc ordered
-    reassembly via array_sort(collect_list(struct)). Cost is bounded by
-    8·|dup-span instances| + |tokens| — honest-linear; the output IS
-    the mutation, so there is no quadratic pair stage anywhere (the
-    cross-doc duplication signal lives entirely in the gram groupBy).
+    Scale shape — all equi-joins, no window, and the whole mutation is
+    computed ONCE PER DISTINCT TEXT (the repo's representative-collapse
+    cascade, as in l23/l26): byte-identical documents collapse to one
+    sha2 representative, a gram's true distinct-document count is the
+    group-size-weighted sum over the representatives containing it
+    (identical docs have identical shingle sets, so weighting is
+    exact), and the per-representative result fans back out to every
+    copy by digest. Within a representative: shingle-with-position
+    explode (folded zip_with, operators/text.py), coverage = dup-span
+    starts exploded to their 8 positions (sequence explode keeps it
+    equi — no range join), anti-join tokens against covered positions,
+    ordered reassembly via array_sort(collect_list(struct)). Cost is
+    bounded by 8·|dup-span instances over distinct texts| + |distinct
+    tokens| + |output| — on a duplicate-heavy corpus the expensive
+    stages shrink by the duplication factor (16×-replica probe: 57.7 s
+    naive → representative path, see SCALE.md), and the unavoidable
+    per-copy cost is emitting the result rows themselves.
     """
     from nipd_spark.operators import text
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split("text", " ").alias("t")
+    members = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("ghash")
     )
-    sh = docs.select(
+    groups = members.groupBy("ghash").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("gsize")
+    )
+    reps = docs.join(
+        groups.select(
+            F.col("rep_id").alias("doc_id"), "ghash", "gsize"
+        ),
         "doc_id",
+    ).select("doc_id", "ghash", "gsize", "text")
+
+    toks = reps.select("ghash", F.split("text", " ").alias("t"))
+    sh = reps.select(
+        "ghash",
+        "gsize",
         F.posexplode(text.shingles(F.col("text"), 8)).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "gram")
+    ).select("ghash", "gsize", (F.col("pos0") + 1).alias("start"), "gram")
+    # true distinct-doc count of a gram = sum of group sizes over the
+    # distinct representatives containing it
     dup = (
-        sh.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        sh.select("ghash", "gsize", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.sum("gsize").alias("nd"))
         .filter(F.col("nd") > 1)
         .select("gram")
     )
     cov = (
         sh.join(dup, "gram")
         .select(
-            "doc_id",
+            "ghash",
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + 7)
             ).alias("pos"),
@@ -1926,11 +1950,11 @@ def l55_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pos = toks.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = pos.join(cov, ["doc_id", "pos"], "left_anti")
-    n_removed = cov.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
-    text2 = kept.groupBy("doc_id").agg(
+        "ghash", F.posexplode("t").alias("pos0", "tok")
+    ).select("ghash", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = pos.join(cov, ["ghash", "pos"], "left_anti")
+    n_removed = cov.groupBy("ghash").agg(F.count("*").alias("n_removed"))
+    text2 = kept.groupBy("ghash").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "tok"))),
@@ -1939,14 +1963,17 @@ def l55_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text2")
     )
-    return (
-        toks.select("doc_id", F.size("t").alias("n_tokens"))
-        .join(n_removed, "doc_id")
-        .join(text2, "doc_id", "left")
+    per_rep = (
+        toks.select("ghash", F.size("t").alias("n_tokens"))
+        .join(n_removed, "ghash")
+        .join(text2, "ghash", "left")
         .select(
-            "doc_id",
+            "ghash",
             "n_tokens",
             "n_removed",
             F.coalesce(F.col("text2"), F.lit("")).alias("dedup_text"),
         )
+    )
+    return members.join(per_rep, "ghash").select(
+        "doc_id", "n_tokens", "n_removed", "dedup_text"
     )

@@ -76,6 +76,13 @@ PROBE = [
     "l50_gopher_rules",
     "l51_jl_projection",
     "a30_tdigest_quantiles",
+    # round-4 additions
+    "s21_merge_into",
+    "s22_time_travel",
+    "s23_snapshot_cdf",
+    "s24_incremental_agg",
+    "l55_span_dedup",
+    "w18_mann_whitney_u",
 ]
 
 
