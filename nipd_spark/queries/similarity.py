@@ -608,3 +608,39 @@ def l52_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component int, eigenvalue double, explained_ratio double, n_vectors int",
     )
+
+
+@query("l56_ivf_persisted", sql=None, tags=("L5", "S6"))
+def l56_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index — the offline-build / online-probe split
+    that makes ANN serve at 100 TB: the index (k-means centroids +
+    per-vector list assignments, both plain parquet) is trained ONCE
+    and committed with an atomic rename; the query path loads only the
+    index and the base vectors and probes — zero training cost per
+    query, and the index directory ships/caches like any other table.
+    Same parameters as l5b_ann_ivf, so the output is bit-identical
+    (training is deterministic) — pinned by a property test.
+
+    Rows-only for the driver (probe set is approximate), inheriting
+    l5b's anchors: probe-all == exact kNN and bit-exact re-rank.
+    """
+    import hashlib
+    import os
+
+    from nipd_spark.operators import ivf
+
+    tag = hashlib.sha1(f"{sf_dir}|ivf_index".encode()).hexdigest()[:10]
+    idx = f"/tmp/nipd_ivf_{tag}"
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(idx):
+        cen = ivf.train_centroids(e, n_lists=8, iters=2).cache()
+        assigned = ivf.assign(e, cen)
+        tmp = idx + ".tmp"
+        cen.write.mode("overwrite").parquet(tmp + "/centroids")
+        assigned.write.mode("overwrite").parquet(tmp + "/assigned")
+        os.rename(tmp, idx)
+    cen = spark.read.parquet(idx + "/centroids")
+    assigned = spark.read.parquet(idx + "/assigned")
+    return ivf.search(
+        e, e.filter(F.col("vec_id") < 20), cen, assigned, k=5, nprobe=2
+    )

@@ -35,6 +35,18 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Python workers unpickle Pandas-UDF closures that reference this
+    # package (operators/tdigest, knn, pca, ...); they inherit
+    # PYTHONPATH, not the driver's sys.path, so a driver launched from
+    # another cwd would hit ModuleNotFoundError on the worker. Export
+    # the repo root explicitly (the local-mode equivalent of shipping
+    # the package with --py-files / a wheel on a real cluster).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+        )
     # Profile: 'local' (default) = sub-second queries on small SF — AQE OFF
     # (its per-stage re-planning adds ~0.1 s fixed latency per query with
     # nothing to adapt at MB scale); 'scale' = cluster/100 TB posture —

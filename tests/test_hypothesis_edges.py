@@ -236,3 +236,72 @@ def test_shingles_match_python_reference(spark, docs, n):
         toks = t.split(" ")
         want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
         assert got[i] == want, (n, toks, got[i], want)
+
+
+@given(
+    tgt=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 9)),
+        min_size=0, max_size=10,
+    ),
+    src=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 9)),
+        min_size=0, max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_into_matches_duckdb(spark, tgt, src):
+    """merge_into (update matched + insert not-matched, null-safe keys)
+    == the ANSI desugaring in DuckDB (LEFT JOIN update + NOT EXISTS
+    insert with IS NOT DISTINCT FROM), on randomized micro-tables with
+    NULL keys and duplicate target keys. Source is pre-reduced to one
+    row per key (the MERGE cardinality rule)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nipd_spark.operators.merge import merge_into
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), True),
+            T.StructField("v", T.IntegerType(), False),
+        ]
+    )
+    tpdf = pd.DataFrame(tgt, columns=["k", "v"]).astype({"v": "int32"})
+    spdf = pd.DataFrame(src, columns=["k", "v"]).astype({"v": "int32"})
+    # unique source keys: keep the max v per key (NULL is a key too)
+    spdf = spdf.groupby(["k"], dropna=False, as_index=False).max()
+
+    tdf = spark.createDataFrame(tpdf, schema)
+    sdf = spark.createDataFrame(spdf, schema)
+    got = sorted(
+        [
+            (r.k, r.v)
+            for r in merge_into(
+                tdf,
+                sdf,
+                on=["k"],
+                when_matched={"v": F.col("s.v")},
+                when_not_matched={"k": F.col("s.k"), "v": F.col("s.v")},
+            ).collect()
+        ],
+        key=lambda x: (x[0] is None, x),
+    )
+
+    con = duckdb.connect()
+    con.register("t", tpdf)
+    con.register("s", spdf)
+    want = sorted(
+        ((k if pd.notna(k) else None, int(v)) for k, v in con.execute(
+            """
+            SELECT t.k, CASE WHEN s.k IS NOT NULL OR s.v IS NOT NULL
+                             THEN s.v ELSE t.v END AS v
+            FROM t LEFT JOIN s ON t.k IS NOT DISTINCT FROM s.k
+            UNION ALL
+            SELECT s.k, s.v FROM s
+            WHERE NOT EXISTS
+              (SELECT 1 FROM t WHERE t.k IS NOT DISTINCT FROM s.k)
+            """
+        ).fetchall()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == want

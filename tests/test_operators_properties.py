@@ -77,6 +77,22 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_persisted_ivf_equals_in_memory(spark, sf_dir):
+    """The parquet-persisted IVF index must answer bit-identically to
+    the in-memory build (deterministic training; same params)."""
+    from nipd_spark.queries.similarity import l56_ivf_persisted, l5b_ann_ivf
+
+    a = sorted(
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in l5b_ann_ivf(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in l56_ivf_persisted(spark, sf_dir).collect()
+    )
+    assert a == b and a
+
+
 def test_span_dedup_output_is_subsequence(spark, sf_dir):
     """l55's deduplicated text must be an order-preserving subsequence
     of the original with exactly n_tokens - n_removed tokens left."""
