@@ -1,0 +1,143 @@
+"""Distributed global ranks / running sums — no single-partition window
+(SURVEY.md §4.3; the two-pass histogram-rank technique behind w18).
+
+``Window.orderBy(...)`` with no partition spec funnels every row into
+one task ("Moving all data to a single partition") — fine at test SF,
+a straight-line bottleneck and OOM risk at 100 TB. These helpers
+compute the same total-order quantities with only key-group shuffles:
+
+  1. bucket each row by a deterministic equi-width histogram over the
+     numeric major key (bucket index monotone in the requested order,
+     so bucket boundaries respect the global order by construction;
+     rows with equal keys always share a bucket);
+  2. a bucket-PARTITIONED window gives local ranks / local prefix sums;
+  3. per-bucket totals (B rows) triangle-join into global offsets and
+     broadcast back.
+
+Determinism: boundaries derive from min/max (one cheap agg), not
+sampling, so the result is a pure function of the data. Skewed keys
+degrade bucket balance, never correctness; recursive splitting or more
+buckets is the remedy. All-equal keys degenerate to one bucket — the
+same cost as the global window, no worse.
+
+The major key must be numeric (int/long/double/date-as-long); callers
+order by (key asc|desc, *tiebreaks asc) — the same contract as the
+Window they replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET = "__rk_bucket"
+
+
+def _with_bucket(
+    df: DataFrame, key: str, ascending: bool, n_buckets: int
+) -> DataFrame:
+    rng = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    asc_idx = F.when(
+        F.col("__hi") <= F.col("__lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor(
+                (F.col(key) - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    idx = asc_idx if ascending else (F.lit(n_buckets - 1) - asc_idx)
+    return (
+        df.join(F.broadcast(rng))
+        .withColumn(BUCKET, idx)
+        .drop("__lo", "__hi")
+    )
+
+
+def _order(key: str, ascending: bool, tiebreaks: list[str]) -> list[Column]:
+    head = F.col(key).asc() if ascending else F.col(key).desc()
+    return [head] + [F.col(t).asc() for t in tiebreaks]
+
+
+def _offsets(per_bucket: DataFrame, agg_col: str) -> DataFrame:
+    """Exclusive prefix over bucket index: offset(b) = Σ agg over
+    buckets < b. B² triangle join on B rows — trivially broadcastable."""
+    a = per_bucket.alias("ta")
+    b = per_bucket.alias("tb")
+    return (
+        a.join(b, F.col(f"tb.{BUCKET}") < F.col(f"ta.{BUCKET}"), "left")
+        .groupBy(F.col(f"ta.{BUCKET}").alias(BUCKET))
+        .agg(
+            F.coalesce(F.sum(f"tb.{agg_col}"), F.lit(0)).alias("__offset")
+        )
+    )
+
+
+def with_global_rn(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    ascending: bool = True,
+    n_buckets: int = 64,
+    out: str = "rn",
+) -> DataFrame:
+    """Append a global row_number over (key asc|desc, *tiebreaks asc) —
+    identical to row_number().over(Window.orderBy(...)) but with no
+    single-partition stage. Make (key, *tiebreaks) unique for a
+    deterministic numbering, exactly as with the Window form."""
+    b = _with_bucket(df, key, ascending, n_buckets)
+    w_local = Window.partitionBy(BUCKET).orderBy(
+        *_order(key, ascending, tiebreaks)
+    )
+    local = b.withColumn("__lrn", F.row_number().over(w_local))
+    totals = b.groupBy(BUCKET).agg(F.count("*").alias("__cnt"))
+    off = _offsets(totals, "__cnt")
+    return (
+        local.join(F.broadcast(off), BUCKET)
+        .withColumn(out, (F.col("__lrn") + F.col("__offset")).cast("int"))
+        .drop(BUCKET, "__lrn", "__offset")
+    )
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    val: str,
+    ascending: bool = True,
+    n_buckets: int = 64,
+    out: str = "running",
+) -> DataFrame:
+    """Append a global running sum of ``val`` over the total order —
+    identical to sum(val).over(Window.orderBy(...).rowsBetween(
+    unboundedPreceding, 0)) without the single-partition stage."""
+    b = _with_bucket(df, key, ascending, n_buckets)
+    w_local = Window.partitionBy(BUCKET).orderBy(
+        *_order(key, ascending, tiebreaks)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = b.withColumn("__lsum", F.sum(val).over(w_local))
+    totals = b.groupBy(BUCKET).agg(F.sum(val).alias("__tot"))
+    off = _offsets(totals, "__tot")
+    return (
+        local.join(F.broadcast(off), BUCKET)
+        .withColumn(out, F.col("__lsum") + F.col("__offset"))
+        .drop(BUCKET, "__lsum", "__offset")
+    )
+
+
+def ntile_from_rn(k: int, rn: Column, n: Column) -> Column:
+    """Spark/ANSI ntile(k) reconstructed from a global row_number and
+    the total count: the first n%k tiles take ceil(n/k) rows, the rest
+    floor(n/k) — bit-for-bit the Window ntile assignment. The otherwise
+    branch never evaluates when q = 0 (CaseWhen is lazy per row), so
+    n < k is safe under ANSI division."""
+    q = F.floor(n / k)
+    r = n % k
+    big = (q + 1) * r
+    return (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - big) / q) + 1)
+        .cast("int")
+    )

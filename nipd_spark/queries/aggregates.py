@@ -772,32 +772,42 @@ def a21_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a22_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct count over a sliding event-time frame (trailing-24 h
-    active users as of every event). Spark bans count(DISTINCT) in
-    windows, so the frame-distinct is spelled from primitives —
-    collect_set over the RANGE frame, then size() — which makes the
-    cost visible in the plan: the frame's value set materializes per
-    row. That is fine for bounded frames/domains (user domain here);
-    for unbounded ones this is exactly the a18/a19 sketch territory
-    (per-bucket HLL/bitmap partials unioned over the window instead).
-    DuckDB runs the native frame-DISTINCT as the twin.
+    active users as of every event, RANGE semantics — equal-sec peers
+    included). Spark bans count(DISTINCT) in windows, and the naive
+    spelling (collect_set over an unpartitioned RANGE frame) funnels
+    the whole table into one partition — so this runs as a BUCKETED
+    RANGE JOIN instead (the j8 design): the 500 target events are taken
+    first (TakeOrderedAndProject on the unique event_id), each probes
+    its own and its previous 86400-s day bucket by equi-key, the exact
+    [sec-86400, sec] bound filters residually, and count(DISTINCT
+    user_id) groups per target. No unpartitioned window anywhere; cost
+    is |targets| x 2-day slices. For ALL-events DAU at scale the answer
+    is the a18/a19 sketch territory (per-bucket HLL/bitmap partials
+    unioned over buckets). DuckDB runs the native frame-DISTINCT as the
+    twin.
     """
     ev = load(spark, sf_dir, "events")
     t = ev.select(
-        "event_id", "user_id", (F.unix_micros("ts") / 1_000_000).cast("bigint").alias("sec")
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") / 1_000_000).cast("bigint").alias("sec"),
     )
-    w = (
-        Window.orderBy("sec")
-        .rangeBetween(-86400, 0)
+    day = F.floor(F.col("sec") / 86400)
+    targets = t.orderBy("event_id").limit(500)
+    probes = targets.select(
+        "event_id",
+        F.col("sec").alias("tsec"),
+        F.explode(F.array(day, day - 1)).alias("b"),
+    )
+    rows = t.select("user_id", "sec", day.alias("b"))
+    cand = probes.join(rows, "b").filter(
+        (F.col("sec") >= F.col("tsec") - 86400)
+        & (F.col("sec") <= F.col("tsec"))
     )
     return (
-        t.select(
-            "event_id",
-            "sec",
-            F.size(F.collect_set("user_id").over(w)).alias("dau_24h"),
-        )
-        .select("event_id", "dau_24h")
+        cand.groupBy("event_id")
+        .agg(F.countDistinct("user_id").alias("dau_24h"))
         .orderBy("event_id")
-        .limit(500)
     )
 
 

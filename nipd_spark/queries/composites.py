@@ -1403,26 +1403,42 @@ def c19_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c20_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer Recency / Frequency /
-    Monetary, each quartiled with ntile (deterministic o_custkey
-    tie-break), customers counted per (r, f, m) cell — the 4x4x4
-    segment grid CRM targeting runs on, with the champions cell
-    (4,4,4) flagged. Three ntiles share ONE unpartitioned window
-    pass each over the customer-grain aggregate (already tiny relative
-    to orders); at larger customer counts swap ntile for
-    percentile-sketch cutpoints (a15) joined back, which avoids the
-    global sort entirely.
+    Monetary, each quartiled with ntile semantics (deterministic
+    o_custkey tie-break), customers counted per (r, f, m) cell — the
+    4x4x4 segment grid CRM targeting runs on, with the champions cell
+    (4,4,4) flagged. Each quartile assignment runs as the distributed
+    histogram rank + ntile arithmetic (operators/ranks.py) — three
+    bucket-partitioned passes over the customer-grain aggregate, no
+    unpartitioned window anywhere, bit-identical to Window ntile
+    (property-tested).
     """
+    from nipd_spark.operators import ranks
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
+    ).withColumn(
+        # numeric rank key; NTZ -> TZ cast is UTC-pinned and monotone
+        "last_us", F.unix_micros(F.col("last_order").cast("timestamp"))
     )
-    scored = rfm.select(
+    cnt = rfm.agg(F.count("*").alias("__n"))
+    ranked = ranks.with_global_rn(
+        rfm, "last_us", ["o_custkey"], out="__r_rn"
+    )
+    ranked = ranks.with_global_rn(
+        ranked, "frequency", ["o_custkey"], out="__f_rn"
+    )
+    ranked = ranks.with_global_rn(
+        ranked, "monetary", ["o_custkey"], out="__m_rn"
+    )
+    n = F.col("__n")
+    scored = ranked.crossJoin(F.broadcast(cnt)).select(
         "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+        ranks.ntile_from_rn(4, F.col("__r_rn"), n).alias("r_score"),
+        ranks.ntile_from_rn(4, F.col("__f_rn"), n).alias("f_score"),
+        ranks.ntile_from_rn(4, F.col("__m_rn"), n).alias("m_score"),
     )
     champion = (
         (F.col("r_score") == 4) & (F.col("f_score") == 4) & (F.col("m_score") == 4)
@@ -1850,16 +1866,21 @@ def c26_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, {dround("sum(l_extendedprice * (1 - l_discount))")} AS rev
       FROM lineitem GROUP BY l_partkey
     ),
-    ranked AS (
+    up AS (
       SELECT l_partkey, rev,
-             sum(rev) OVER (ORDER BY rev DESC, l_partkey
-                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             sum(rev) OVER () AS total_rev
+             CAST(round(rev * 10000) AS BIGINT) AS units
       FROM per_part
     ),
+    ranked AS (
+      SELECT rev,
+             sum(units) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_units,
+             sum(units) OVER () AS total_units
+      FROM up
+    ),
     classed AS (
-      SELECT CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
-                  WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+      SELECT CASE WHEN 5 * cum_units <= 4 * total_units THEN 'A'
+                  WHEN 20 * cum_units <= 19 * total_units THEN 'B'
                   ELSE 'C' END AS abc_class,
              rev
       FROM ranked
@@ -1877,31 +1898,41 @@ def c27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: parts ranked by revenue, classed A
     while the running share stays under 80%, B to 95%, C after — the
     inventory-prioritization classic ("the vital few"). Per-part
-    revenues are rounded BEFORE the running sum so the cumulative
-    bits (and therefore every A/B boundary decision) are identical
-    cross-engine; (rev DESC, partkey) makes the prefix order total.
-    The unpartitioned running sum is over the PART-grain aggregate —
-    at true scale, band by a15 percentile cutpoints instead of a
-    global ordered window.
+    revenues are rounded (4 dp) then quantized to integer 1e-4 units so
+    the running sum is EXACT in any addition order — which is what lets
+    the prefix run as the distributed histogram running-sum
+    (operators/ranks.py: bucket-partitioned local cumsum + per-bucket
+    offsets, no single-partition window) while still matching DuckDB's
+    sequential window bit-for-bit; boundary tests are pure-integer
+    (5·cum ≤ 4·total, 20·cum ≤ 19·total), so no float compare can flip
+    a class at the edge. (rev DESC, partkey) makes the prefix order
+    total.
     """
+    from nipd_spark.operators import ranks
+
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("rev")
     )
-    w_run = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    up = per_part.withColumn(
+        "units", F.round(F.col("rev") * 10000, 0).cast("long")
     )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
-        "rev",
-        F.sum("rev").over(w_run).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
+    tot = up.agg(F.sum("units").alias("total_units"))
+    ranked = ranks.with_global_running_sum(
+        up,
+        key="rev",
+        tiebreaks=["l_partkey"],
+        val="units",
+        ascending=False,
+        out="cum_units",
+    ).crossJoin(F.broadcast(tot))
+    abc = (
+        F.when(5 * F.col("cum_units") <= 4 * F.col("total_units"), "A")
+        .when(20 * F.col("cum_units") <= 19 * F.col("total_units"), "B")
+        .otherwise("C")
     )
-    abc = F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A").when(
-        F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B"
-    ).otherwise("C")
     return (
         ranked.select(abc.alias("abc_class"), "rev")
         .groupBy("abc_class")

@@ -1378,11 +1378,14 @@ def l43_perplexity_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the per-band audit (docs, tokens, lp range, kept flag) —
     the table a curation review actually signs off on.
 
-    The decile ntile runs over the doc-grain AGGREGATE (corpus-count
+    The decile banding runs over the doc-grain AGGREGATE (corpus-count
     rows, not token rows) with (lp, doc_id) tie-break; banding on the
     pre-rounded lp keeps the band assignment identical cross-engine.
+    The ntile itself is the distributed histogram-rank form
+    (operators/ranks.py — no single-partition window), bit-identical
+    to Window ntile by construction and by property test.
     """
-    from pyspark.sql import Window
+    from nipd_spark.operators import ranks
 
     docs = load(spark, sf_dir, "documents")
     toks = text.doc_tokens(docs)
@@ -1399,8 +1402,14 @@ def l43_perplexity_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    banded = scored.withColumn(
-        "band", F.ntile(10).over(Window.orderBy("lp", "doc_id"))
+    cnt = scored.agg(F.count("*").alias("__n"))
+    banded = (
+        ranks.with_global_rn(scored, "lp", ["doc_id"], out="__rn")
+        .crossJoin(F.broadcast(cnt))
+        .withColumn(
+            "band", ranks.ntile_from_rn(10, F.col("__rn"), F.col("__n"))
+        )
+        .drop("__rn", "__n")
     )
     return (
         banded.groupBy("band")
@@ -1513,19 +1522,25 @@ def l47_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals within one max-doc of each other without an iterative bin
     packer. Out: per-shard doc count, token total, largest doc.
 
-    Scale shape: the global sort runs over the (doc_id, n) METADATA
-    projection only — two longs per doc, ~16 bytes/row, so even a
-    100 TB corpus sorts a few GB — and the heavy text column never
-    shuffles; the final write would join the tiny assignment back and
-    `partitionBy(shard)`. The serpentine formula is rank arithmetic,
-    so both engines agree exactly.
+    Scale shape: the global numbering runs over the (doc_id, n)
+    METADATA projection only — two longs per doc — and via the
+    distributed histogram rank (operators/ranks.py), so no stage ever
+    funnels the corpus into one partition; the heavy text column never
+    shuffles, and the final write would join the tiny assignment back
+    and `partitionBy(shard)`. The serpentine formula is rank
+    arithmetic, so both engines agree exactly.
     """
+    from nipd_spark.operators import ranks
+
     docs = load(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", F.size(text.tokens(F.col("text"))).alias("n")
     )
-    r = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("doc_id"))) - 1
-    assigned = sized.select(
+    numbered = ranks.with_global_rn(
+        sized, key="n", tiebreaks=["doc_id"], ascending=False, out="__rn"
+    )
+    r = F.col("__rn") - 1
+    assigned = numbered.select(
         "doc_id",
         "n",
         F.when(F.floor(r / 16) % 2 == 0, r % 16)

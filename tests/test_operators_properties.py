@@ -77,6 +77,66 @@ def test_lsh_verify_never_lies(spark, sf_dir):
         assert abs(r.jaccard - true_j) < 1e-12
 
 
+def test_global_rank_matches_window(spark, sf_dir):
+    """with_global_rn / with_global_running_sum / ntile_from_rn must be
+    bit-identical to the unpartitioned-Window forms they replace (desc
+    and asc orders, integer running sums for exactness)."""
+    from pyspark.sql import Window
+
+    from nipd_spark.catalog import load
+    from nipd_spark.operators import ranks
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    want = {
+        r.event_id: r.rn
+        for r in ev.select(
+            "event_id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    got = {
+        r.event_id: r.rn
+        for r in ranks.with_global_rn(
+            ev, key="value", tiebreaks=["event_id"], ascending=False
+        ).collect()
+    }
+    assert got == want
+
+    w2 = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    want2 = {
+        r.event_id: r.s
+        for r in ev.select(
+            "event_id", F.sum("user_id").over(w2).alias("s")
+        ).collect()
+    }
+    got2 = {
+        r.event_id: r.s
+        for r in ranks.with_global_running_sum(
+            ev, key="event_id", tiebreaks=[], val="user_id", out="s"
+        ).collect()
+    }
+    assert got2 == want2
+
+    w3 = Window.orderBy("value", "event_id")
+    want3 = {
+        r.event_id: r.t
+        for r in ev.select(
+            "event_id", F.ntile(7).over(w3).alias("t")
+        ).collect()
+    }
+    n = ev.count()
+    got3 = {
+        r.event_id: r.t
+        for r in ranks.with_global_rn(ev, "value", ["event_id"])
+        .select(
+            "event_id",
+            ranks.ntile_from_rn(7, F.col("rn"), F.lit(n)).alias("t"),
+        )
+        .collect()
+    }
+    assert got3 == want3
+
+
 def test_persisted_ivf_equals_in_memory(spark, sf_dir):
     """The parquet-persisted IVF index must answer bit-identically to
     the in-memory build (deterministic training; same params)."""

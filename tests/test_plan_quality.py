@@ -58,15 +58,36 @@ def test_minhash_band_join_is_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_w18_no_unpartitioned_window(spark, sf_dir):
-    """Mann-Whitney midranks must come from the two-pass histogram rank
-    (bucket-partitioned prefix sums + offset join), never an
-    unpartitioned Window — rank().over(Window.orderBy(...)) moves the
-    whole input to a single partition. In formatted plans an empty
-    window partition spec prints as ', [], [' before the sort spec."""
-    plan = _plan(spark, sf_dir, "w18_mann_whitney_u")
-    assert "windowspecdefinition" in plan  # the local prefix sum exists
+@pytest.mark.parametrize(
+    "name",
+    [
+        "w18_mann_whitney_u",
+        "l43_perplexity_pruning",
+        "l47_balanced_shards",
+        "c20_rfm_segmentation",
+        "c27_pareto_abc",
+    ],
+)
+def test_no_unpartitioned_window(spark, sf_dir, name):
+    """Global ranks / ntiles / running sums must come from the two-pass
+    histogram rank (operators/ranks.py: bucket-partitioned prefixes +
+    offset join), never an unpartitioned Window — Window.orderBy(...)
+    with no partition spec moves the whole input to a single partition.
+    In formatted plans an empty window partition spec prints as
+    ', [], [' before the sort spec."""
+    plan = _plan(spark, sf_dir, name)
+    assert "windowspecdefinition" in plan  # the local pass exists
     assert ", [], [" not in plan
+
+
+def test_a22_sliding_distinct_is_bucketed_join(spark, sf_dir):
+    """The trailing-24h distinct count must run as a bucketed range
+    join (equi on day bucket + residual bound), not an unpartitioned
+    RANGE window and not a nested-loop over the raw inequality."""
+    plan = _plan(spark, sf_dir, "a22_window_distinct")
+    assert ", [], [" not in plan  # no unpartitioned window
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_minhash_verify_is_candidate_driven(spark, sf_dir):
