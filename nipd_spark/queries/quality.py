@@ -464,3 +464,69 @@ def dq7_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_big_discount long, n_null_qty long, "
         "total_price double, max_price double",
     )
+
+
+@query(
+    "dq8_key_skew",
+    sql=f"""
+    WITH p1 AS (SELECT l_orderkey AS k, count(*) AS cnt
+                FROM lineitem GROUP BY 1),
+    p2 AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+    p3 AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1)
+    SELECT 'events.user_id' AS key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           max(cnt) AS max_per_key,
+           {dround("max(cnt) / (sum(cnt) / count(*))", 6)} AS skew_factor,
+           {dround("quantile_cont(cnt, 0.5)", 4)} AS median_per_key
+    FROM p3
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', CAST(count(*) AS BIGINT),
+           CAST(sum(cnt) AS BIGINT), max(cnt),
+           {dround("max(cnt) / (sum(cnt) / count(*))", 6)},
+           {dround("quantile_cont(cnt, 0.5)", 4)}
+    FROM p1
+    UNION ALL
+    SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(cnt) AS BIGINT), max(cnt),
+           {dround("max(cnt) / (sum(cnt) / count(*))", 6)},
+           {dround("quantile_cont(cnt, 0.5)", 4)}
+    FROM p2
+    ORDER BY key_name
+    """,
+    tags=("A1", "A9", "U1"),
+)
+def dq8_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: per candidate join key, the key count,
+    row count, hottest-key size, skew factor (max/avg — the number AQE's
+    skewedPartitionFactor thresholds against), and median rows per key.
+    This is the diagnostic run BEFORE a big join at scale: skew_factor
+    near 1 → plain shuffle join; tens → AQE skew split handles it;
+    hundreds+ → salt the key (a1b/j13 show the remedies this profiler
+    motivates). One groupBy per key — all map-side-combinable, no
+    window, no collect.
+    """
+    def prof(df: DataFrame, key: str, label: str) -> DataFrame:
+        per = df.groupBy(key).agg(F.count("*").alias("cnt"))
+        return per.agg(
+            F.lit(label).alias("key_name"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_per_key"),
+            F.round(
+                F.max("cnt") / (F.sum("cnt") / F.count("*")), 6
+            ).alias("skew_factor"),
+            F.round(F.expr("percentile(cnt, 0.5)"), 4).alias(
+                "median_per_key"
+            ),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    return (
+        prof(ev, "user_id", "events.user_id")
+        .unionByName(prof(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionByName(prof(o, "o_custkey", "orders.o_custkey"))
+        .orderBy("key_name")
+    )

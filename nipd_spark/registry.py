@@ -84,7 +84,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "c10_retention_cohorts",
     "c11_scd2_merge",
     "c12_touch_attribution",
-    "c13_time_in_state",
     "c15_ab_test_ztest",
     "c16_pretraining_pipeline",
     "c20_rfm_segmentation",
@@ -102,6 +101,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "g3_connected_components",
     # data quality
     "dq2_robust_outliers",
+    "dq8_key_skew",
     "dq5_benford_audit",
     "dq7_observe_metrics",
     # SQL surface
