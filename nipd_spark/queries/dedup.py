@@ -735,54 +735,69 @@ def l49_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts (gap ≤ 8) merge into one island via a windowed break-flag
     cumsum.
 
-    Scale shape: gram → dup-gram reduction is one equi-keyed groupBy
-    (HAVING distinct-doc ≥ 2) + semi-join back — the same shape as
-    decontamination (l19); island-building is a per-doc window (sorted
-    within partition). Nothing pairwise, no suffix array needed: at
-    100 TB the gram table is the only large intermediate and it
-    shuffles once on the gram hash.
+    Scale shape (round-4): all per-text work runs ONCE PER DISTINCT
+    TEXT (the representative-collapse cascade, as l23/l26/l55): a
+    gram's true distinct-doc count is the group-size-weighted sum over
+    representatives (identical docs have identical gram sets — exact),
+    stats fan back out by digest, and grams come from the folded
+    zip_with shingler (operators/text.py) instead of a slice-per-index
+    transform. Gram → dup-gram reduction is one equi-keyed groupBy +
+    semi-join back (same shape as decontamination l19);
+    island-building is a per-doc window (sorted within partition).
+    Nothing pairwise, no suffix array needed: the gram table shuffles
+    once on the gram hash, sized by DISTINCT content.
     """
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
-    grams = toks.filter(F.size("t") >= 8).select(
+    members = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("ghash")
+    )
+    groups = members.groupBy("ghash").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("gsize")
+    )
+    reps = docs.join(
+        groups.select(F.col("rep_id").alias("doc_id"), "ghash", "gsize"),
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 7),
-                lambda i: F.concat_ws(" ", F.slice("t", i, 8)),
-            )
-        ).alias("pos0", "g"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    ).select("ghash", "gsize", "text")
+    toks = reps.select(
+        "ghash", "gsize", text.tokens(F.col("text")).alias("t")
+    )
+    grams = reps.select(
+        "ghash",
+        "gsize",
+        F.posexplode(text.shingles(F.col("text"), 8)).alias("pos0", "g"),
+    ).select("ghash", "gsize", (F.col("pos0") + 1).alias("pos"), "g")
     dup = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        grams.select("ghash", "gsize", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.sum("gsize").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("g")
     )
-    hits = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = grams.join(dup, "g", "left_semi").select("ghash", "pos")
+    w = Window.partitionBy("ghash").orderBy("pos")
     marked = hits.select(
-        "doc_id",
+        "ghash",
         "pos",
         F.when(F.col("pos") - F.lag("pos").over(w) <= 8, 0)
         .otherwise(1)
         .alias("brk"),
     )
     islands = marked.select(
-        "doc_id", "pos", F.sum("brk").over(w).alias("island")
+        "ghash", "pos", F.sum("brk").over(w).alias("island")
     )
-    spans = islands.groupBy("doc_id", "island").agg(
+    spans = islands.groupBy("ghash", "island").agg(
         F.min("pos").alias("s"), (F.max("pos") + 7).alias("e")
     )
-    per_doc = spans.groupBy("doc_id").agg(
+    per_rep = spans.groupBy("ghash").agg(
         F.count("*").alias("n_spans"),
         F.max(F.col("e") - F.col("s") + 1).alias("longest_span"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("covered_tokens"),
-    )
+    ).join(toks.select("ghash", F.size("t").alias("n_tokens")), "ghash")
     return (
-        per_doc.join(toks.select("doc_id", F.size("t").alias("n_tokens")), "doc_id")
+        members.join(per_rep, "ghash")
         .select(
             "doc_id",
             "n_spans",

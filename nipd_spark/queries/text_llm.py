@@ -1603,27 +1603,53 @@ def l48_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is its mean bucket LLR, and the top 25 would be kept for training.
 
     Scale shape: bucket vocab is FIXED (256 rows), so the weight table
-    broadcasts and scoring is a map-side join over the exploded
-    occurrences — one wide shuffle on doc_id for the per-doc mean,
-    nothing quadratic, raw text never leaves the scan. Mean LLR is
-    order-dependent so both engines round (oracle.dround discipline).
+    broadcasts and scoring is a map-side join; all per-text hashing
+    runs ONCE PER DISTINCT (lang, text) (round-4 representative
+    collapse — bucket counts are group-size-weighted sums over the
+    per-representative profiles, which is exact since identical texts
+    have identical bigram multisets; scores fan back out by digest).
+    One shuffle on the digest for the per-doc mean, nothing quadratic,
+    raw text never leaves the scan. Mean LLR is order-dependent so
+    both engines round (oracle.dround discipline).
     """
     docs = load(spark, sf_dir, "documents")
-    big = docs.select(
+    keyed = docs.select(
         "doc_id",
+        "lang",
+        "text",
+        F.sha2(
+            F.concat_ws(
+                "|", F.coalesce(F.col("lang"), F.lit("")), F.col("text")
+            ),
+            256,
+        ).alias("ghash"),
+    )
+    groups = keyed.groupBy("ghash").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("gsize")
+    )
+    reps = keyed.join(
+        groups.select(F.col("rep_id").alias("doc_id"), "gsize"), "doc_id"
+    )
+    big = reps.select(
+        "ghash",
+        "gsize",
         "lang",
         F.explode(text.shingles(F.col("text"), 2)).alias("g"),
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long"), F.lit(256)
     )
-    occ = big.select("doc_id", "lang", bucket.alias("b"))
-    # one pass builds source AND target bucket counts; corpus totals
-    # come from the 256-row stats table, not another scan — the
-    # exploded gram table is read twice total (stats + scoring), not 4x
-    stats = occ.groupBy("b").agg(
-        F.count("*").alias("n_s"),
-        F.count_if(F.col("lang") == "en").alias("n_t"),
+    # per-representative bucket profile; corpus counts re-weight by
+    # group size, so stats are identical to the per-copy scan
+    prof = big.select("ghash", "gsize", "lang", bucket.alias("b")).groupBy(
+        "ghash", "gsize", "lang", "b"
+    ).agg(F.count("*").alias("c"))
+    stats = prof.groupBy("b").agg(
+        F.sum(F.col("c") * F.col("gsize")).alias("n_s"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("c") * F.col("gsize"))
+            .otherwise(F.lit(0))
+        ).alias("n_t"),
     )
     tot = stats.agg(
         F.sum("n_s").alias("s_tot"), F.sum("n_t").alias("t_tot")
@@ -1635,16 +1661,19 @@ def l48_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_s") + F.lit(1.0)) / (F.col("s_tot") + 256))
         ).alias("lw"),
     )
-    scored = (
-        occ.join(F.broadcast(w), "b")
-        .groupBy("doc_id")
+    rep_scored = (
+        prof.join(F.broadcast(w), "b")
+        .groupBy("ghash")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.sum("lw") / F.count("*"), 6).alias("score"),
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lw") * F.col("c")) / F.sum("c"), 6
+            ).alias("score"),
         )
     )
     return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        keyed.select("doc_id", "lang", "ghash")
+        .join(rep_scored, "ghash")
         .select("doc_id", "lang", "n_bigrams", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(25)

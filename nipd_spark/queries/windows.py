@@ -809,46 +809,21 @@ def w18_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek("ts") - 1).isin(0, 6), "weekend"
         ).otherwise("weekday").alias("grp"),
     )
+    from nipd_spark.operators import ranks
+
     pv = s.groupBy("value").agg(
         F.count("*").alias("cnt"),
         F.count_if(F.col("grp") == "weekend").alias("wk_cnt"),
     )
-    n_buckets = 32
-    rng = pv.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / n_buckets)
-            ).cast("int"),
-            F.lit(n_buckets - 1),
-        )
-    )
-    bucketed = pv.join(F.broadcast(rng)).withColumn("bucket", bucket)
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = bucketed.withColumn(
-        "lt_local", F.coalesce(F.sum("cnt").over(w_local), F.lit(0))
-    )
-    totals = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("btotal"))
-    offsets = (
-        totals.alias("ta")
-        .join(
-            totals.alias("tb"),
-            F.col("tb.bucket") < F.col("ta.bucket"),
-            "left",
-        )
-        .groupBy(F.col("ta.bucket").alias("bucket"))
-        .agg(F.coalesce(F.sum("tb.btotal"), F.lit(0)).alias("boffset"))
-    )
-    ranked = local.join(F.broadcast(offsets), "bucket").select(
+    # lt(v) = inclusive running count minus own count — the exclusive
+    # prefix, via the shared distributed-rank machinery
+    ranked = ranks.with_global_running_sum(
+        pv, key="value", tiebreaks=[], val="cnt", out="cum"
+    ).select(
         "cnt",
         "wk_cnt",
         (
-            F.col("lt_local") + F.col("boffset") + (F.col("cnt") + 1) / 2.0
+            F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
         ).alias("midrank"),
     )
     n1 = F.sum("wk_cnt")

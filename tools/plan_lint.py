@@ -1,0 +1,189 @@
+"""Plan lint: sweep EVERY registered query's physical plan for scale
+anti-patterns (SURVEY.md §4; the repo-wide generalization of
+tests/test_plan_quality.py's per-query pins).
+
+Rules:
+  - CartesianProduct: forbidden outright (two un-broadcastable sides
+    in an un-keyed join — the unconditional pair blow-up).
+  - BroadcastNestedLoopJoin: auto-allowed when the broadcast side is a
+    SCALAR frame (global aggregate, keys=[] — the broadcast-of-1-row
+    idiom used for totals/thresholds); any other BNLJ needs an ALLOW
+    entry stating why its broadcast side stays bounded as data grows.
+  - Unpartitioned Window (', [], [' in the formatted spec): the
+    "Moving all data to a single partition" funnel; ALLOW only with a
+    boundedness argument.
+  - BatchEvalPython / BatchEvalPythonUDTF: row-at-a-time Python in the
+    plan; ALLOW only for the deliberate D-surface exemplars.
+
+Run: python tools/plan_lint.py    (exit 1 on unexplained hits)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from nipd_spark import registry
+from nipd_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> {rule: reason}. A reason documents WHY the hit is acceptable;
+# anything not listed fails the lint.
+ALLOW: dict[str, dict[str, str]] = {
+    # deliberate exemplars of the pattern itself
+    "j7_cross": {"bnlj": "the J7 operator IS a cross join (tiny dims)"},
+    "d1_scalar_udf": {"py": "the D1 exemplar IS the row Python UDF"},
+    "d7_udtf": {"py": "the D7 surface IS the Python UDTF"},
+    "d12_udtf_analyze": {"py": "polymorphic UDTF — Python by definition"},
+    # BNLJ whose broadcast side is bounded by construction
+    "l18_kmeans": {
+        "bnlj": "broadcast side = C centroids (C ~ n/1e4, never fact-sized)"
+    },
+    "l5b_ann_ivf": {
+        "bnlj": "broadcast side = C IVF centroids (coarse quantizer)"
+    },
+    "l37_ann_ivfpq": {
+        "bnlj": "broadcast side = C IVF centroids + PQ codebooks (fixed)"
+    },
+    "l56_ivf_persisted": {
+        "bnlj": "broadcast side = persisted C-centroid index"
+    },
+    "l14_embedding_neardup": {
+        "bnlj": "broadcast side = per-label centroid table (label domain)"
+    },
+    "l38_hard_negatives": {
+        "bnlj": "broadcast side = the bounded query/anchor set"
+    },
+    "l29_domain_rebalance": {
+        "bnlj": "broadcast side = per-source target weights (source domain)"
+    },
+    "j18_interval_overlap": {
+        "bnlj": "broadcast side = the bounded interval dimension "
+        "(pre-banded j8 form is the fact-x-fact path)"
+    },
+    "dq5_benford_audit": {
+        "bnlj": "broadcast side = the 9-row Benford expectation table"
+    },
+    "o6_keyset_pagination": {
+        "bnlj": "broadcast side = the 1-row keyset anchor (limit 1)"
+    },
+    "c17_bootstrap_ci": {
+        "bnlj": "broadcast side = the 10-row replicate axis (range(10))"
+    },
+    "l12_language_id": {
+        "bnlj": "broadcast side = per-language n-gram profiles "
+        "(language-domain-sized, fixed)"
+    },
+    # provably bounded unpartitioned windows
+    "c25_mom_growth": {
+        "window": "window over months aggregate (~84 rows at any SF)"
+    },
+    "l33_corpus_shuffle": {
+        "window": "window over the top-40 head only (limit first)"
+    },
+    "a27_share_of_parent": {
+        "window": "whole-partition sum over 25 leaf rows, no sort"
+    },
+}
+
+GLOBAL_WINDOW = re.compile(r", \[\], \[")
+PY_EVAL = re.compile(r"BatchEvalPython")
+
+
+def _walk(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _walk(cs.apply(i))
+
+
+_PLAN_ID = re.compile(r"\[plan_id=(\d+)\]")
+
+
+def _bounded_build(sub: str) -> bool:
+    """Bounded-by-construction broadcast builds: a scalar global
+    aggregate (keys=[]), a literal local table, or the distributed-rank
+    bucket table (operators/ranks.py — at most n_buckets rows)."""
+    head = sub.splitlines()[0]
+    return (
+        "keys=[]" in sub
+        or "LocalTableScan" in head
+        or "__rk_bucket" in sub
+    )
+
+
+def _bnlj_hits(qe) -> list[str]:
+    """BNLJ nodes whose broadcast side is NOT provably bounded.
+    ReusedExchange prints only its output, so vet every
+    BroadcastExchange by plan_id first and resolve reuses to their
+    source's verdict."""
+    nodes = list(_walk(qe.executedPlan()))
+    vetted: dict[str, bool] = {}
+    for node in nodes:
+        if node.getClass().getSimpleName() == "BroadcastExchangeExec":
+            s = node.toString()
+            m = _PLAN_ID.search(s.splitlines()[0])
+            if m:
+                vetted[m.group(1)] = _bounded_build(s)
+    hits = []
+    for node in nodes:
+        cls = node.getClass().getSimpleName()
+        if cls == "CartesianProductExec":
+            hits.append("CARTESIAN")
+        if cls != "BroadcastNestedLoopJoinExec":
+            continue
+        side = node.buildSide().toString()
+        child = node.children().apply(1 if side == "BuildRight" else 0)
+        sub = child.toString()
+        head = sub.splitlines()[0]
+        if _bounded_build(sub):
+            continue
+        if "ReusedExchange" in head:
+            m = _PLAN_ID.search(head)
+            if m and vetted.get(m.group(1)):
+                continue
+        hits.append(side)
+    return hits
+
+
+def main() -> int:
+    spark = get_spark("plan-lint")
+    bad = 0
+    allowed = 0
+    for name, spec in registry.all_specs().items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+            qe = df._jdf.queryExecution()  # noqa: SLF001
+            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                qe, "formatted"
+            )
+        except Exception as e:
+            print(f"SKIP {name}: build failed: {type(e).__name__}")
+            continue
+        findings = []
+        bn = _bnlj_hits(qe)
+        if "CARTESIAN" in bn:
+            findings.append(("cartesian", False))  # never allowable
+        elif bn:
+            findings.append(("bnlj", True))
+        if GLOBAL_WINDOW.search(plan):
+            findings.append(("window", True))
+        if PY_EVAL.search(plan):
+            findings.append(("py", True))
+        for rule, allowable in findings:
+            reason = ALLOW.get(name, {}).get(rule) if allowable else None
+            if reason:
+                allowed += 1
+                print(f"ALLOW {name}: {rule} — {reason}")
+            else:
+                bad += 1
+                print(f"FAIL  {name}: {rule}")
+    print(f"plan lint: {bad} unexplained, {allowed} allowed")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
