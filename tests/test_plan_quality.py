@@ -80,6 +80,19 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
     assert ", [], [" not in plan
 
 
+def test_plan_lint_allowlist_names_exist(spark):
+    """Every ALLOW entry in tools/plan_lint.py must name a registered
+    query — a renamed query must not silently orphan its exemption."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    specs = registry.all_specs()
+    missing = [n for n in plan_lint.ALLOW if n not in specs]
+    assert not missing, missing
+
+
 def test_a22_sliding_distinct_is_bucketed_join(spark, sf_dir):
     """The trailing-24h distinct count must run as a bucketed range
     join (equi on day bucket + residual bound), not an unpartitioned
