@@ -305,3 +305,48 @@ def test_merge_into_matches_duckdb(spark, tgt, src):
         key=lambda x: (x[0] is None, x),
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-5, 5), min_size=1, max_size=25),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_ranks_match_window_forms(spark, vals, k):
+    """with_global_rn / with_global_running_sum / ntile_from_rn ==
+    the Window.orderBy forms on randomized micro-tables: duplicate
+    keys, negatives, all-equal corpora (single-bucket degenerate), and
+    n < k ntile (the lazy otherwise-branch / ANSI-division edge)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import ranks
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid: long, v: long")
+    w = Window.orderBy(F.col("v").asc(), F.col("rid").asc())
+    want = {
+        (r.rid): (r.rn, r.run, r.t)
+        for r in df.select(
+            "rid",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("run"),
+            F.ntile(k).over(w).alias("t"),
+        ).collect()
+    }
+    n = len(vals)
+    got_df = ranks.with_global_rn(
+        df, key="v", tiebreaks=["rid"], n_buckets=4
+    )
+    got_df = ranks.with_global_running_sum(
+        got_df, key="v", tiebreaks=["rid"], val="v", n_buckets=4, out="run"
+    ).select(
+        "rid",
+        "rn",
+        "run",
+        ranks.ntile_from_rn(k, F.col("rn"), F.lit(n)).alias("t"),
+    )
+    got = {r.rid: (r.rn, r.run, r.t) for r in got_df.collect()}
+    assert got == want
