@@ -59,8 +59,10 @@ _QUERY_MODULES = (
 # business composites, window family tail, graph, data-quality, SQL
 # surface, lakehouse write-path sources, join strategies, and the LLM
 # curation tail. Everything here is green in tools/diffcheck.py
-# (sf0.001) and was judge-verified at sf0.01 in r3 (except s21, new,
-# verified at both SFs before commit).
+# (sf0.001) AND in the repo's own full sf0.01 sweep this round
+# (VERIFY_r04.txt: 285 pass / 0 fail / 15 rows-only over all 300);
+# the round-4 additions (s21-s24, l55, dq8) were verified at both SFs
+# before their commits.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-4 additions / rewrites
     "s21_merge_into",
