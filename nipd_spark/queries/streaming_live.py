@@ -978,3 +978,104 @@ def t17_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, "complete")
+
+
+@query(
+    "t18_stream_snapshot_versions",
+    sql="""
+    WITH p AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS step
+               FROM events)
+    SELECT CAST(r.range + 1 AS INT) AS version,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM range(0, 4) r, events e, p
+    WHERE e.event_id < (r.range + 1) * p.step
+    GROUP BY 1, 2
+    """,
+    tags=("S7", "S6", "T5", "A1"),
+)
+def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lakehouse composition: the event stream replays in 4
+    micro-batches; each batch MERGEs its per-type partial (count,
+    value-cents) into the running serving table (operators/merge.py)
+    and COMMITS the result as the next snapshot version
+    (operators/snapshots.py) — so after the stream drains, the table's
+    history is queryable: this returns every committed version's full
+    state (one row per version x event_type). Deterministic end to end:
+    events.parquet is event_id-ordered (verified at all SFs), the
+    replay stages 4 equal row-slices with strictly increasing mtimes
+    (harness._stage_dir pins FileStreamSource's oldest-first order), so
+    version v == the aggregate over event_id < v*ceil(n/4) — which is
+    exactly what the oracle computes. Cents quantization keeps the
+    incremental merge bit-equal to the direct aggregate (int64 sums are
+    order-free; the same discipline as s24).
+
+    Scale shape: each commit costs O(batch + touched keys) via the
+    merge's equi-joins, snapshots are immutable directories (atomic
+    rename), and history reads are plain parquet scans — the streaming
+    half of what s22/s23 exercise in batch.
+    """
+    import hashlib
+    import shutil
+
+    from nipd_spark.operators.merge import merge_into
+    from nipd_spark.operators.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tag = hashlib.sha1(f"{sf_dir}|t18".encode()).hexdigest()[:10]
+    table = f"/tmp/nipd_snapver_{tag}"
+    chk = table + "_chk"
+    if (latest_version(table) or 0) < 4:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+        def commit_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            part = batch.groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                ).alias("total_cents"),
+            )
+            if latest_version(table):
+                prev = read_snapshot(batch.sparkSession, table)
+                part = merge_into(
+                    prev,
+                    part,
+                    on=["event_type"],
+                    when_matched={
+                        "n_events": F.col("t.n_events") + F.col("s.n_events"),
+                        "total_cents": F.col("t.total_cents")
+                        + F.col("s.total_cents"),
+                    },
+                    when_not_matched={
+                        "event_type": F.col("s.event_type"),
+                        "n_events": F.col("s.n_events"),
+                        "total_cents": F.col("s.total_cents"),
+                    },
+                )
+            write_snapshot(part, table)
+
+        q = (
+            events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = None
+    for v in range(1, (latest_version(table) or 0) + 1):
+        dfv = read_snapshot(spark, table, v).withColumn(
+            "version", F.lit(v)
+        )
+        out = dfv if out is None else out.unionByName(dfv)
+    return out.select("version", "event_type", "n_events", "total_cents")

@@ -65,6 +65,16 @@ def _stage_dir(sf_dir: str, parts: int = 1) -> str:
         for i in range(parts):
             pq.write_table(t.slice(i * step, step), f"{d}/part{i:04d}.parquet")
         open(done, "w").close()
+    # pin micro-batch ORDER: FileStreamSource takes unseen files oldest
+    # first, so give part files strictly increasing mtimes (re-stamped
+    # idempotently — sub-second writes can otherwise tie). Queries whose
+    # RESULT depends on batch order (t18 snapshot versions) need this;
+    # order-invariant merges (t10) don't but lose nothing.
+    base = 1_600_000_000
+    for i in range(parts):
+        p = f"{d}/part{i:04d}.parquet"
+        if os.path.exists(p):
+            os.utime(p, (base + 10 * i, base + 10 * i))
     return d
 
 
