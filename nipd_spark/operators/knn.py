@@ -244,6 +244,74 @@ def topk_per_query_gemm(
     return rescored.withColumn("rn", F.row_number().over(w2))
 
 
+def threshold_pairs_gemm(
+    base: DataFrame,
+    probes: DataFrame,
+    tau: float,
+    margin: float = 1e-6,
+    max_broadcast_mb: int = _DEFAULT_BLOCK_MB,
+) -> DataFrame:
+    """All (base, probe) pairs with cosine ≥ tau — the similarity
+    THRESHOLD join (vs top-k above). Returns (a_id, b_id, approx) with
+    a_id from ``base``, b_id from ``probes``; callers re-score with
+    ``rescore_pairs`` and re-filter at tau exactly.
+
+    Same block outer-product as top_pairs_gemm: probes stream through
+    the driver in bounded broadcast blocks, each base partition runs one
+    GEMM per block and emits only rows ≥ tau - margin (margin covers
+    GEMM-vs-sequential ulp drift, ~1e-15, so no true hit at the exact
+    boundary is screened out). Output volume is the true hit count —
+    for decontamination/near-dup thresholds that is output-bounded, not
+    O(|base|·|probes|).
+    """
+    spark = base.sparkSession
+    bsrc = base.select("vec_id", "embedding")
+    psrc = probes.select("vec_id", "embedding")
+    n_p, dim = _dim_and_count(psrc)
+    rows_cap = max(16, (max_broadcast_mb << 20) // (8 * max(1, dim)))
+    multi_block = n_p > rows_cap
+    cut = tau - margin
+
+    cands: list[DataFrame] = []
+    for p_ids_np, Pn_np in _broadcast_blocks(psrc, n_p, rows_cap):
+        bc = spark.sparkContext.broadcast((p_ids_np, Pn_np))
+
+        def block(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
+            p_ids, Pn = _bc.value
+            for p in batches:
+                if not len(p):
+                    continue
+                A = np.stack(p["embedding"].to_numpy()).astype(np.float64)
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                a_ids = p["vec_id"].to_numpy()
+                S = An @ Pn.T  # (rows, n_probe_block)
+                r, c = np.nonzero(S >= cut)
+                if not len(r):
+                    continue
+                yield pd.DataFrame(
+                    {"a_id": a_ids[r], "b_id": p_ids[c], "approx": S[r, c]}
+                )
+
+        cand = bsrc.mapInPandas(block, "a_id long, b_id long, approx double")
+        if multi_block:
+            cand = cand.localCheckpoint(eager=True)
+            bc.destroy()
+        cands.append(cand)
+
+    if not cands:
+        return spark.createDataFrame([], "a_id long, b_id long, approx double")
+    out = cands[0]
+    for c in cands[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def rescore_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Public bit-exact rescore: (a_id, b_id) → (a_id, b_id, cosine),
+    sequential zip_with arithmetic (== the DuckDB oracle's list math)."""
+    return _rescore(emb, pairs)
+
+
 def _rescore(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """Bit-exact sequential cosine for the selected (a_id, b_id) pairs.
 

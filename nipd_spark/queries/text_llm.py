@@ -2021,3 +2021,61 @@ def l55_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(per_rep, "ghash").select(
         "doc_id", "n_tokens", "n_removed", "dedup_text"
     )
+
+
+@query(
+    "l57_semantic_decontaminate",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    ev AS (SELECT * FROM e WHERE vec_id % 23 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 23 <> 0),
+    hits AS (
+      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(tr.embedding[i] AS DOUBLE)
+                    * CAST(ev.embedding[i] AS DOUBLE)))
+               / (tr.nrm * ev.nrm) AS cos
+      FROM tr, ev
+    )
+    SELECT train_id, max(cos) AS max_cos,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM hits WHERE cos >= 0.4
+    GROUP BY train_id
+    """,
+    tags=("L3", "L4", "J4"),
+)
+def l57_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of l19's
+    n-gram screen: flag every train vector whose cosine to ANY held-out
+    eval vector reaches 0.4, reporting the worst overlap (max_cos) and
+    how many eval items it collides with (n_hits). Eval membership is
+    the hash-split discipline of l17 (vec_id % 23 == 0 — a pure key
+    function that survives repartitioning and backfills).
+
+    Plan shape (the knn.py pattern): eval is streamed as bounded
+    broadcast blocks and a per-partition GEMM SCREENS pairs at
+    tau - 1e-6 (output-bounded — no train x eval materialization);
+    survivors are re-scored with the sequential zip_with expression and
+    re-filtered at tau EXACTLY, so emitted cosines, the max, and the
+    boundary count are all bit-identical to the DuckDB twin. At 100 TB
+    the eval side is the small one by construction (benchmarks are
+    KB-MB scale), so the broadcast never inverts.
+    """
+    from nipd_spark.operators import knn
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = e.filter(F.col("vec_id") % 23 == 0)
+    tr = e.filter(F.col("vec_id") % 23 != 0)
+    screened = knn.threshold_pairs_gemm(tr, ev, tau=0.4)
+    exact = knn.rescore_pairs(e, screened.select("a_id", "b_id")).filter(
+        F.col("cosine") >= 0.4
+    )
+    return exact.groupBy(F.col("a_id").alias("train_id")).agg(
+        F.max("cosine").alias("max_cos"),
+        F.count("*").alias("n_hits"),
+    )
