@@ -1098,3 +1098,68 @@ def test_pca_spectrum_matches_numpy_reference(spark, sf_dir):
             i = int(np.argmax(np.abs(vecs[:, j])))
             assert vecs[i, j] > 0
     assert abs(ratio.sum() - (want.sum() / np.linalg.eigvalsh(cov).sum())) < 1e-8
+
+
+def test_threshold_pairs_gemm_equals_exact(spark, sf_dir):
+    """The GEMM threshold screen + bit-exact rescore finds EXACTLY the
+    pairs the sequential brute-force scan finds at tau, with identical
+    cosines — across a tau sweep including values near the fixture's
+    cosine mass so the boundary is actually exercised."""
+    from nipd_spark.operators import knn
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.filter(F.col("vec_id") % 5 == 0)
+    b = e.filter(F.col("vec_id") % 5 != 0)
+    nrm = vector.l2_norm(F.col("embedding"))
+    an = a.select("vec_id", "embedding", nrm.alias("nrm")).alias("a")
+    bn = b.select("vec_id", "embedding", nrm.alias("nrm")).alias("b")
+    cos = vector.cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    allp = an.join(bn).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        cos.alias("cosine"),
+    )
+    for tau in (0.3, 0.45, 0.6):
+        exact = {
+            (r.a_id, r.b_id): r.cosine
+            for r in allp.filter(F.col("cosine") >= tau).collect()
+        }
+        screened = knn.threshold_pairs_gemm(a, b, tau=tau)
+        got = {
+            (r.a_id, r.b_id): r.cosine
+            for r in knn.rescore_pairs(e, screened.select("a_id", "b_id"))
+            .filter(F.col("cosine") >= tau)
+            .collect()
+        }
+        assert got == exact, f"tau={tau}: {len(got)} vs {len(exact)}"
+    assert len(exact) >= 0 and len(got) == len(exact)
+
+
+def test_vacuum_keeps_head_and_blocks_old_reads(spark, sf_dir, tmp_path):
+    """vacuum(keep_last=1) removes exactly the dropped versions' data
+    directories, the manifest shrinks first, the head still reads, and
+    a read of a dropped version fails the manifest check (never a
+    missing-file error mid-scan)."""
+    import os
+
+    import pytest
+
+    from nipd_spark.operators import snapshots as snap
+
+    table = str(tmp_path / "tbl")
+    for hi in (1, 2, 3):
+        snap.write_snapshot(
+            load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < hi * 8),
+            table,
+        )
+    removed = snap.vacuum(table, keep_last=1)
+    assert removed == [1, 2]
+    assert [m["version"] for m in snap.read_manifest(table)] == [3]
+    dirs = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert dirs == ["v=3"]
+    assert snap.read_snapshot(spark, table).count() == 24
+    with pytest.raises(ValueError):
+        snap.read_snapshot(spark, table, version=1)
+    assert snap.vacuum(table, keep_last=1) == []  # idempotent no-op

@@ -83,6 +83,8 @@ PROBE = [
     "s24_incremental_agg",
     "l55_span_dedup",
     "w18_mann_whitney_u",
+    "l57_semantic_decontaminate",
+    "s25_snapshot_retention",
 ]
 
 
