@@ -2079,3 +2079,94 @@ def c29_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "c30_scd2_dimension",
+    sql="""
+    WITH eff AS (
+      SELECT l.l_extendedprice, l.l_discount, s.s_nationkey,
+             CASE
+               WHEN l.l_shipdate >= TIMESTAMP '1999-01-01'
+                    + INTERVAL (s.s_suppkey % 365) DAY THEN 3
+               WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                    + INTERVAL (s.s_suppkey % 365) DAY THEN 2
+               ELSE 1
+             END AS dim_version,
+             s.s_acctbal AS bal0
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT dim_version, s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(round((bal0 + 100 * (dim_version - 1)) * 100)
+                    AS BIGINT)) AS BIGINT) AS bal_eff_cents
+    FROM eff GROUP BY dim_version, s_nationkey
+    """,
+    tags=("J9", "A1", "F2"),
+)
+def c30_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time dimension join — the warehouse pattern
+    the as-of operator exists for: each supplier's dimension row has
+    three effective-dated versions with PER-KEY validity dates
+    (valid_from staggered by s_suppkey % 365, so no global cutoff
+    shortcut exists), and every lineitem joins to the version in force
+    at l_shipdate via operators/asof.asof_join (backward). Revenue and
+    the effective attribute roll up per (version, nation). The oracle
+    resolves the same per-key effectivity with CASE arithmetic.
+
+    Scale shape: the dimension history is |supplier| x 3 rows — the
+    as-of union+window shuffles once on suppkey; at 100 TB the fact
+    side dominates and the operator's one-sort profile holds (no
+    range-condition BNLJ anywhere, same as j9).
+    """
+    from nipd_spark.operators.asof import asof_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = load(spark, sf_dir, "supplier")
+    ver = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("dim_version")
+    hist = sup.select("s_suppkey", "s_nationkey", "s_acctbal", ver).select(
+        F.col("s_suppkey").alias("suppkey"),
+        "s_nationkey",
+        "dim_version",
+        (F.col("s_acctbal") + 100 * (F.col("dim_version") - 1)).alias(
+            "bal_eff"
+        ),
+        F.when(F.col("dim_version") == 1, F.lit("1994-01-01").cast("timestamp"))
+        .otherwise(
+            F.date_add(
+                F.when(F.col("dim_version") == 2, F.lit("1996-01-01"))
+                .otherwise(F.lit("1999-01-01"))
+                .cast("date"),
+                (F.col("s_suppkey") % 365).cast("int"),
+            ).cast("timestamp")
+        )
+        .alias("valid_from"),
+    )
+    joined = asof_join(
+        li,
+        hist,
+        key="suppkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        right_payload=["dim_version", "s_nationkey", "bal_eff"],
+        tiebreak="dim_version",
+        direction="backward",
+    )
+    return joined.groupBy("dim_version", "s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.sum(F.round(F.col("bal_eff") * 100, 0).cast("long")).alias(
+            "bal_eff_cents"
+        ),
+    )

@@ -2079,3 +2079,110 @@ def l57_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cosine").alias("max_cos"),
         F.count("*").alias("n_hits"),
     )
+
+
+@query(
+    "l58_per_source_cap",
+    sql="""
+    WITH ranked AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+             row_number() OVER (PARTITION BY source
+               ORDER BY (doc_id * 1103) % 10007, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE rn <= 15) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 15) AS BIGINT) AS n_dropped,
+           CAST(sum(doc_id) FILTER (WHERE rn <= 15) AS BIGINT) AS kept_id_sum,
+           CAST(sum(n_tok) FILTER (WHERE rn <= 15) AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY source
+    """,
+    tags=("L9", "W1", "O4"),
+)
+def l58_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the Dolma/CC-style "no domain may
+    dominate" curation rule): every source keeps at most 15 docs,
+    selected DETERMINISTICALLY by multiplicative-hash order (the l17
+    split discipline — membership is a pure key function, stable under
+    repartitioning and backfills, no RNG state). Output proves the
+    exact selection per source (kept-id checksum), not just counts.
+
+    Scale shape: one window ranked per-source partition — the same
+    per-group top-k plan as O4 (rank + filter, partial aggregation
+    after); no global sort, no collect.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.pmod(F.col("doc_id") * 1103, F.lit(10007)), "doc_id"
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.col("rn") <= 15
+    return ranked.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_sum"),
+        F.sum(F.when(kept, F.col("n_tok"))).alias("kept_tokens"),
+    )
+
+
+@query(
+    "l59_token_budget_mix",
+    sql="""
+    WITH ranked AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+             sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+               ORDER BY (doc_id * 1103) % 10007, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tok_before
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept,
+           CAST(greatest(sum(n_tok) - 600, 0) AS BIGINT) AS overshoot
+    FROM ranked
+    WHERE coalesce(tok_before, 0) < 600
+    GROUP BY source
+    """,
+    tags=("L9", "W3"),
+)
+def l59_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture sampling: each source contributes docs in
+    deterministic hash order until its token budget (600) is reached —
+    a doc is kept iff the tokens BEFORE it are under budget, so the
+    budget is met with bounded overshoot (≤ one doc) and the selection
+    is an exact prefix of a stable order. This is how mixture weights
+    become concrete document sets in an LLM data recipe (tokens, not
+    doc counts, are the currency).
+
+    Scale shape: per-source window cumsum (exclusive frame) + filter +
+    partial agg — one shuffle on source; the cumsum never crosses
+    group boundaries so skew is bounded by the largest source, which
+    the per-source cap (l58) upstream would already have tamed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.pmod(F.col("doc_id") * 1103, F.lit(10007)), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    ).withColumn("tok_before", F.sum("n_tok").over(w))
+    return (
+        ranked.filter(F.coalesce(F.col("tok_before"), F.lit(0)) < 600)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+            F.greatest(
+                F.sum("n_tok") - F.lit(600), F.lit(0).cast("long")
+            ).alias("overshoot"),
+        )
+    )
