@@ -366,3 +366,82 @@ def j19_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
     )
+
+
+@query(
+    "j20_interval_overlap",
+    sql="""
+    WITH iv AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS lo,
+             date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)
+               + 1 + CAST(l_quantity AS INT) % 14 AS hi
+      FROM lineitem
+    ),
+    a AS (SELECT * FROM iv WHERE l_linenumber = 1),
+    b AS (SELECT * FROM iv WHERE l_linenumber = 2)
+    SELECT a.l_suppkey AS suppkey,
+           a.l_orderkey AS a_orderkey, b.l_orderkey AS b_orderkey,
+           CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a.l_suppkey = b.l_suppkey
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+    tags=("J8", "J10"),
+)
+def j20_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (BED intersect over two region sets — the
+    genomics core op; bedtools semantics, closed bounds): each
+    supplier's line-1 shipping windows vs its line-2 windows
+    ([shipdate, shipdate + 1 + qty%14] days), reporting overlap length
+    per overlapping pair. Runs operators/range_join.interval_overlap_join
+    — bucket-exploded equi-join with owner-bucket dedup (each pair
+    emitted exactly once, no distinct shuffle); the oracle is the naive
+    inequality join.
+
+    Scale shape: shuffle equi-keyed on (bucket, suppkey); width 16 ≈
+    2x median window so the explode factor is ~1-2; no BNLJ anywhere
+    (pinned: the j8 plan test family covers this operator's plan too).
+    """
+    from nipd_spark.operators.range_join import interval_overlap_join
+
+    iv = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1995-01-01").cast("date")
+        ).alias("lo"),
+        (
+            F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date"))
+            + 1
+            + F.col("l_quantity").cast("int") % 14
+        ).alias("hi"),
+    )
+    a = iv.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = iv.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", width=16, extra_keys=["suppkey"]
+    )
+    return pairs.select(
+        "suppkey",
+        "a_orderkey",
+        "b_orderkey",
+        (
+            F.least(F.col("a_hi"), F.col("b_hi"))
+            - F.greatest(F.col("a_lo"), F.col("b_lo"))
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )

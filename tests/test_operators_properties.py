@@ -1163,3 +1163,43 @@ def test_vacuum_keeps_head_and_blocks_old_reads(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         snap.read_snapshot(spark, table, version=1)
     assert snap.vacuum(table, keep_last=1) == []  # idempotent no-op
+
+
+def test_interval_overlap_join_equals_naive(spark, sf_dir):
+    """Owner-bucket dedup emits every overlapping pair EXACTLY once:
+    equals the naive inequality join on randomized micro-interval sets,
+    across widths much smaller / larger than the interval lengths."""
+    import random
+
+    rng = random.Random(7)
+    rows_a = [
+        (i, k, lo, lo + rng.randint(0, 40))
+        for i in range(120)
+        for k, lo in [(rng.randint(0, 3), rng.randint(0, 300))]
+    ]
+    rows_b = [
+        (j, k, lo, lo + rng.randint(0, 40))
+        for j in range(120)
+        for k, lo in [(rng.randint(0, 3), rng.randint(0, 300))]
+    ]
+    a = spark.createDataFrame(rows_a, "a_id long, k long, a_lo long, a_hi long")
+    b = spark.createDataFrame(rows_b, "k2_id long, k long, b_lo long, b_hi long")
+    naive = {
+        (ra[0], rb[0])
+        for ra in rows_a
+        for rb in rows_b
+        if ra[1] == rb[1] and ra[2] <= rb[3] and rb[2] <= ra[3]
+    }
+    assert naive  # vacuous otherwise
+    from nipd_spark.operators.range_join import interval_overlap_join
+
+    for width in (3, 16, 1000):
+        got = [
+            (r.a_id, r.k2_id)
+            for r in interval_overlap_join(
+                a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                width=width, extra_keys=["k"],
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"width={width}: duplicate pairs"
+        assert set(got) == naive, f"width={width}"

@@ -618,3 +618,11 @@ def test_balanced_shards_sorts_metadata_only(spark, sf_dir):
     w = re.search(r"\(\d+\) Window[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", plan)
     assert w is not None
     assert "text" not in w.group(1)
+
+
+def test_interval_overlap_is_equi_not_bnlj(spark, sf_dir):
+    """j20's interval-interval overlap joins on (bucket, suppkey) — the
+    raw two-sided inequality must never plan as a nested loop."""
+    plan = _plan(spark, sf_dir, "j20_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

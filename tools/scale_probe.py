@@ -85,6 +85,10 @@ PROBE = [
     "w18_mann_whitney_u",
     "l57_semantic_decontaminate",
     "s25_snapshot_retention",
+    "c30_scd2_dimension",
+    "l58_per_source_cap",
+    "l59_token_budget_mix",
+    "j20_interval_overlap",
 ]
 
 
