@@ -2170,3 +2170,202 @@ def c30_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_eff_cents"
         ),
     )
+
+
+@query(
+    "c31_hardy_weinberg",
+    sql="""
+    WITH geno AS (
+      SELECT l_partkey AS site, CAST(l_suppkey AS BIGINT) % 3 AS g
+      FROM lineitem
+    ),
+    cnt AS (
+      SELECT site,
+             CAST(count(*) FILTER (WHERE g = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE g = 2) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM geno GROUP BY site HAVING count(*) >= 8
+    ),
+    freq AS (
+      SELECT *, CAST(2 * n0 + n1 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS p
+      FROM cnt
+    )
+    SELECT site, n0, n1, n2,
+           CASE WHEN p > 0 AND p < 1 THEN
+             (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) * p * p)
+               * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) * p * p)
+               / (CAST(n AS DOUBLE) * p * p)
+             + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) * 2 * p * (1 - p))
+               * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) * 2 * p * (1 - p))
+               / (CAST(n AS DOUBLE) * 2 * p * (1 - p))
+             + (CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE) * (1 - p) * (1 - p))
+               * (CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE) * (1 - p) * (1 - p))
+               / (CAST(n AS DOUBLE) * (1 - p) * (1 - p))
+           END AS chi2,
+           CASE WHEN p > 0 AND p < 1 THEN
+             CASE WHEN (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) * p * p)
+               * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) * p * p)
+               / (CAST(n AS DOUBLE) * p * p)
+             + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) * 2 * p * (1 - p))
+               * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) * 2 * p * (1 - p))
+               / (CAST(n AS DOUBLE) * 2 * p * (1 - p))
+             + (CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE) * (1 - p) * (1 - p))
+               * (CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE) * (1 - p) * (1 - p))
+               / (CAST(n AS DOUBLE) * (1 - p) * (1 - p)) > 3.841 THEN TRUE
+             ELSE FALSE END
+           END AS out_of_hwe
+    FROM freq
+    """,
+    tags=("A1", "A12", "F3"),
+)
+def c31_hardy_weinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardy-Weinberg equilibrium chi-square per variant site [PK:
+    standard population-genetics QC; the reference pipeline's VCF-QC
+    analog] on the corpus analogy: l_partkey = site, l_suppkey%3 =
+    genotype class (hom-ref / het / hom-alt). Per site: genotype
+    counts, the 1-df chi-square against p²/2pq/q² expectations, and
+    the QC flag at the 0.05 critical value (3.841) — the filter that
+    removes genotyping artifacts before any downstream association.
+
+    Determinism: counts are integers; p and chi2 are single-row
+    arithmetic AFTER aggregation with identical IEEE expression shape
+    in both engines — bit-equal, no rounding needed (README
+    "Correctness model"). Monomorphic sites (p∈{0,1}) yield NULL chi2
+    by guard, never a division by zero.
+
+    Scale shape: one partial+final hash aggregation on site, then
+    map-side arithmetic — the cheapest possible plan family; at 100 TB
+    sites shard evenly (partkey is high-cardinality).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("site"),
+        (F.col("l_suppkey").cast("long") % 3).alias("g"),
+    )
+    cnt = (
+        li.groupBy("site")
+        .agg(
+            F.count(F.when(F.col("g") == 0, 1)).alias("n0"),
+            F.count(F.when(F.col("g") == 1, 1)).alias("n1"),
+            F.count(F.when(F.col("g") == 2, 1)).alias("n2"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    nd = F.col("n").cast("double")
+    p = (2 * F.col("n0") + F.col("n1")).cast("double") / (2 * F.col("n")).cast(
+        "double"
+    )
+    freq = cnt.withColumn("p", p)
+    pc, qc = F.col("p"), 1 - F.col("p")
+    e0, e1, e2 = nd * pc * pc, nd * 2 * pc * qc, nd * qc * qc
+    chi2 = (
+        (F.col("n0").cast("double") - e0) * (F.col("n0").cast("double") - e0) / e0
+        + (F.col("n1").cast("double") - e1)
+        * (F.col("n1").cast("double") - e1)
+        / e1
+        + (F.col("n2").cast("double") - e2)
+        * (F.col("n2").cast("double") - e2)
+        / e2
+    )
+    valid = (pc > 0) & (pc < 1)
+    return freq.select(
+        "site",
+        "n0",
+        "n1",
+        "n2",
+        F.when(valid, chi2).alias("chi2"),
+        F.when(valid, chi2 > 3.841).alias("out_of_hwe"),
+    )
+
+
+@query(
+    "c32_ld_r2",
+    sql="""
+    WITH gt AS (
+      SELECT l_partkey AS site, l_suppkey AS sample,
+             max(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS a
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pair AS (
+      SELECT x.site AS site_a, y.site AS site_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pa,
+             CAST(sum(y.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pb,
+             CAST(sum(x.a * y.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pab
+      FROM gt x JOIN gt y ON x.site + 1 = y.site AND x.sample = y.sample
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT site_a, site_b, n,
+           CASE WHEN pa > 0 AND pa < 1 AND pb > 0 AND pb < 1 THEN
+             (pab - pa * pb) * (pab - pa * pb)
+               / (pa * (1 - pa) * pb * (1 - pb))
+           END AS r2
+    FROM pair
+    """,
+    tags=("A1", "J1", "F3"),
+)
+def c32_ld_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise linkage disequilibrium r² between ADJACENT variant
+    sites [PK: PLINK's --r2; standard haplotype-block QC] on the
+    corpus analogy: site = l_partkey, sample = l_suppkey, allele =
+    1(qty > 25) collapsed per (site, sample). For each (site, site+1)
+    pair sharing ≥ 5 samples: r² = D²/(pA qA pB qB), D = pAB - pA·pB;
+    monomorphic pairs yield NULL by guard.
+
+    Determinism: allele frequencies are CAST(sum)/CAST(count) double
+    divisions of integers; r² is single-row arithmetic after the agg
+    with identical IEEE shape in both engines — bit-equal, unrounded
+    (same discipline as c31).
+
+    Scale shape: genotype collapse = one (site, sample) hash agg; the
+    adjacent-site pairing is an EQUI-join on (site+1, sample) — LD
+    against k neighbors is k such joins, never an all-pairs product;
+    everything shards on high-cardinality keys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    gt = (
+        li.select(
+            F.col("l_partkey").alias("site"),
+            F.col("l_suppkey").alias("sample"),
+            F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("site", "sample")
+        .agg(F.max("a").alias("a"))
+    )
+    x = gt.select(
+        F.col("site").alias("site_a"),
+        (F.col("site") + 1).alias("site_next"),
+        F.col("sample").alias("samp_x"),
+        F.col("a").alias("ax"),
+    )
+    y = gt.select(
+        F.col("site").alias("site_b"),
+        F.col("sample").alias("samp_y"),
+        F.col("a").alias("ay"),
+    )
+    nd = F.count("*").cast("double")
+    pair = (
+        x.join(
+            y,
+            (F.col("site_next") == F.col("site_b"))
+            & (F.col("samp_x") == F.col("samp_y")),
+        )
+        .groupBy("site_a", "site_b")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("ax").cast("double") / nd).alias("pa"),
+            (F.sum("ay").cast("double") / nd).alias("pb"),
+            (F.sum(F.col("ax") * F.col("ay")).cast("double") / nd).alias("pab"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    pa, pb, pab = F.col("pa"), F.col("pb"), F.col("pab")
+    poly = (pa > 0) & (pa < 1) & (pb > 0) & (pb < 1)
+    d = pab - pa * pb
+    return pair.select(
+        "site_a",
+        "site_b",
+        "n",
+        F.when(poly, d * d / (pa * (1 - pa) * pb * (1 - pb))).alias("r2"),
+    )
