@@ -89,6 +89,8 @@ PROBE = [
     "l58_per_source_cap",
     "l59_token_budget_mix",
     "j20_interval_overlap",
+    "c31_hardy_weinberg",
+    "c32_ld_r2",
 ]
 
 
