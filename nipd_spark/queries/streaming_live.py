@@ -1030,7 +1030,7 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.sha1(f"{sf_dir}|t18".encode()).hexdigest()[:10]
     table = f"/tmp/nipd_snapver_{tag}"
     chk = table + "_chk"
-    if (latest_version(table) or 0) < 4:
+    if (latest_version(table) or 0) != 4:  # self-heal any partial state
         shutil.rmtree(table, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
 

