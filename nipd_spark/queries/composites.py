@@ -2369,3 +2369,90 @@ def c32_ld_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(poly, d * d / (pa * (1 - pa) * pb * (1 - pb))).alias("r2"),
     )
+
+
+@query(
+    "c33_assoc_chi2",
+    sql="""
+    WITH obs AS (
+      SELECT l_partkey AS site,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_case,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS alt
+      FROM lineitem
+    ),
+    tab AS (
+      SELECT site,
+             CAST(count(*) FILTER (WHERE is_case = 1 AND alt = 1) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE is_case = 1 AND alt = 0) AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE is_case = 0 AND alt = 1) AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE is_case = 0 AND alt = 0) AS BIGINT) AS d
+      FROM obs GROUP BY site HAVING count(*) >= 10
+    )
+    SELECT site, a, b, c, d,
+           CASE WHEN (a + b) > 0 AND (c + d) > 0
+                 AND (a + c) > 0 AND (b + d) > 0 THEN
+             CAST(a + b + c + d AS DOUBLE)
+               * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+               * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+               / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                  * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+           END AS chi2
+    FROM tab
+    """,
+    tags=("A1", "A12", "F3"),
+)
+def c33_assoc_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/control allelic association chi-square per site — the GWAS
+    screen [PK: standard 2x2 contingency test; the reference pipeline's
+    association-analysis analog] on the corpus analogy: site =
+    l_partkey, case status = (l_returnflag = 'R'), allele =
+    1(qty > 25). chi² = N(ad-bc)² / ((a+b)(c+d)(a+c)(b+d)); degenerate
+    margins yield NULL by guard.
+
+    Determinism: the 2x2 cells are integer conditional counts (one hash
+    agg); chi² is single-row double arithmetic with identical IEEE
+    shape in both engines — bit-equal, unrounded (the c31/c32
+    discipline).
+
+    Scale shape: one partial+final agg on a high-cardinality key, then
+    map-side math — nothing else; a million-site panel shards evenly.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("site"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_case"),
+        (F.col("l_quantity") > 25).cast("int").alias("alt"),
+    )
+    tab = (
+        li.groupBy("site")
+        .agg(
+            F.count(F.when((F.col("is_case") == 1) & (F.col("alt") == 1), 1)).alias("a"),
+            F.count(F.when((F.col("is_case") == 1) & (F.col("alt") == 0), 1)).alias("b"),
+            F.count(F.when((F.col("is_case") == 0) & (F.col("alt") == 1), 1)).alias("c"),
+            F.count(F.when((F.col("is_case") == 0) & (F.col("alt") == 0), 1)).alias("d"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d").cast("double") - F.col(
+        "b"
+    ).cast("double") * F.col("c").cast("double")
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    ok = (
+        (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("a") + F.col("c") > 0)
+        & (F.col("b") + F.col("d") > 0)
+    )
+    chi2 = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+        "double"
+    ) * ad_bc * ad_bc / denom
+    return tab.select(
+        "site", "a", "b", "c", "d", F.when(ok, chi2).alias("chi2")
+    )

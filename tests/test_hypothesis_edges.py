@@ -388,3 +388,35 @@ def test_ld_r2_in_unit_interval_and_matches_reference(spark, sf_dir):
     for r in rows:
         if r.r2 is not None:
             assert -1e-12 <= r.r2 <= 1 + 1e-12
+
+
+def test_assoc_chi2_matches_contingency_reference(spark, sf_dir):
+    """c33's shortcut N(ad-bc)²/margins equals the textbook
+    Σ(obs-exp)²/exp over the four 2x2 cells (independent
+    factorization; scipy's chi2_contingency(correction=False) where
+    available)."""
+    import numpy as np
+
+    from nipd_spark.queries.composites import c33_assoc_chi2
+
+    rows = c33_assoc_chi2(spark, sf_dir).collect()
+    assert rows
+    checked = 0
+    for r in rows[:200]:
+        obs = np.array([[r.a, r.b], [r.c, r.d]], dtype=float)
+        n = obs.sum()
+        exp = np.outer(obs.sum(1), obs.sum(0)) / n
+        if (exp == 0).any():
+            assert r.chi2 is None
+            continue
+        ref = float(((obs - exp) ** 2 / exp).sum())
+        try:
+            from scipy.stats import chi2_contingency
+
+            ref_scipy = chi2_contingency(obs, correction=False)[0]
+            assert abs(ref - ref_scipy) < 1e-9 * max(1.0, ref)
+        except ImportError:
+            pass
+        assert abs(r.chi2 - ref) < 1e-9 * max(1.0, ref)
+        checked += 1
+    assert checked > 0
