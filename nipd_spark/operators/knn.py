@@ -250,6 +250,7 @@ def threshold_pairs_gemm(
     tau: float,
     margin: float = 1e-6,
     max_broadcast_mb: int = _DEFAULT_BLOCK_MB,
+    upper_only: bool = False,
 ) -> DataFrame:
     """All (base, probe) pairs with cosine ≥ tau — the similarity
     THRESHOLD join (vs top-k above). Returns (a_id, b_id, approx) with
@@ -263,6 +264,10 @@ def threshold_pairs_gemm(
     boundary is screened out). Output volume is the true hit count —
     for decontamination/near-dup thresholds that is output-bounded, not
     O(|base|·|probes|).
+
+    ``upper_only=True`` keeps only a_id < b_id inside the GEMM mask —
+    the self-join (base is probes) near-dup case, where each unordered
+    pair must appear once.
     """
     spark = base.sparkSession
     bsrc = base.select("vec_id", "embedding")
@@ -276,7 +281,9 @@ def threshold_pairs_gemm(
     for p_ids_np, Pn_np in _broadcast_blocks(psrc, n_p, rows_cap):
         bc = spark.sparkContext.broadcast((p_ids_np, Pn_np))
 
-        def block(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
+        def block(
+            batches: Iterator[pd.DataFrame], _bc=bc, _upper=upper_only
+        ) -> Iterator[pd.DataFrame]:
             p_ids, Pn = _bc.value
             for p in batches:
                 if not len(p):
@@ -285,7 +292,10 @@ def threshold_pairs_gemm(
                 An = A / np.linalg.norm(A, axis=1, keepdims=True)
                 a_ids = p["vec_id"].to_numpy()
                 S = An @ Pn.T  # (rows, n_probe_block)
-                r, c = np.nonzero(S >= cut)
+                keep = S >= cut
+                if _upper:
+                    keep &= a_ids[:, None] < p_ids[None, :]
+                r, c = np.nonzero(keep)
                 if not len(r):
                     continue
                 yield pd.DataFrame(

@@ -89,6 +89,13 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # e feeds deg, o and ecnt, and o feeds three wedge-join legs;
+        # column pruning specializes each consumer's subtree so
+        # ReusedExchange never fires and the co-purchase self-join would
+        # recompute ~6x (measured: 20 s at sf0.1). Materialize once on
+        # executors (components.py's per-round discipline) — at 100 TB
+        # this is the standard cut for any multi-consumer subplan.
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -108,6 +115,7 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(first_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(first_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .localCheckpoint(eager=True)  # three wedge-join consumers
     )
     o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     o2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))

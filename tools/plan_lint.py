@@ -51,9 +51,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "l56_ivf_persisted": {
         "bnlj": "broadcast side = persisted C-centroid index"
     },
-    "l14_embedding_neardup": {
-        "bnlj": "broadcast side = per-label centroid table (label domain)"
-    },
     "l38_hard_negatives": {
         "bnlj": "broadcast side = the bounded query/anchor set"
     },
