@@ -1113,3 +1113,67 @@ def a30_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tdigest.tdigest_quantiles(
         li, "l_extendedprice", [0.5, 0.9, 0.99, 0.999]
     ).select("q", "est", "n_centroids")
+
+
+@query(
+    "a31_weighted_median",
+    sql="""
+    WITH w AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS wt,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_quantity, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(CASE WHEN 2 * cw >= total THEN l_quantity END)
+             AS weighted_median_qty,
+           CAST(max(total) AS BIGINT) AS total_weight_cents
+    FROM w GROUP BY l_returnflag
+    """,
+    tags=("A9", "W3"),
+)
+def a31_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (lower weighted median: smallest value whose
+    cumulative weight reaches half the total) of quantity weighted by
+    revenue — the survey-statistics aggregate neither engine ships
+    natively, built from a deterministic window cumsum. Weights are
+    integer cents, so the cumsum, the total and the 2·cw >= total
+    threshold are EXACT integer arithmetic in both engines — no float
+    ordering hazard anywhere (the repo's quantization discipline).
+    The cumsum order carries a unique tiebreak (qty, orderkey,
+    linenumber) so both engines walk the identical prefix.
+
+    Scale shape: one window per group key + one hash agg — same cost
+    family as W3; no sort is global (partitions = group key).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wt = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        wt.alias("wt"),
+    ).select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("wt").over(wrun).alias("cw"),
+        F.sum("wt").over(wall).alias("total"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("total"), F.col("l_quantity"))
+        ).alias("weighted_median_qty"),
+        F.max("total").alias("total_weight_cents"),
+    )
