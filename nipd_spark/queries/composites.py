@@ -2456,3 +2456,119 @@ def c33_assoc_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tab.select(
         "site", "a", "b", "c", "d", F.when(ok, chi2).alias("chi2")
     )
+
+
+@query(
+    "c34_kaplan_meier",
+    sql=f"""
+    WITH base AS (
+      SELECT o.o_orderpriority AS grp,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS t,
+             CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS ev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    at_t AS (
+      SELECT grp, t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM base GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT grp, t, d,
+             sum(m) OVER (PARTITION BY grp)
+               - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM at_t
+    ),
+    km AS (
+      SELECT grp, t, d, n_risk,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER cum AS dead,
+             exp(sum(ln(CASE WHEN d < n_risk THEN
+                   1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                 ELSE 1 END)) OVER cum) AS s
+      FROM risk
+      WINDOW cum AS (PARTITION BY grp ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT grp, t, n_risk, d,
+           {dround("CASE WHEN dead = 1 THEN 0.0 ELSE s END", 6)} AS survival
+    FROM km WHERE d > 0
+    """,
+    tags=("A1", "W3", "J1", "F3"),
+)
+def c34_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves per stratum [PK: the standard
+    censored time-to-event estimator; the reference domain's outcome
+    analysis] on the corpus analogy: duration = order-to-ship days,
+    event = shipped-and-kept (returnflag != 'R' — returns are
+    censored), stratum = o_orderpriority. Per event time: the risk set
+    n(t) (total minus prior exits, a window cumsum), d(t), and
+    S(t) = Π (1 - d/n) as a cumulative log-sum-exp product. If a time
+    exhausts the risk set (d = n), survival pins to 0 from there on
+    (cummax flag) — never a ln(0).
+
+    Determinism: counts and risk sets are exact integers; the one
+    order-dependent float chain (cum sum of ln) runs over the same
+    t-ordered prefix in both engines, and the output is rounded 6dp
+    per the repo's dround discipline for transcendental chains.
+
+    Scale shape: one equi-join (fact-fact on orderkey), one hash agg
+    on (stratum, t), two windows partitioned by stratum — nothing
+    global; strata shard independently.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("t"),
+            (F.col("l_returnflag") != "R").cast("int").alias("ev"),
+        )
+    )
+    at_t = base.groupBy("grp", "t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("m")
+    )
+    wall = Window.partitionBy("grp")
+    wprev = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = at_t.select(
+        "grp",
+        "t",
+        "d",
+        (
+            F.sum("m").over(wall)
+            - F.coalesce(F.sum("m").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = F.when(
+        F.col("d") < F.col("n_risk"),
+        1 - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+    ).otherwise(F.lit(1.0))
+    km = risk.select(
+        "grp",
+        "t",
+        "d",
+        "n_risk",
+        F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(cum).alias("dead"),
+        F.exp(F.sum(F.log(factor)).over(cum)).alias("s"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        "grp",
+        "t",
+        "n_risk",
+        "d",
+        F.round(
+            F.when(F.col("dead") == 1, 0.0).otherwise(F.col("s")), 6
+        ).alias("survival"),
+    )

@@ -1003,3 +1003,64 @@ def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("s") > F.col("h"), F.col("ts"))).alias("first_alarm"),
         (F.max("s").cast("double") / 1e6).alias("max_cusum"),
     )
+
+
+@query(
+    "w21_ewma",
+    sql=f"""
+    WITH s AS (
+      SELECT user_id, event_id, {ts_us()} AS ts, value,
+             lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+             lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
+             lag(value, 5) OVER w AS v5, lag(value, 6) OVER w AS v6,
+             lag(value, 7) OVER w AS v7
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    )
+    SELECT user_id, event_id,
+           (value
+            + coalesce(v1, 0) * 0.5 + coalesce(v2, 0) * 0.25
+            + coalesce(v3, 0) * 0.125 + coalesce(v4, 0) * 0.0625
+            + coalesce(v5, 0) * 0.03125 + coalesce(v6, 0) * 0.015625
+            + coalesce(v7, 0) * 0.0078125)
+           / (1.0
+              + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+              + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+              + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END
+              + CASE WHEN v4 IS NULL THEN 0 ELSE 0.0625 END
+              + CASE WHEN v5 IS NULL THEN 0 ELSE 0.03125 END
+              + CASE WHEN v6 IS NULL THEN 0 ELSE 0.015625 END
+              + CASE WHEN v7 IS NULL THEN 0 ELSE 0.0078125 END)
+             AS ewma
+    FROM s
+    """,
+    tags=("W2", "W4", "F3"),
+)
+def w21_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2, 8-tap) per user
+    over the event stream — the time-series smoother W4's uniform
+    window can't express. Spelled as 7 explicit lags with dyadic
+    weights (2⁻ᵏ is EXACT in binary floating point, and the 8-term sum
+    is a fixed expression tree evaluated identically by both engines)
+    — so the result is bit-equal cross-engine with NO rounding, unlike
+    a pow()-based spelling whose libm could differ in the last ulp.
+    Ramp-in renormalizes over the weights actually present.
+
+    Scale shape: one window (shuffle on user_id + in-partition sort)
+    computing 7 lags — identical cost to a single lag; everything else
+    is map-side arithmetic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = {k: F.lag("value", k).over(w) for k in range(1, 8)}
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", *[
+            lags[k].alias(f"v{k}") for k in range(1, 8)
+        ]
+    )
+    num = F.col("value")
+    den = F.lit(1.0)
+    for k in range(1, 8):
+        wk = 2.0 ** -k
+        num = num + F.coalesce(F.col(f"v{k}"), F.lit(0.0)) * wk
+        den = den + F.when(F.col(f"v{k}").isNull(), 0.0).otherwise(wk)
+    return ev.select("user_id", "event_id", (num / den).alias("ewma"))
