@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from nipd_spark.catalog import load
 from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
-from nipd_spark.streaming.harness import events_stream, run_to_completion
+from nipd_spark.streaming.harness import (
+    events_stream,
+    run_to_completion,
+    start_pinned,
+)
 
 
 @query(
@@ -344,12 +348,12 @@ def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("event_type") == "purchase")
             .select("event_id", "user_id", "ts", "value")
         )
-        q = (
+        q = start_pinned(
             stream.writeStream.outputMode("append")
             .format("parquet")
             .option("path", out)
             .option("checkpointLocation", chk)
-            .start()
+
         )
         try:
             q.processAllAvailable()
@@ -437,11 +441,11 @@ def t10_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             shutil.rmtree(cur, ignore_errors=True)
             os.rename(nxt, cur)
 
-        q = (
+        q = start_pinned(
             events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
             .writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", chk)
-            .start()
+
         )
         try:
             q.processAllAvailable()
@@ -611,13 +615,13 @@ def t12_incremental_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("value") > 100)
             .select("event_id", "event_type", "value")
         )
-        q = (
+        q = start_pinned(
             stream.writeStream.outputMode("append")
             .format("parquet")
             .option("path", out)
             .option("checkpointLocation", chk)
             .trigger(availableNow=True)
-            .start()
+
         )
         q.awaitTermination()  # AvailableNow self-terminates when drained
 
@@ -692,12 +696,12 @@ def t13_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("value"), 4).alias("total_value"),
             )
         )
-        q = (
+        q = start_pinned(
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", chk)
-            .start()
+
         )
         try:
             q.processAllAvailable()
@@ -851,11 +855,11 @@ def t15_stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df.unpersist()
 
         stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
-        q = (
+        q = start_pinned(
             stream.filter(F.col("value") > 50)
             .writeStream.foreachBatch(fan_out)
             .option("checkpointLocation", chk)
-            .start()
+
         )
         try:
             q.processAllAvailable()
@@ -917,11 +921,11 @@ def t16_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("value"), 4).alias("total_value"),
             )
         )
-        q = (
+        q = start_pinned(
             agg.writeStream.outputMode("update")
             .foreachBatch(capture)
             .option("checkpointLocation", chk)
-            .start()
+
         )
         try:
             q.processAllAvailable()
@@ -1062,11 +1066,11 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             write_snapshot(part, table)
 
-        q = (
+        q = start_pinned(
             events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
             .writeStream.foreachBatch(commit_batch)
             .option("checkpointLocation", chk)
-            .start()
+
         )
         try:
             q.processAllAvailable()

@@ -19,10 +19,33 @@ State stores default to HDFS-backed here; RocksDB
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Streaming state-store partition count. This is a DELIBERATE, profile-
+# independent choice: the count is captured at a stateful query's first
+# micro-batch (and persisted in its checkpoint), so inheriting whatever
+# batch-oriented spark.sql.shuffle.partitions happens to be set (2000
+# under SPARK_GRAFT_PROFILE=scale) silently builds 2000 state stores and
+# 2000 tasks per micro-batch — measured 49 s vs 3 s for t4 at sf0.001.
+# Real deployments size this to keyed-state volume, not scan width.
+STATE_PARTITIONS = 32
+
+
+@contextmanager
+def pinned_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Temporarily pin spark.sql.shuffle.partitions while a streaming
+    query starts and drains, so state partitioning never inherits the
+    batch profile's shuffle width (see STATE_PARTITIONS note)."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 def _events_raw_schema(ts_is_ns: bool) -> T.StructType:
     return T.StructType(
@@ -98,21 +121,31 @@ def events_stream(
     return raw
 
 
+def start_pinned(writer):
+    """start() a DataStreamWriter under pinned_state_partitions — the
+    streaming query clones the session conf AT START, so wrapping only
+    the start call pins every micro-batch's state partitioning."""
+    spark = SparkSession.getActiveSession()
+    with pinned_state_partitions(spark):
+        return writer.start()
+
+
 def run_to_completion(
     streaming_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming aggregation until the source drains; return the
     materialized result table (S8 memory sink)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     spark = streaming_df.sparkSession
+    with pinned_state_partitions(spark):
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)

@@ -91,6 +91,11 @@ PROBE = [
     "j20_interval_overlap",
     "c31_hardy_weinberg",
     "c32_ld_r2",
+    "c33_assoc_chi2",
+    "c34_kaplan_meier",
+    "a31_weighted_median",
+    "w21_ewma",
+    "l14_embedding_neardup",
 ]
 
 
