@@ -316,6 +316,59 @@ def threshold_pairs_gemm(
     return out
 
 
+def neardup_pairs_cosine(emb: DataFrame, tau: float) -> DataFrame:
+    """All a_id < b_id pairs with cosine ≥ tau, scaled for
+    duplication-heavy corpora: byte-identical embeddings collapse to a
+    representative (groupBy the array itself), the GEMM screen +
+    bit-exact rescore run once per DISTINCT content pair, and verdicts
+    fan back out by membership — cross-content copies inherit the reps'
+    cosine (identical bytes ⇒ identical arithmetic ⇒ identical double);
+    same-content pairs get the computed self-cosine, exactly what a
+    naive scan computes for two bit-equal vectors. Cost scales with
+    distinct content + true output size (l26/l46's cascade pattern).
+    """
+    from nipd_spark.operators import vector
+
+    groups = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.collect_list("vec_id").alias("members"),
+    )
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    screened = threshold_pairs_gemm(reps, reps, tau=tau, upper_only=True)
+    rep_pairs = _rescore(reps, screened.select("a_id", "b_id")).filter(
+        F.col("cosine") >= tau
+    )
+    ma = groups.select(
+        F.col("rep_id").alias("a_id"), F.col("members").alias("mem_a")
+    )
+    mb = groups.select(
+        F.col("rep_id").alias("b_id"), F.col("members").alias("mem_b")
+    )
+    cross = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(F.explode("mem_a").alias("x"), "mem_b", "cosine")
+        .select("x", F.explode("mem_b").alias("y"), "cosine")
+        .select(
+            F.least("x", "y").alias("a_id"),
+            F.greatest("x", "y").alias("b_id"),
+            "cosine",
+        )
+    )
+    nrm = vector.l2_norm(F.col("embedding"))
+    self_cos = vector.cosine(F.col("embedding"), F.col("embedding"), nrm, nrm)
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(self_cos.alias("cosine"), "members")
+        .filter(F.col("cosine") >= tau)
+        .select(F.explode("members").alias("x"), "members", "cosine")
+        .select("x", F.explode("members").alias("y"), "cosine")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a_id"), F.col("y").alias("b_id"), "cosine")
+    )
+    return cross.unionByName(intra)
+
+
 def rescore_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """Public bit-exact rescore: (a_id, b_id) → (a_id, b_id, cosine),
     sequential zip_with arithmetic (== the DuckDB oracle's list math)."""

@@ -141,16 +141,22 @@ def l14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin (the knn.py selection-vs-reporting split), while
     the interpreted all-pairs HOF scan this replaces cost ~70× more at
     sf0.1 (25 s → <1 s). The oracle remains the naive inequality join.
+
+    Duplication-heavy corpora (the 16× probe replica duplicates every
+    vector 16-fold, so near-dup PAIRS grow 256-fold) get the l26/l46
+    representative cascade: byte-identical embeddings collapse to one
+    representative (groupBy the array itself), screening + rescoring
+    run once per DISTINCT content pair, and the verdict fans back out
+    by membership — cross-content pairs inherit the reps' cosine
+    (identical bytes ⇒ identical arithmetic ⇒ identical double), and
+    same-content pairs get the computed self-cosine, which is exactly
+    what the naive join computes for two bit-equal vectors. Cost
+    scales with distinct content + true output size.
     """
     from nipd_spark.operators import knn
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    screened = knn.threshold_pairs_gemm(e, e, tau=0.4, upper_only=True)
-    return (
-        knn.rescore_pairs(e, screened.select("a_id", "b_id"))
-        .filter(F.col("cosine") >= 0.4)
-        .select("a_id", "b_id", "cosine")
-    )
+    return knn.neardup_pairs_cosine(e, tau=0.4)
 
 
 @query(

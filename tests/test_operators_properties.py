@@ -1203,3 +1203,47 @@ def test_interval_overlap_join_equals_naive(spark, sf_dir):
         ]
         assert len(got) == len(set(got)), f"width={width}: duplicate pairs"
         assert set(got) == naive, f"width={width}"
+
+
+def test_l14_representative_cascade_equals_naive_on_duplicated_corpus(
+    spark, sf_dir
+):
+    """l14's byte-identical collapse + fan-out equals the naive all-pairs
+    scan on a corpus where every embedding has an exact copy (the
+    duplication-adversarial case the cascade exists for), including the
+    same-content pairs carrying the computed self-cosine."""
+    from nipd_spark.queries.dedup import l14_embedding_neardup
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(150)
+    dup = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dup)
+    nrm = vector.l2_norm(F.col("embedding"))
+    an = corpus.select("vec_id", "embedding", nrm.alias("nrm")).alias("a")
+    bn = corpus.select("vec_id", "embedding", nrm.alias("nrm")).alias("b")
+    cos = vector.cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    naive = {
+        (r.a_id, r.b_id): r.cosine
+        for r in an.join(bn, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .collect()
+    }
+
+    from nipd_spark.operators import knn
+
+    got = {
+        (r.a_id, r.b_id): r.cosine
+        for r in knn.neardup_pairs_cosine(corpus, tau=0.4).collect()
+    }
+    assert got == naive
+    assert len(naive) > len(
+        {k for k in naive if k[0] < 1_000_000 and k[1] < 1_000_000}
+    )  # duplicate-induced pairs exist — the intra path is exercised
