@@ -420,3 +420,63 @@ def test_assoc_chi2_matches_contingency_reference(spark, sf_dir):
         assert abs(r.chi2 - ref) < 1e-9 * max(1.0, ref)
         checked += 1
     assert checked > 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # group
+            st.integers(min_value=0, max_value=9),  # value
+            st.integers(min_value=1, max_value=50),  # weight (cents)
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_python_reference(spark, rows):
+    """a31's window-cumsum lower weighted median equals the direct
+    definition (smallest value whose cumulative weight, in value order,
+    reaches half the total) on randomized micro-groups with ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(g, v, w, i) for i, (g, v, w) in enumerate(rows)],
+        "g int, v int, wt long, rid long",
+    )
+    wrun = Window.partitionBy("g").orderBy("v", "rid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("g")
+    got = {
+        r.g: r.wm
+        for r in df.select(
+            "g",
+            "v",
+            F.sum("wt").over(wrun).alias("cw"),
+            F.sum("wt").over(wall).alias("total"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("v"))).alias(
+                "wm"
+            )
+        )
+        .collect()
+    }
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for i, (g, v, w) in enumerate(rows):
+        by_g[g].append((v, i, w))
+    for g, items in by_g.items():
+        total = sum(w for _, _, w in items)
+        cum = 0
+        ref = None
+        for v, _, w in sorted(items):
+            cum += w
+            if 2 * cum >= total:
+                ref = v
+                break
+        assert got[g] == ref, (g, got[g], ref, items)
