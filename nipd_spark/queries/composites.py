@@ -2475,10 +2475,10 @@ def c33_assoc_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
       SELECT grp, t, d,
-             sum(m) OVER (PARTITION BY grp)
+             CAST(sum(m) OVER (PARTITION BY grp)
                - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS n_risk
+               AS BIGINT) AS n_risk
       FROM at_t
     ),
     km AS (
