@@ -530,3 +530,100 @@ def dq8_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof(o, "o_custkey", "orders.o_custkey"))
         .orderBy("key_name")
     )
+
+
+@query(
+    "dq9_control_chart",
+    sql=f"""
+    WITH series AS (
+      SELECT event_type,
+             epoch_us({ts_us()}) // 3600000000 AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, bucket, c,
+             CAST(sum(c) OVER win AS BIGINT) AS s,
+             CAST(sum(c * c) OVER win AS BIGINT) AS q,
+             CAST(count(*) OVER win AS BIGINT) AS n
+      FROM series
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, c, s, q, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+      FROM w WHERE n >= 12
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(count(*) FILTER (WHERE var > 0 AND
+             abs(CAST(c AS DOUBLE) - mean) > 3 * sqrt(var)) AS BIGINT)
+             AS n_anomalies
+    FROM scored GROUP BY event_type
+    """,
+    tags=("W4", "A10", "T1"),
+)
+def dq9_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart-style 3σ control chart over the hourly revenue series
+    per event type — the data-quality anomaly screen a pipeline runs on
+    its own output metrics. The rolling baseline (prior 24 buckets,
+    ≥ 12 required) is computed from INTEGER cents sums (Σc, Σc²), so
+    mean and variance come from the closed form on exact integers —
+    every double in the chain has identical IEEE expression shape in
+    both engines, and the 3σ comparison is bit-deterministic with NO
+    rounding anywhere (stronger than dround: nothing to round).
+
+    Scale shape: one hash agg onto (type, hour) — cardinality
+    types x hours regardless of event volume — then a window over that
+    tiny series and a final agg. The expensive part is the first agg,
+    which is the same partial+final shape as T1.
+    """
+    hour_us = 3_600_000_000
+    us = F.unix_micros("ts")
+    series = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (us / hour_us).cast("long").alias("bucket"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cents").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-24, -1)
+    )
+    w = series.select(
+        "event_type",
+        "c",
+        F.sum("c").over(win).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("q"),
+        F.count("c").over(win).alias("n"),
+    ).filter(F.col("n") >= 12)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    scored = w.select(
+        "event_type",
+        "c",
+        mean.alias("mean"),
+        var.alias("var"),
+    )
+    anom = (F.col("var") > 0) & (
+        F.abs(F.col("c").cast("double") - F.col("mean"))
+        > 3 * F.sqrt(F.col("var"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_eval"),
+        F.count(F.when(anom, 1)).alias("n_anomalies"),
+    )
