@@ -2186,3 +2186,111 @@ def l59_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overshoot"),
         )
     )
+
+
+@query(
+    "l60_unimax_allocation",
+    sql="""
+    WITH sizes AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    caps AS (
+      SELECT source, n_tok,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 0.5 ELSE 0.25 END * CAST(n_tok AS DOUBLE) AS cap
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tok) AS DOUBLE) * 3 / 10 AS budget,
+             CAST(count(*) AS BIGINT) AS n_lang
+      FROM caps
+    ),
+    ranked AS (
+      SELECT source, n_tok, cap,
+             row_number() OVER (ORDER BY cap, source) AS rn,
+             coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS p_prev,
+             lag(cap) OVER (ORDER BY cap, source) AS c_prev
+      FROM caps
+    ),
+    cand AS (
+      SELECT (tot.budget - r.p_prev) / (tot.n_lang - r.rn + 1) AS th
+      FROM ranked r, tot
+      WHERE (r.rn = 1 OR r.c_prev <=
+               (tot.budget - r.p_prev) / (tot.n_lang - r.rn + 1))
+        AND (tot.budget - r.p_prev) / (tot.n_lang - r.rn + 1) < r.cap
+    ),
+    theta AS (SELECT coalesce(min(th), 1e308) AS th FROM cand)
+    SELECT c.source, c.n_tok, c.cap,
+           least(c.cap, t.th) AS alloc,
+           c.cap <= t.th AS capped
+    FROM caps c, theta t
+    """,
+    tags=("L9", "W3", "A2"),
+)
+def l60_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style budget allocation [PK: Chung et al., "UniMax:
+    Fairer and More Effective Language Sampling", ICLR 2023]: given a
+    token budget (30% of the corpus) and per-source epoch caps
+    (0.25x/0.5x the source's tokens — the low/high-resource split), the
+    waterfilling threshold θ solves Σ min(cap_i, θ) = B, giving every
+    small source its full cap and splitting the rest evenly. θ has the
+    closed sorted-prefix form: for the unique rank k where the k
+    smallest caps lie below water, θ = (B - Σ_{i≤k} cap_i)/(L - k) —
+    found here with ONE window cumsum + lag and a 1-row broadcast back,
+    no iteration, no driver loop.
+
+    Determinism: token counts are integers; caps are dyadic multiples
+    (0.25/0.5 — exact in binary); the prefix cumsum runs in a total
+    order (cap, source) identical in both engines, so θ and every
+    allocation are bit-equal with no rounding.
+
+    Scale shape: sizing is one hash agg on source; everything after
+    operates on the L-row language table (broadcast-trivial at any
+    corpus size — L is languages/domains, not documents).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tok")
+    )
+    mult = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 0.5
+    ).otherwise(0.25)
+    caps = sizes.select(
+        "source", "n_tok", (mult * F.col("n_tok").cast("double")).alias("cap")
+    )
+    tot = caps.agg(
+        (F.sum("n_tok").cast("double") * 3 / 10).alias("budget"),
+        F.count("*").alias("n_lang"),
+    )
+    w = Window.orderBy("cap", "source")
+    ranked = (
+        caps.select(
+            "source",
+            "cap",
+            F.row_number().over(w).alias("rn"),
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ).alias("p_prev"),
+            F.lag("cap").over(w).alias("c_prev"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    th = (F.col("budget") - F.col("p_prev")) / (
+        F.col("n_lang") - F.col("rn") + 1
+    )
+    cand = ranked.filter(
+        ((F.col("rn") == 1) | (F.col("c_prev") <= th)) & (th < F.col("cap"))
+    ).select(th.alias("th"))
+    theta = cand.agg(F.coalesce(F.min("th"), F.lit(1e308)).alias("th"))
+    return caps.crossJoin(F.broadcast(theta)).select(
+        "source",
+        "n_tok",
+        "cap",
+        F.least(F.col("cap"), F.col("th")).alias("alloc"),
+        (F.col("cap") <= F.col("th")).alias("capped"),
+    )
