@@ -96,6 +96,8 @@ PROBE = [
     "a31_weighted_median",
     "w21_ewma",
     "l14_embedding_neardup",
+    "dq9_control_chart",
+    "l60_unimax_allocation",
 ]
 
 
