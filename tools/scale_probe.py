@@ -98,6 +98,7 @@ PROBE = [
     "l14_embedding_neardup",
     "dq9_control_chart",
     "l60_unimax_allocation",
+    "c35_association_rules",
 ]
 
 
