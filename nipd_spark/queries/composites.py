@@ -2572,92 +2572,3 @@ def c34_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dead") == 1, 0.0).otherwise(F.col("s")), 6
         ).alias("survival"),
     )
-
-
-@query(
-    "c35_association_rules",
-    sql="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
-    item AS (
-      SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM op GROUP BY 1
-    ),
-    pair AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-             CAST(count(*) AS BIGINT) AS s_ab
-      FROM op a JOIN op b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 3
-    )
-    SELECT p.pa, p.pb, p.s_ab,
-           ia.s AS s_a, ib.s AS s_b,
-           CAST(p.s_ab AS DOUBLE) / CAST(ia.s AS DOUBLE) AS conf_a_to_b,
-           CAST(p.s_ab AS DOUBLE) / CAST(ib.s AS DOUBLE) AS conf_b_to_a,
-           CAST(p.s_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
-             / (CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)) AS lift
-    FROM pair p
-    JOIN item ia ON p.pa = ia.l_partkey
-    JOIN item ib ON p.pb = ib.l_partkey, nb
-    """,
-    tags=("J11", "A1", "F3"),
-)
-def c35_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules over part co-purchases [PK:
-    Agrawal-Srikant support/confidence/lift — the classic pairwise
-    case]: item supports, pair supports (min support 3 orders), both
-    rule confidences and lift. All counts are exact integers from two
-    hash aggs; confidences/lift are same-shape double divisions —
-    bit-equal cross-engine, unrounded.
-
-    Scale shape: the pair census is the basket self-equi-join on
-    orderkey (quadratic only in BASKET size, ~items-per-order², never
-    corpus size), then hash aggs + two broadcast-sized item joins + a
-    1-row total. The min-support HAVING keeps output to the rule head,
-    and at 100 TB the standard a-priori pruning (drop items below
-    support first) composes in front of the same plan.
-    """
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    nb = op.agg(F.countDistinct("l_orderkey").alias("n"))
-    item = op.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    a, b = op.alias("a"), op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("s_ab"))
-        .filter(F.col("s_ab") >= 3)
-    )
-    ia = item.select(F.col("l_partkey").alias("pa"), F.col("s").alias("s_a"))
-    ib = item.select(F.col("l_partkey").alias("pb"), F.col("s").alias("s_b"))
-    return (
-        pair.join(ia, "pa")
-        .join(ib, "pb")
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "pa",
-            "pb",
-            "s_ab",
-            "s_a",
-            "s_b",
-            (F.col("s_ab").cast("double") / F.col("s_a").cast("double")).alias(
-                "conf_a_to_b"
-            ),
-            (F.col("s_ab").cast("double") / F.col("s_b").cast("double")).alias(
-                "conf_b_to_a"
-            ),
-            (
-                F.col("s_ab").cast("double")
-                * F.col("n").cast("double")
-                / (F.col("s_a").cast("double") * F.col("s_b").cast("double"))
-            ).alias("lift"),
-        )
-    )

@@ -98,7 +98,6 @@ PROBE = [
     "l14_embedding_neardup",
     "dq9_control_chart",
     "l60_unimax_allocation",
-    "c35_association_rules",
 ]
 
 
