@@ -34,6 +34,7 @@ def merge_into(
     on: list[str],
     when_matched: dict[str, Column] | str | None = None,
     when_not_matched: dict[str, Column] | None = None,
+    check_cardinality: bool = True,
 ) -> DataFrame:
     """MERGE source INTO target ON the equi-key columns ``on``.
 
@@ -46,12 +47,29 @@ def merge_into(
     nothing.
 
     Cardinality rule (standard MERGE): ``source`` must be unique on
-    ``on`` — a target row matched by k source rows would be emitted k
-    times by the update leg exactly as ANSI MERGE would raise; callers
-    pre-aggregate the source (see s21_merge_into).
+    ``on``. With ``check_cardinality`` (the default) the update leg
+    carries an in-plan runtime guard — a per-key count window over the
+    source plus ``assert_true`` — that raises at execution time when a
+    target row is matched by k>1 source rows, mirroring Delta's
+    "multiple source rows matched" error instead of silently emitting
+    the row k times. The guard is lazy (no extra action) and costs one
+    extra shuffle of the SOURCE on the merge keys — source is the small
+    side of a MERGE by construction; pass ``check_cardinality=False``
+    for pre-deduplicated sources on hot paths (see s21_merge_into).
     Keys compare null-safely (``eqNullSafe``), so a NULL key matches a
     NULL key — document per call-site if SQL-NULL semantics are wanted.
     """
+    guarded = (
+        check_cardinality
+        and isinstance(when_matched, dict)
+    )
+    if guarded:
+        from pyspark.sql import Window
+
+        source = source.withColumn(
+            "__merge_n",
+            F.count(F.lit(1)).over(Window.partitionBy(*on)),
+        )
     t, s = target.alias("t"), source.alias("s")
     cond = reduce(
         lambda a, b: a & b,
@@ -69,7 +87,23 @@ def merge_into(
                 ).alias(c)
                 for c in out_cols
             ]
-            parts.append(t.join(s, cond, "inner").select(*assigned))
+            upd = t.join(s, cond, "inner")
+            if guarded:
+                # assert_true yields NULL when the predicate holds and
+                # raises otherwise; filtering on isNull keeps every
+                # legal row while forcing the guard to evaluate (it
+                # cannot be pruned away like an unused column would be).
+                upd = upd.filter(
+                    F.assert_true(
+                        F.col("s.__merge_n") <= 1,
+                        F.lit(
+                            "MERGE cardinality violation: multiple "
+                            "source rows matched a target row on "
+                            + ",".join(on)
+                        ),
+                    ).isNull()
+                )
+            parts.append(upd.select(*assigned))
     if when_not_matched is not None:
         types = {f.name: f.dataType for f in target.schema.fields}
         inserted = [

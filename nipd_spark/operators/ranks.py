@@ -22,7 +22,11 @@ same cost as the global window, no worse.
 
 The major key must be numeric (int/long/double/date-as-long); callers
 order by (key asc|desc, *tiebreaks asc) — the same contract as the
-Window they replace.
+Window they replace. NULL keys are routed explicitly to a dedicated
+extreme bucket matching Spark's Window NULL ordering (asc → NULLS
+FIRST → bucket -1; desc → NULLS LAST → bucket n_buckets), so the
+result stays bit-identical to the Window form on nullable keys —
+F.least alone would silently rank NULLs last under asc.
 """
 
 from __future__ import annotations
@@ -49,6 +53,11 @@ def _with_bucket(
         )
     )
     idx = asc_idx if ascending else (F.lit(n_buckets - 1) - asc_idx)
+    # NULL keys: Window.orderBy(asc) puts NULLS FIRST, desc NULLS LAST —
+    # route them to a dedicated extreme bucket so ranks match bit-for-bit
+    # (min/max ignore NULLs, so __lo/__hi stay correct for the rest).
+    null_bucket = F.lit(-1) if ascending else F.lit(n_buckets)
+    idx = F.when(F.col(key).isNull(), null_bucket).otherwise(idx)
     return (
         df.join(F.broadcast(rng))
         .withColumn(BUCKET, idx)

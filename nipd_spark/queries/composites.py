@@ -2138,7 +2138,10 @@ def c30_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_acctbal") + 100 * (F.col("dim_version") - 1)).alias(
             "bal_eff"
         ),
-        F.when(F.col("dim_version") == 1, F.lit("1994-01-01").cast("timestamp"))
+        # Version 1 is the "since forever" row: a true -infinity sentinel
+        # (0001-01-01), matching the oracle's unconditional ELSE 1 branch
+        # for ANY earlier shipdate — not just the current fixtures' range.
+        F.when(F.col("dim_version") == 1, F.lit("0001-01-01").cast("timestamp"))
         .otherwise(
             F.date_add(
                 F.when(F.col("dim_version") == 2, F.lit("1996-01-01"))

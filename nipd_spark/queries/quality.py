@@ -587,7 +587,9 @@ def dq9_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .select(
             "event_type",
-            (us / hour_us).cast("long").alias("bucket"),
+            # floor, not cast-truncation: matches the oracle's // (floor
+            # division) for pre-1970 (negative-epoch) timestamps too.
+            F.floor(us / hour_us).cast("long").alias("bucket"),
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
         .groupBy("event_type", "bucket")

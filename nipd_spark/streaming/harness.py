@@ -39,7 +39,16 @@ STATE_PARTITIONS = 32
 def pinned_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Temporarily pin spark.sql.shuffle.partitions while a streaming
     query starts and drains, so state partitioning never inherits the
-    batch profile's shuffle width (see STATE_PARTITIONS note)."""
+    batch profile's shuffle width (see STATE_PARTITIONS note).
+
+    SINGLE-THREADED-PLANNING ASSUMPTION: this mutates the shared
+    session conf, so any query planned concurrently on the same
+    SparkSession during the window captures the pinned value instead
+    of the profile's. The repo's harness/tests/driver plan queries one
+    at a time, which is why this is safe here; a multi-threaded caller
+    should instead scope the width per query (repartition before the
+    stateful stage, or a per-stream checkpoint with the desired state
+    partition count baked in at first start)."""
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -137,6 +137,55 @@ def test_global_rank_matches_window(spark, sf_dir):
     assert got3 == want3
 
 
+def test_global_rank_null_keys_match_window(spark):
+    """NULL major keys must rank exactly where Window.orderBy puts them
+    (asc → NULLS FIRST, desc → NULLS LAST) — F.least-based bucketing
+    alone would silently rank NULLs last under asc."""
+    from pyspark.sql import Window
+
+    from nipd_spark.operators import ranks
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, -2.0), (5, 0.0), (6, 5.0)],
+        "id: long, v: double",
+    )
+    for ascending in (True, False):
+        head = F.col("v").asc() if ascending else F.col("v").desc()
+        w = Window.orderBy(head, F.col("id").asc())
+        want = {
+            r.id: r.rn
+            for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+        }
+        got = {
+            r.id: r.rn
+            for r in ranks.with_global_rn(
+                df, key="v", tiebreaks=["id"], ascending=ascending, n_buckets=4
+            ).collect()
+        }
+        assert got == want, (ascending, got, want)
+
+        wsum = Window.orderBy(head, F.col("id").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want2 = {
+            r.id: r.s
+            for r in df.select("id", F.sum("id").over(wsum).alias("s")).collect()
+        }
+        got2 = {
+            r.id: r.s
+            for r in ranks.with_global_running_sum(
+                df,
+                key="v",
+                tiebreaks=["id"],
+                val="id",
+                ascending=ascending,
+                n_buckets=4,
+                out="s",
+            ).collect()
+        }
+        assert got2 == want2, (ascending, got2, want2)
+
+
 def test_persisted_ivf_equals_in_memory(spark, sf_dir):
     """The parquet-persisted IVF index must answer bit-identically to
     the in-memory build (deterministic training; same params)."""
@@ -282,6 +331,45 @@ def test_merge_into_branches(spark):
         key=lambda x: x[0],
     )
     assert got == [(1, "a"), (2, "B"), (3, "c"), (4, None)]
+
+
+def test_merge_into_cardinality_guard(spark):
+    """ANSI/Delta MERGE raises when a target row is matched by multiple
+    source rows; merge_into's default in-plan guard must do the same,
+    and check_cardinality=False must restore the permissive behavior."""
+    import pytest
+
+    from nipd_spark.operators.merge import merge_into
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k: long, v: string")
+    dup_src = spark.createDataFrame(
+        [(2, "X"), (2, "Y"), (3, "Z")], "k: long, v: string"
+    )
+    bad = merge_into(tgt, dup_src, ["k"], when_matched={"v": F.col("s.v")})
+    with pytest.raises(Exception, match="MERGE cardinality violation"):
+        bad.collect()
+
+    # opt-out keeps the documented permissive semantics (k emitted rows)
+    got = sorted(
+        (r.k, r.v)
+        for r in merge_into(
+            tgt,
+            dup_src,
+            ["k"],
+            when_matched={"v": F.col("s.v")},
+            check_cardinality=False,
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "X"), (2, "Y")]
+
+    # unique source passes the guard untouched
+    ok = merge_into(
+        tgt,
+        spark.createDataFrame([(2, "B")], "k: long, v: string"),
+        ["k"],
+        when_matched={"v": F.col("s.v")},
+    )
+    assert sorted((r.k, r.v) for r in ok.collect()) == [(1, "a"), (2, "B")]
 
 
 def test_asof_tiebreak_direction_invariant(spark):
