@@ -136,6 +136,104 @@ def with_global_running_sum(
     )
 
 
+def with_grouped_running_sum(
+    df: DataFrame,
+    group: str | list[str],
+    key: str,
+    tiebreaks: list[str],
+    val: str,
+    ascending: bool = True,
+    n_buckets: int = 64,
+    out: str = "running",
+) -> DataFrame:
+    """Append a PER-GROUP running sum of ``val`` over (key asc|desc,
+    *tiebreaks asc) — identical to sum(val).over(Window.partitionBy(
+    group).orderBy(...).rowsBetween(unboundedPreceding, 0)) but with no
+    per-group single-task funnel.
+
+    The partitioned-Window form caps parallelism at |distinct group|
+    tasks over RAW rows — with a 3-5-value group key (l_returnflag,
+    event_type) that is ~25% of a 100 TB table per task. Here each
+    group gets its own equi-width value histogram (per-group min/max,
+    one cheap agg), rows get a (group, bucket) partitioned local prefix
+    sum, and per-(group, bucket) totals (|groups| × n_buckets rows)
+    turn into exclusive offsets via a window over that TINY aggregated
+    table — so parallelism is |groups| × n_buckets over the raw data.
+
+    Exactness: bit-identical to the Window form whenever the sums are
+    exactly representable (integer/long ``val``, or integer-valued
+    doubles below 2^53 — the repo's quantization discipline). True
+    floating-point ``val`` accumulates in bucket-segmented order, which
+    can differ in the last bits from sequential accumulation; round on
+    output as usual. NULL keys route to the extreme bucket matching
+    Window NULL ordering (asc → NULLS FIRST, desc → NULLS LAST).
+
+    The per-group range table is broadcast — one row per group, fine
+    for the low-cardinality groups this exists for (a high-cardinality
+    group key doesn't need this operator: the plain partitioned window
+    is already parallel).
+    """
+    groups = [group] if isinstance(group, str) else list(group)
+    # Window.partitionBy treats NULL as a real group; plain equi-join
+    # keys would silently drop NULL-group rows. Substitute a non-null
+    # surrogate group key for the internal joins/windows instead.
+    gcols = []
+    df2 = df
+    for i, g in enumerate(groups):
+        gc = f"__rk_g{i}"
+        df2 = df2.withColumn(
+            gc, F.coalesce(F.col(g).cast("string"), F.lit("\x00__rk_null"))
+        )
+        gcols.append(gc)
+    groups = gcols
+    df = df2
+    rng = df.groupBy(*groups).agg(
+        F.min(key).alias("__lo"), F.max(key).alias("__hi")
+    )
+    asc_idx = F.when(
+        F.col("__hi") <= F.col("__lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor(
+                (F.col(key) - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    idx = asc_idx if ascending else (F.lit(n_buckets - 1) - asc_idx)
+    null_bucket = F.lit(-1) if ascending else F.lit(n_buckets)
+    idx = F.when(F.col(key).isNull(), null_bucket).otherwise(idx)
+    b = (
+        df.join(F.broadcast(rng), groups)
+        .withColumn(BUCKET, idx)
+        .drop("__lo", "__hi")
+    )
+    w_local = Window.partitionBy(*groups, BUCKET).orderBy(
+        *_order(key, ascending, tiebreaks)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = b.withColumn("__lsum", F.sum(val).over(w_local))
+    totals = b.groupBy(*groups, BUCKET).agg(F.sum(val).alias("__tot"))
+    # exclusive prefix over bucket index WITHIN each group — a window,
+    # but over the aggregated (|groups| × n_buckets)-row totals table,
+    # never over raw rows (the shape plan_lint's low-card rule allows)
+    w_off = (
+        Window.partitionBy(*groups)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = totals.select(
+        *groups,
+        F.col(BUCKET),
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(F.broadcast(off), [*groups, BUCKET])
+        .withColumn(out, F.col("__lsum") + F.col("__offset"))
+        .drop(BUCKET, "__lsum", "__offset", *groups)
+    )
+
+
 def ntile_from_rn(k: int, rn: Column, n: Column) -> Column:
     """Spark/ANSI ntile(k) reconstructed from a global row_number and
     the total count: the first n%k tiles take ceil(n/k) rows, the rest

@@ -845,24 +845,29 @@ def a24_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the statistic pricing teams actually mean. Ordering ties
     on (v, wt) keeps the prefix sums bit-identical across engines.
 
-    One window shuffle on the group key + a hash agg; the same
-    crossing trick generalizes to any weighted quantile by changing
-    the 1/2.
+    Scale shape: the running weight comes from the per-group two-level
+    histogram cumsum (operators/ranks.with_grouped_running_sum) — a
+    Window.partitionBy(l_returnflag) over raw lineitem would funnel
+    ~25% of a 100 TB table through one task per flag value; the
+    histogram form keeps |groups| × n_buckets-way parallelism.
+    Weights are integer-valued quantities, so every partial sum is
+    exact and the crossing comparison stays bit-deterministic.
     """
+    from nipd_spark.operators import ranks
+
     li = load(spark, sf_dir, "lineitem")
-    wspec = Window.partitionBy("l_returnflag").orderBy("v", "wt").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tspec = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    w = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").alias("wt"),
-    ).select(
-        "l_returnflag",
-        "v",
-        F.sum("wt").over(wspec).alias("cum_wt"),
-        F.sum("wt").over(tspec).alias("tot_wt"),
+    )
+    cum = ranks.with_grouped_running_sum(
+        w, group="l_returnflag", key="v", tiebreaks=["wt"], val="wt",
+        out="cum_wt",
+    )
+    tot = w.groupBy("l_returnflag").agg(F.sum("wt").alias("tot_wt"))
+    ranked = cum.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag", "v", "cum_wt", "tot_wt"
     )
     return (
         ranked.groupBy("l_returnflag")
@@ -1148,28 +1153,35 @@ def a31_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cumsum order carries a unique tiebreak (qty, orderkey,
     linenumber) so both engines walk the identical prefix.
 
-    Scale shape: one window per group key + one hash agg — same cost
-    family as W3; no sort is global (partitions = group key).
+    Scale shape: the running weight is the per-group two-level
+    histogram cumsum (operators/ranks.with_grouped_running_sum), not a
+    Window.partitionBy(l_returnflag) over raw rows — the 3-4-value
+    partition key would cap parallelism at 3-4 tasks over the whole
+    fact table at 100 TB. Integer-cent weights keep every partial sum
+    and the 2·cw >= total threshold exact in both engines.
     """
+    from nipd_spark.operators import ranks
+
     li = load(spark, sf_dir, "lineitem")
     wt = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    wrun = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("l_returnflag")
-    w = li.select(
+    base = li.select(
         "l_returnflag",
         "l_quantity",
         "l_orderkey",
         "l_linenumber",
         wt.alias("wt"),
-    ).select(
-        "l_returnflag",
-        "l_quantity",
-        F.sum("wt").over(wrun).alias("cw"),
-        F.sum("wt").over(wall).alias("total"),
+    )
+    cum = ranks.with_grouped_running_sum(
+        base,
+        group="l_returnflag",
+        key="l_quantity",
+        tiebreaks=["l_orderkey", "l_linenumber"],
+        val="wt",
+        out="cw",
+    )
+    tot = base.groupBy("l_returnflag").agg(F.sum("wt").alias("total"))
+    w = cum.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag", "l_quantity", "cw", "total"
     )
     return w.groupBy("l_returnflag").agg(
         F.min(

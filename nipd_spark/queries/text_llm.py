@@ -2107,26 +2107,56 @@ def l58_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning and backfills, no RNG state). Output proves the
     exact selection per source (kept-id checksum), not just counts.
 
-    Scale shape: one window ranked per-source partition — the same
-    per-group top-k plan as O4 (rank + filter, partial aggregation
-    after); no global sort, no collect.
+    Scale shape: salted two-level top-k. A raw-row window partitioned
+    only by ``source`` caps parallelism at the source-domain size at
+    100 TB, so level 1 ranks within (source, salt-of-doc_id) — high
+    parallelism, keeps ≤ k per salt — and level 2 takes the exact
+    global top-k per source from the ≤ k × n_salts survivors with a
+    BOUNDED collect_list + array_sort + slice (≤ 960 structs per
+    source, not fact-sized). Totals come from a plain groupBy, so no
+    window ever sees raw rows partitioned by source alone.
     """
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.pmod(F.col("doc_id") * 1103, F.lit(10007)), "doc_id"
-    )
-    ranked = docs.select(
+    k, n_salts = 15, 64
+    base = docs.select(
         "source",
         "doc_id",
+        F.pmod(F.col("doc_id") * 1103, F.lit(10007)).alias("hk"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
-        F.row_number().over(w).alias("rn"),
     )
-    kept = F.col("rn") <= 15
-    return ranked.groupBy("source").agg(
-        F.count(F.when(kept, 1)).alias("n_kept"),
-        F.count(F.when(~kept, 1)).alias("n_dropped"),
-        F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_sum"),
-        F.sum(F.when(kept, F.col("n_tok"))).alias("kept_tokens"),
+    w1 = Window.partitionBy("source", "__salt").orderBy("hk", "doc_id")
+    local = (
+        base.withColumn("__salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+    )
+    kept = (
+        local.groupBy("source")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("hk", "doc_id", "n_tok"))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("source", F.explode("top").alias("t"))
+        .select("source", F.col("t.doc_id").alias("doc_id"),
+                F.col("t.n_tok").alias("n_tok"))
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+        F.sum("n_tok").alias("kept_tokens"),
+    )
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept_agg, "source").select(
+        "source",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        "kept_id_sum",
+        "kept_tokens",
     )
 
 
@@ -2159,24 +2189,32 @@ def l59_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     become concrete document sets in an LLM data recipe (tokens, not
     doc counts, are the currency).
 
-    Scale shape: per-source window cumsum (exclusive frame) + filter +
-    partial agg — one shuffle on source; the cumsum never crosses
-    group boundaries so skew is bounded by the largest source, which
-    the per-source cap (l58) upstream would already have tamed.
+    Scale shape: the per-source prefix sum is the two-level histogram
+    cumsum (operators/ranks.with_grouped_running_sum) — a raw-row
+    Window.partitionBy(source) would funnel each source domain through
+    one task at 100 TB; the histogram form keeps |sources| × n_buckets
+    parallelism. Token counts are exact integers, so the inclusive
+    cumsum minus the row's own tokens IS the exclusive frame,
+    bit-identical to the window form.
     """
+    from nipd_spark.operators import ranks
+
     docs = load(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.pmod(F.col("doc_id") * 1103, F.lit(10007)), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = docs.select(
+    base = docs.select(
         "source",
         "doc_id",
+        F.pmod(F.col("doc_id") * 1103, F.lit(10007)).alias("hk"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
-    ).withColumn("tok_before", F.sum("n_tok").over(w))
+    )
+    cum = ranks.with_grouped_running_sum(
+        base, group="source", key="hk", tiebreaks=["doc_id"], val="n_tok",
+        out="cum_tok",
+    )
+    ranked = cum.withColumn(
+        "tok_before", F.col("cum_tok") - F.col("n_tok")
+    )
     return (
-        ranked.filter(F.coalesce(F.col("tok_before"), F.lit(0)) < 600)
+        ranked.filter(F.col("tok_before") < 600)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs_kept"),

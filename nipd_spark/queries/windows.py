@@ -213,14 +213,47 @@ def w7_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Raw doubles are safe: both engines compute (rank-1)/(n-1) and
     count≤/n from identical small integers.
+
+    Scale shape: reconstructed from per-(status, price) counts + the
+    per-group histogram cumsum (operators/ranks) instead of a
+    Window.partitionBy(o_orderstatus) over raw orders — the 3-value
+    partition key would cap parallelism at 3 tasks at 100 TB. With
+    cum = #rows with price' <= price and cnt = #rows at this price:
+    rank = cum - cnt + 1 (ties share the min rank), percent_rank =
+    (rank-1)/(n-1), cume_dist = cum/n — all from exact integers, so
+    the doubles are bit-identical to the window builtins.
     """
+    from nipd_spark.operators import ranks
+
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    return o.select(
-        "o_orderkey",
+    per_price = o.groupBy("o_orderstatus", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = ranks.with_grouped_running_sum(
+        per_price,
+        group="o_orderstatus",
+        key="o_totalprice",
+        tiebreaks=[],
+        val="cnt",
+        out="cum",
+    )
+    n = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    stats = cum.join(F.broadcast(n), "o_orderstatus").select(
         "o_orderstatus",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        "o_totalprice",
+        # singleton partition: percent_rank is defined as 0, not 0/0
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            (F.col("cum") - F.col("cnt")).cast("double")
+            / (F.col("n") - 1).cast("double")
+        )
+        .alias("pct_rank"),
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
+            "cume"
+        ),
+    )
+    return o.join(stats, ["o_orderstatus", "o_totalprice"]).select(
+        "o_orderkey", "o_orderstatus", "pct_rank", "cume"
     )
 
 
@@ -235,13 +268,24 @@ def w7_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W8",),
 )
 def w8_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-window z-score — the NIPT z-score screen normalization
+    """Per-group z-score — the NIPT z-score screen normalization
     (Chiu BMJ 2011 analogue; SURVEY.md §2.12). Rounded: partition
-    aggregates are order-dependent sums."""
+    aggregates are order-dependent sums.
+
+    Scale shape: groupBy(event_type).agg(avg, stddev) + broadcast
+    join-back — identical result to the whole-partition Window form,
+    but fully parallel. Window.partitionBy(event_type) over raw events
+    would funnel each event type's entire 100 TB history through one
+    task; the group aggregate is map-side partial + a 5-row broadcast.
+    """
     ev = load(spark, sf_dir, "events")
-    wp = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(wp)) / F.stddev_samp("value").over(wp)
-    return ev.select("event_id", "event_type", F.round(z, 6).alias("z"))
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__m"), F.stddev_samp("value").alias("__s")
+    )
+    z = (F.col("value") - F.col("__m")) / F.col("__s")
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type", F.round(z, 6).alias("z")
+    )
 
 
 @query(
@@ -681,22 +725,59 @@ def w16_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unbounded RANGE frame; ties in event time share a frame on both
     engines, so the RANGE (not ROWS) frame is what makes the
     cross-engine values deterministic without a unique sort key.
-    Partitioned by type — no single-reducer global window.
+
+    Scale shape: the naive form (collect_set over an unbounded frame,
+    partitioned by a 5-value key over raw events) is doubly broken at
+    100 TB — one task per event type AND O(users) window state per
+    row. Instead: a user is "in the set" at time t iff their FIRST
+    event (per type) is <= t, so users_so_far = running count of
+    first-occurrences. First occurrences come from a groupBy (fully
+    parallel); the running count over (increments UNION probes) uses
+    the per-group histogram cumsum (operators/ranks), increments
+    sorting before probes at equal timestamps to honor the RANGE
+    frame's inclusive bound. All counts are exact integers —
+    bit-identical to the window form.
     """
+    from nipd_spark.operators import ranks
+
     ev = load(spark, sf_dir, "events")
     t = ev.select(
         "event_type", "event_id", "user_id", F.unix_micros("ts").alias("us")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("us")
-        .rangeBetween(Window.unboundedPreceding, 0)
+    firsts = t.groupBy("event_type", "user_id").agg(F.min("us").alias("us"))
+    inc = (
+        firsts.groupBy("event_type", "us")
+        .agg(F.count(F.lit(1)).alias("delta"))
+        .select(
+            "event_type",
+            "us",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            "delta",
+        )
+    )
+    probes = t.select(
+        "event_type",
+        "us",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(0).cast("long").alias("delta"),
+    )
+    both = inc.unionByName(probes)
+    cum = ranks.with_grouped_running_sum(
+        both,
+        group="event_type",
+        key="us",
+        tiebreaks=["tag", "event_id"],
+        val="delta",
+        out="users_so_far",
     )
     return (
-        t.select(
+        cum.filter(F.col("tag") == 1)
+        .select(
             "event_type",
             "event_id",
-            F.size(F.collect_set("user_id").over(w)).alias("users_so_far"),
+            F.col("users_so_far").cast("int").alias("users_so_far"),
         )
         .orderBy("event_type", "event_id")
         .limit(600)

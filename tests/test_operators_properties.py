@@ -186,6 +186,45 @@ def test_global_rank_null_keys_match_window(spark):
         assert got2 == want2, (ascending, got2, want2)
 
 
+def test_grouped_running_sum_matches_window(spark):
+    """with_grouped_running_sum must be bit-identical to the
+    Window.partitionBy(group).orderBy(...) running sum it replaces —
+    including NULL group values (a real window partition) and NULL
+    keys (NULLS FIRST asc / NULLS LAST desc), asc and desc."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nipd_spark.operators import ranks
+
+    random.seed(7)
+    rows = [
+        (
+            i,
+            random.choice(["a", "b", None]),
+            random.choice([None, float(random.randint(-5, 5))]),
+            random.randint(1, 9),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id: long, g: string, v: double, wt: long")
+    for asc in (True, False):
+        head = F.col("v").asc() if asc else F.col("v").desc()
+        w = Window.partitionBy("g").orderBy(head, F.col("id").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = {
+            r.id: r.s for r in df.select("id", F.sum("wt").over(w).alias("s")).collect()
+        }
+        got = {
+            r.id: r.s
+            for r in ranks.with_grouped_running_sum(
+                df, "g", "v", ["id"], "wt", ascending=asc, n_buckets=8, out="s"
+            ).collect()
+        }
+        assert got == want
+
+
 def test_persisted_ivf_equals_in_memory(spark, sf_dir):
     """The parquet-persisted IVF index must answer bit-identically to
     the in-memory build (deterministic training; same params)."""

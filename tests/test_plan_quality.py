@@ -6,6 +6,7 @@ refactor can't silently trade them away.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nipd_spark import registry
 
@@ -78,6 +79,78 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "windowspecdefinition" in plan  # the local pass exists
     assert ", [], [" not in plan
+
+
+def test_w8_zscore_is_group_agg_not_window(spark, sf_dir):
+    """w8's per-type normalization must be groupBy + broadcast
+    join-back — a Window.partitionBy(event_type) over raw events
+    funnels each type's entire history through one task at 100 TB."""
+    plan = _plan(spark, sf_dir, "w8_zscore")
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["a24_weighted_median", "a31_weighted_median", "w7_pct_rank_cume"],
+)
+def test_no_low_cardinality_raw_window(spark, sf_dir, name):
+    """Weighted medians / distribution ranks must come from the
+    per-group histogram cumsum (operators/ranks): every window in the
+    plan must be (group, bucket)-partitioned machinery (its spec names
+    a __rk_ column), never a raw-row window partitioned solely on the
+    3-5-value group key (l_returnflag / o_orderstatus)."""
+    import re
+
+    plan = _plan(spark, sf_dir, name)
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected the histogram-rank local window"
+    for s in specs:
+        assert "__rk_" in s, s
+
+
+def test_plan_lint_lowcard_rule(spark, sf_dir):
+    """The plan_lint low-cardinality-window rule must fire on a raw-row
+    window partitioned solely by a bounded-domain key, stay silent when
+    the window input is pre-aggregated (the allowed c2/dq9/q17 shape),
+    and report none of the rewritten queries."""
+    import sys
+
+    from pyspark.sql import Window
+
+    from nipd_spark.catalog import load
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    ev = load(spark, sf_dir, "events")
+    bad = ev.select(
+        "event_id", F.sum("value").over(Window.partitionBy("event_type"))
+    )
+    assert plan_lint._lowcard_window_hits(bad._jdf.queryExecution())
+
+    agg = ev.groupBy("event_type", F.dayofmonth("ts").alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    good = agg.select(
+        "event_type",
+        F.sum("v").over(Window.partitionBy("event_type").orderBy("d")),
+    )
+    assert not plan_lint._lowcard_window_hits(good._jdf.queryExecution())
+
+    for name in (
+        "w7_pct_rank_cume",
+        "w8_zscore",
+        "w16_cumulative_distinct",
+        "a24_weighted_median",
+        "a31_weighted_median",
+        "l58_per_source_cap",
+        "l59_token_budget_mix",
+    ):
+        df = registry.all_specs()[name].fn(spark, sf_dir)
+        assert not plan_lint._lowcard_window_hits(
+            df._jdf.queryExecution()
+        ), name
 
 
 def test_plan_lint_allowlist_names_exist(spark):

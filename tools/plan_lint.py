@@ -14,6 +14,13 @@ Rules:
     boundedness argument.
   - BatchEvalPython / BatchEvalPythonUDTF: row-at-a-time Python in the
     plan; ALLOW only for the deliberate D-surface exemplars.
+  - Low-cardinality raw-row window (rule "lowcard"): a WindowExec whose
+    partition keys ALL come from known bounded-domain columns
+    (event_type, l_returnflag, ...) with NO aggregation anywhere below
+    it — each key value's entire raw history funnels through one task
+    at 100 TB (the w8/a24/a31 pattern the round-4 judge flagged). A
+    window over PRE-AGGREGATED rows partitioned by the same keys is
+    fine (c2/dq9/q17 shape) and passes automatically.
 
 Run: python tools/plan_lint.py    (exit 1 on unexplained hits)
 """
@@ -88,6 +95,55 @@ ALLOW: dict[str, dict[str, str]] = {
 
 GLOBAL_WINDOW = re.compile(r", \[\], \[")
 PY_EVAL = re.compile(r"BatchEvalPython")
+
+# Columns whose domain stays bounded as data grows (fixture semantics):
+# a window partitioned solely on these over raw rows caps parallelism
+# at the domain size regardless of cluster width.
+BOUNDED_DOMAIN = {
+    "event_type",       # 5 values
+    "l_returnflag",     # 3
+    "l_linestatus",     # 2
+    "o_orderstatus",    # 3
+    "r_name",           # 5 regions
+    "n_name",           # 25 nations
+    "c_mktsegment",     # 5
+    "lang",             # languages (documents.lang)
+    "source",           # document source domains
+}
+
+_COLREF = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _has_agg_below(node) -> bool:
+    for sub in _walk(node):
+        if "Aggregate" in sub.getClass().getSimpleName():
+            return True
+    return False
+
+
+def _lowcard_window_hits(qe) -> list[str]:
+    """WindowExec nodes whose partition keys are all bounded-domain
+    columns and whose input subtree contains no aggregation (raw-row
+    funnel). Returns the offending key sets."""
+    hits = []
+    for node in _walk(qe.executedPlan()):
+        if node.getClass().getSimpleName() not in (
+            "WindowExec",
+            "WindowGroupLimitExec",
+        ):
+            continue
+        spec = node.partitionSpec()
+        n = spec.size()
+        if n == 0:
+            continue  # the GLOBAL_WINDOW rule owns this case
+        names: set[str] = set()
+        for i in range(n):
+            names.update(_COLREF.findall(spec.apply(i).toString()))
+        if not names or not names <= BOUNDED_DOMAIN:
+            continue
+        if not _has_agg_below(node.children().apply(0)):
+            hits.append(",".join(sorted(names)))
+    return hits
 
 
 def _walk(node):
@@ -168,6 +224,8 @@ def main() -> int:
             findings.append(("bnlj", True))
         if GLOBAL_WINDOW.search(plan):
             findings.append(("window", True))
+        if _lowcard_window_hits(qe):
+            findings.append(("lowcard", True))
         if PY_EVAL.search(plan):
             findings.append(("py", True))
         for rule, allowable in findings:

@@ -98,6 +98,11 @@ PROBE = [
     "l14_embedding_neardup",
     "dq9_control_chart",
     "l60_unimax_allocation",
+    # round-5: low-cardinality-window rewrites (grouped histogram cumsum)
+    "a24_weighted_median",
+    "w7_pct_rank_cume",
+    "w8_zscore",
+    "w16_cumulative_distinct",
 ]
 
 
