@@ -14,15 +14,23 @@ chosen here because its invariant (label monotonically decreases to the
 component min) is trivially auditable and each round is two equi-keyed
 shuffles.
 
-Spark-first notes: each round is join(labels ⋈ edges) + groupBy(min) —
-partial aggregation applies map-side; labels are localCheckpoint()ed
-every round to cut the growing lineage (iterative plans otherwise
-re-execute from the source and the plan tree grows without bound).
-Convergence = count of changed labels == 0 (one action per round).
+Spark-first notes: the loop is batched into SUPERSTEPS — each superstep
+lazily composes ``rounds_per_job`` propagation rounds, each followed by
+``jumps`` pointer-jumping joins (two-hop path compression), then runs
+exactly ONE action: an aggregate whose computation also materializes a
+lazy localCheckpoint of the labels (cutting the growing lineage) and
+returns the label sum. Labels only ever decrease (propagation and
+jumping both take minima), so the label sum is strictly monotone and
+"sum unchanged across a superstep" is the fixpoint test — no extra
+join-and-count job per round. In local mode this cuts the dominant
+cost, per-job fixed overhead × number of jobs, by ~4× (one job per two
+rounds instead of two jobs per round); on a cluster it equally halves
+the number of scheduling barriers.
 
 At 100 TB: labels shuffle on node id each round; a giant component
 makes its min node a hot key only in degenerate star topologies —
 the groupBy is on the *receiving* node, which keeps load uniform.
+Pointer jumping gives O(log diameter) supersteps on chain topologies.
 """
 
 from __future__ import annotations
@@ -32,11 +40,18 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    rounds_per_job: int = 2,
+    jumps: int = 2,
 ) -> DataFrame:
     """(node, component) — component = min node id in each component.
 
     ``edges`` is undirected; self-loops and duplicate edges tolerated.
+    ``max_iter`` bounds supersteps (each = ``rounds_per_job``
+    propagation rounds, ``jumps`` pointer jumps after each round).
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -49,48 +64,49 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
+    prev_sum: object = object()  # sentinel != any first-superstep sum
     for _ in range(max_iter):
-        # min label over the closed neighborhood of each node
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        propagated = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least("component", F.coalesce("nbr_component", "component")).alias(
-                "component"
-            ),
-        )
-        # Pointer jumping (path compression): component <- label(component).
-        # Every label is itself a node id, so one extra equi-join per round
-        # halves the remaining distance to the component min — convergence
-        # drops from O(diameter) rounds to O(log diameter), which on long
-        # path/chain topologies is the difference between 5 and 50 shuffles.
-        parent = propagated.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-        )
-        new_labels = (
-            propagated.join(
-                parent, propagated.component == parent.p_node, "left"
+        for _ in range(rounds_per_job):
+            # min label over the closed neighborhood of each node
+            nbr_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .select(
+            labels = labels.join(nbr_min, "node", "left").select(
                 "node",
                 F.least(
-                    "component", F.coalesce("p_comp", "component")
+                    "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            # Pointer jumping (path compression): component <-
+            # label(component). Every label is itself a node id, so each
+            # extra equi-join halves the remaining distance to the
+            # component min — and since it is lazily fused into the same
+            # job, jumps cost shuffles but no extra scheduling barriers.
+            for _ in range(jumps):
+                parent = labels.select(
+                    F.col("node").alias("p_node"),
+                    F.col("component").alias("p_comp"),
+                )
+                labels = labels.join(
+                    parent, labels["component"] == parent["p_node"], "left"
+                ).select(
+                    "node",
+                    F.least(
+                        "component", F.coalesce("p_comp", "component")
+                    ).alias("component"),
+                )
+        # ONE action per superstep: the sum both materializes the lazy
+        # checkpoint and tests convergence (labels are monotone
+        # non-increasing, so an unchanged sum IS the fixpoint). decimal
+        # accumulation cannot overflow (1e12 nodes × 2^63 ids < 10^38).
+        labels = labels.localCheckpoint(eager=False)
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels

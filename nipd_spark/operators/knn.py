@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nipd_spark.operators import vector
@@ -316,28 +316,23 @@ def threshold_pairs_gemm(
     return out
 
 
-def neardup_pairs_cosine(emb: DataFrame, tau: float) -> DataFrame:
-    """All a_id < b_id pairs with cosine ≥ tau, scaled for
-    duplication-heavy corpora: byte-identical embeddings collapse to a
-    representative (groupBy the array itself), the GEMM screen +
-    bit-exact rescore run once per DISTINCT content pair, and verdicts
-    fan back out by membership — cross-content copies inherit the reps'
-    cosine (identical bytes ⇒ identical arithmetic ⇒ identical double);
-    same-content pairs get the computed self-cosine, exactly what a
-    naive scan computes for two bit-equal vectors. Cost scales with
-    distinct content + true output size (l26/l46's cascade pattern).
-    """
-    from nipd_spark.operators import vector
-
-    groups = emb.groupBy("embedding").agg(
+def _content_groups(emb: DataFrame) -> DataFrame:
+    """Representative collapse for duplication-heavy corpora: byte-
+    identical embeddings become one group (rep_id = min member id).
+    Downstream screens run once per DISTINCT content (l26/l46's cascade
+    pattern); verdicts fan back out by membership via ``_fanout``."""
+    return emb.groupBy("embedding").agg(
         F.min("vec_id").alias("rep_id"),
         F.collect_list("vec_id").alias("members"),
     )
-    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
-    screened = threshold_pairs_gemm(reps, reps, tau=tau, upper_only=True)
-    rep_pairs = _rescore(reps, screened.select("a_id", "b_id")).filter(
-        F.col("cosine") >= tau
-    )
+
+
+def _fanout(groups: DataFrame, rep_pairs: DataFrame, tau: float) -> DataFrame:
+    """Expand representative-pair verdicts to all member pairs, plus the
+    intra-group pairs (bit-equal vectors → computed self-cosine, which
+    is exactly what a naive all-pairs scan emits for them)."""
+    from nipd_spark.operators import vector
+
     ma = groups.select(
         F.col("rep_id").alias("a_id"), F.col("members").alias("mem_a")
     )
@@ -367,6 +362,96 @@ def neardup_pairs_cosine(emb: DataFrame, tau: float) -> DataFrame:
         .select(F.col("x").alias("a_id"), F.col("y").alias("b_id"), "cosine")
     )
     return cross.unionByName(intra)
+
+
+def neardup_pairs_cosine(emb: DataFrame, tau: float) -> DataFrame:
+    """All a_id < b_id pairs with cosine ≥ tau, scaled for
+    duplication-heavy corpora: byte-identical embeddings collapse to a
+    representative (groupBy the array itself), the GEMM screen +
+    bit-exact rescore run once per DISTINCT content pair, and verdicts
+    fan back out by membership — cross-content copies inherit the reps'
+    cosine (identical bytes ⇒ identical arithmetic ⇒ identical double);
+    same-content pairs get the computed self-cosine, exactly what a
+    naive scan computes for two bit-equal vectors. Cost scales with
+    distinct content + true output size (l26/l46's cascade pattern).
+
+    The GEMM screen is EXACT (recall 1.0) but Θ(distinct²) FLOPs — the
+    100 TB path is ``neardup_pairs_ivf``, which replaces it with an
+    IVF-bucketed candidate join (sub-quadratic, recall < 1 at
+    nprobe < n_lists; identical bit-exact rescore).
+    """
+    groups = _content_groups(emb)
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    screened = threshold_pairs_gemm(reps, reps, tau=tau, upper_only=True)
+    rep_pairs = _rescore(reps, screened.select("a_id", "b_id")).filter(
+        F.col("cosine") >= tau
+    )
+    return _fanout(groups, rep_pairs, tau)
+
+
+def neardup_pairs_ivf(
+    emb: DataFrame,
+    tau: float,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-screened near-duplicate pairs — the 100 TB scale path for
+    ``neardup_pairs_cosine`` (SURVEY.md §2.9 L3/L5 composition).
+
+    Same representative cascade and the same bit-exact rescore, but the
+    candidate generator is the IVF coarse quantizer instead of the
+    Θ(distinct²)-FLOP GEMM screen: train k-means lists over distinct
+    content (operators/ivf.train_centroids — deterministic seeding, no
+    RNG), assign every rep to its nearest list, have every rep PROBE its
+    ``nprobe`` nearest lists, and take as candidates the (probe rep,
+    assigned rep) pairs meeting in a list — an equi-join on list_id, so
+    per-probe work is ~1/n_lists of the data and total FLOPs scale as
+    Θ(distinct² · nprobe / n_lists) with uniform lists, sub-quadratic in
+    effect and fully shuffle-partitioned (no driver-side block loop).
+
+    Recall: every emitted pair is TRUE (candidates are re-scored with
+    the sequential zip_with cosine and re-filtered at tau exactly —
+    precision 1.0 by construction); a true pair is missed only when
+    neither endpoint probes the other's list. nprobe = n_lists probes
+    everything and recovers ``neardup_pairs_cosine`` bit-for-bit
+    (property-tested); the recall-vs-GEMM curve is reported by
+    tests/test_dedup_similarity.py.
+    """
+    from nipd_spark.operators import ivf
+
+    groups = _content_groups(emb)
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    cen = ivf.train_centroids(reps, n_lists, iters=iters)
+    assigned = ivf.assign(reps, cen)
+    probe_w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        reps.crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "list_id",
+            (
+                vector.dot(F.col("embedding"), F.col("centroid"))
+                / vector.l2_norm(F.col("embedding"))
+            ).alias("ccos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("p_id"), "list_id")
+    )
+    cand = (
+        probes.join(assigned.select(F.col("vec_id").alias("t_id"), "list_id"), "list_id")
+        .filter(F.col("p_id") != F.col("t_id"))
+        .select(
+            F.least("p_id", "t_id").alias("a_id"),
+            F.greatest("p_id", "t_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    rep_pairs = _rescore(reps, cand).filter(F.col("cosine") >= tau)
+    return _fanout(groups, rep_pairs, tau)
 
 
 def rescore_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:

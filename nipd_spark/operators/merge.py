@@ -46,16 +46,23 @@ def merge_into(
     the INSERT values (unlisted columns become NULL); ``None`` inserts
     nothing.
 
-    Cardinality rule (standard MERGE): ``source`` must be unique on
-    ``on``. With ``check_cardinality`` (the default) the update leg
-    carries an in-plan runtime guard — a per-key count window over the
-    source plus ``assert_true`` — that raises at execution time when a
-    target row is matched by k>1 source rows, mirroring Delta's
+    Cardinality rule (standard MERGE): a *matched* target row may be
+    matched by at most one source row. With ``check_cardinality`` (the
+    default) the update leg carries an in-plan runtime guard — a
+    per-key count window over the source rows that actually match a
+    target key, plus ``assert_true`` — that raises at execution time
+    when a target row is matched by k>1 source rows, mirroring Delta's
     "multiple source rows matched" error instead of silently emitting
-    the row k times. The guard is lazy (no extra action) and costs one
-    extra shuffle of the SOURCE on the merge keys — source is the small
-    side of a MERGE by construction; pass ``check_cardinality=False``
-    for pre-deduplicated sources on hot paths (see s21_merge_into).
+    the row k times. Duplicate source keys that match NO target row are
+    legal (they feed only the insert leg), so the count runs over
+    ``source LEFT SEMI target`` — keys duplicated there violate the
+    rule by construction, which keeps the guard correct even when
+    Catalyst pushes the filter below the inner join (it references only
+    source-side columns, so it will). The guard is lazy (no extra
+    action); it costs one shuffle of the SOURCE on the merge keys plus
+    a key-projection semi-join against the target (column-pruned scan,
+    no wide rows move) — pass ``check_cardinality=False`` for
+    pre-deduplicated sources on hot paths (see s21_merge_into).
     Keys compare null-safely (``eqNullSafe``), so a NULL key matches a
     NULL key — document per call-site if SQL-NULL semantics are wanted.
     """
@@ -64,11 +71,31 @@ def merge_into(
         and isinstance(when_matched, dict)
     )
     if guarded:
-        from pyspark.sql import Window
+        # Per-key source count restricted to keys that exist in the
+        # target: duplicates among UNMATCHED keys are legal (insert-leg
+        # only), and restricting here — rather than predicating on a
+        # target column post-join — keeps the guard sound under
+        # Catalyst's pushdown of the source-only filter below the join.
+        def _key_cond(lhs: str, rhs: str) -> Column:
+            return reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"{lhs}.{k}").eqNullSafe(F.col(f"{rhs}.{k}"))
+                    for k in on
+                ],
+            )
 
-        source = source.withColumn(
-            "__merge_n",
-            F.count(F.lit(1)).over(Window.partitionBy(*on)),
+        matched_n = (
+            source.select(*on)
+            .alias("ms")
+            .join(target.select(*on).alias("mt"), _key_cond("ms", "mt"), "left_semi")
+            .groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__merge_n"))
+        )
+        source = (
+            source.alias("src")
+            .join(matched_n.alias("mn"), _key_cond("src", "mn"), "left")
+            .select("src.*", F.coalesce(F.col("mn.__merge_n"), F.lit(1)).alias("__merge_n"))
         )
     t, s = target.alias("t"), source.alias("s")
     cond = reduce(

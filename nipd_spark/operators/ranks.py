@@ -145,6 +145,7 @@ def with_grouped_running_sum(
     ascending: bool = True,
     n_buckets: int = 64,
     out: str = "running",
+    min_out: str | None = None,
 ) -> DataFrame:
     """Append a PER-GROUP running sum of ``val`` over (key asc|desc,
     *tiebreaks asc) — identical to sum(val).over(Window.partitionBy(
@@ -172,17 +173,36 @@ def with_grouped_running_sum(
     for the low-cardinality groups this exists for (a high-cardinality
     group key doesn't need this operator: the plain partitioned window
     is already parallel).
+
+    ``min_out``: when set, additionally append the running MIN of the
+    running sum (min_{j<=i} running_j, current row inclusive) — the
+    quantity CUSUM-style detectors need (w20). Same decomposition:
+    per-bucket local prefix-min of the local prefix sum, plus a
+    prefix-min over the tiny per-bucket (offset + bucket-min) table.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     groups = [group] if isinstance(group, str) else list(group)
     # Window.partitionBy treats NULL as a real group; plain equi-join
     # keys would silently drop NULL-group rows. Substitute a non-null
-    # surrogate group key for the internal joins/windows instead.
+    # surrogate group key for the internal joins/windows instead. The
+    # surrogate is prefix-tagged ("v" + value vs bare NUL for NULL) so
+    # no real value can collide with the NULL sentinel, and float/double
+    # groups are normalized with +0.0 first: groupBy/partitionBy fold
+    # -0.0 and 0.0 into ONE partition, while their string forms differ —
+    # stringifying unnormalized would split that group in two.
     gcols = []
     df2 = df
     for i, g in enumerate(groups):
         gc = f"__rk_g{i}"
+        gcol = F.col(g)
+        if isinstance(df2.schema[g].dataType, (FloatType, DoubleType)):
+            gcol = gcol + F.lit(0.0)
         df2 = df2.withColumn(
-            gc, F.coalesce(F.col(g).cast("string"), F.lit("\x00__rk_null"))
+            gc,
+            F.when(F.col(g).isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("v"), gcol.cast("string"))
+            ),
         )
         gcols.append(gc)
     groups = gcols
@@ -213,7 +233,6 @@ def with_grouped_running_sum(
         *_order(key, ascending, tiebreaks)
     ).rowsBetween(Window.unboundedPreceding, 0)
     local = b.withColumn("__lsum", F.sum(val).over(w_local))
-    totals = b.groupBy(*groups, BUCKET).agg(F.sum(val).alias("__tot"))
     # exclusive prefix over bucket index WITHIN each group — a window,
     # but over the aggregated (|groups| × n_buckets)-row totals table,
     # never over raw rows (the shape plan_lint's low-card rule allows)
@@ -222,16 +241,59 @@ def with_grouped_running_sum(
         .orderBy(BUCKET)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = totals.select(
+    if min_out is None:
+        totals = b.groupBy(*groups, BUCKET).agg(F.sum(val).alias("__tot"))
+        off = totals.select(
+            *groups,
+            F.col(BUCKET),
+            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias(
+                "__offset"
+            ),
+        )
+        return (
+            local.join(F.broadcast(off), [*groups, BUCKET])
+            .withColumn(out, F.col("__lsum") + F.col("__offset"))
+            .drop(BUCKET, "__lsum", "__offset", *groups)
+        )
+    local = local.withColumn("__lmin", F.min("__lsum").over(w_local))
+    totals = local.groupBy(*groups, BUCKET).agg(
+        F.sum(val).alias("__tot"), F.min("__lsum").alias("__bmin")
+    )
+    t1 = totals.select(
         *groups,
         F.col(BUCKET),
+        "__bmin",
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__offset"),
     )
-    return (
+    # min over STRICTLY-earlier buckets of (their offset + their local
+    # min): running_j for a row in bucket c is lsum_j + offset_c, so the
+    # per-bucket min of running is offset_c + __bmin_c; NULL for the
+    # first bucket (no earlier rows).
+    off = t1.select(
+        *groups,
+        F.col(BUCKET),
+        "__offset",
+        F.min(F.col("__offset") + F.col("__bmin"))
+        .over(w_off)
+        .alias("__minprev"),
+    )
+    res = (
         local.join(F.broadcast(off), [*groups, BUCKET])
         .withColumn(out, F.col("__lsum") + F.col("__offset"))
-        .drop(BUCKET, "__lsum", "__offset", *groups)
+        .withColumn(
+            min_out,
+            F.when(
+                F.col("__minprev").isNull(),
+                F.col("__lmin") + F.col("__offset"),
+            ).otherwise(
+                F.least(
+                    F.col("__minprev"),
+                    F.col("__lmin") + F.col("__offset"),
+                )
+            ),
+        )
     )
+    return res.drop(BUCKET, "__lsum", "__lmin", "__offset", "__minprev", *groups)
 
 
 def ntile_from_rn(k: int, rn: Column, n: Column) -> Column:

@@ -159,6 +159,29 @@ def l14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.neardup_pairs_cosine(e, tau=0.4)
 
 
+@query("l14b_ivf_neardup", sql=None, tags=("L3", "L5"))
+def l14b_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the IVF-screened path — l14's
+    100 TB plan as an actual query, not just a documented option
+    (operators/knn.neardup_pairs_ivf: representative collapse → k-means
+    inverted lists → probe equi-join on list_id → bit-exact rescore at
+    tau). Rows-only: the IVF screen is recall<1 by design at
+    nprobe < n_lists, so no SQL twin — instead the property tests pin
+    (a) probe-all == the exact GEMM path bit-for-bit and (b) every
+    emitted pair exists in l14's exact output with an identical cosine,
+    and report the recall.
+
+    Scale: candidate generation is a hash join on list_id — FLOPs
+    Θ(distinct² · nprobe / n_lists) with uniform lists vs the GEMM
+    screen's Θ(distinct²), and no driver-side broadcast-block loop, so
+    it shards across executors like any other equi-join.
+    """
+    from nipd_spark.operators import knn
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn.neardup_pairs_ivf(e, tau=0.4, n_lists=16, nprobe=6)
+
+
 @query(
     "l13b_winnow_fingerprint",
     sql="""

@@ -189,9 +189,13 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the edge list — so at 100 TB each iteration shuffles
     edges once on the join key (or zero times if edges are pre-bucketed
     by u: the rank side broadcasts when nodes fit, or co-partitions
-    otherwise). For deep iteration counts, persist + localCheckpoint
-    every few rounds to truncate plan lineage; at 3 unrolled rounds the
-    optimizer handles the DAG fine. Ranks are rounded at 6 dp only on
+    otherwise). The edge list (a distinct self-join — the expensive
+    part) is localCheckpoint()ed ONCE: without it each unrolled
+    iteration re-derives the self-join, multiplying the dominant cost
+    by the iteration count (exchange reuse does not always cover a
+    subplan consumed at different join depths). For deep iteration
+    counts, checkpoint the rank vector every few rounds too — at 3
+    rounds the DAG stays shallow. Ranks are rounded at 6 dp only on
     output (order-dependent double sums; oracle.py discipline) —
     iteration-internal values stay full precision, and a 1-ulp
     cross-engine wobble cannot survive the 0.85³ contraction at 6 dp.
@@ -208,7 +212,18 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    e = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # Hash-partition by the iteration join key BEFORE freezing the
+        # checkpoint: localCheckpoint preserves the partitioning, so
+        # each of the 3 rank joins co-partitions against it and only
+        # the O(nodes) rank vector shuffles per iteration — the edge
+        # list (the fact-sized side) shuffles exactly once, ever.
+        # Width = cluster parallelism (defaultParallelism), the same
+        # sizing a bucketed-table write would use.
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
 
     ranks = deg.select("node", F.lit(1.0).alias("r"), "d")

@@ -782,14 +782,16 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the edge list — same shuffle shape as an unrolled
     iteration; the depth bound caps the blow-up on this dense graph
     (avg degree ≈ 2·orders·C(basket,2)/parts, so depth 2 already
-    reaches most of the component).
+    reaches most of the component). The edge list behind the ``e``
+    view is localCheckpoint()ed — a plain view would re-derive the
+    distinct self-join on EVERY recursion step, multiplying the
+    dominant cost by the recursion depth.
     """
     from nipd_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    spark.sql(
+    edges = spark.sql(
         """
-        CREATE OR REPLACE TEMP VIEW e AS
         WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         und AS (
           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -798,7 +800,8 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT u, v FROM und UNION ALL SELECT v, u FROM und
         """
-    )
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("e")
     return spark.sql("WITH RECURSIVE " + _SQL3_BODY)
 
 

@@ -202,14 +202,15 @@ def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     API note: Spark 4's successor API, transformWithStateInPandas
     (StatefulProcessor: typed value/list/map state, timers, TTL), is the
-    target for new jobs — the tracker maps 1:1 (getValueState("track",
-    "n long, mx double, np long") + the same handleInputRows body). It is
-    not runnable in this container: its Python worker protocol requires
-    google.protobuf, which is absent here (verified: TWS query start
-    fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
-    protobuf ImportError; no package installs allowed). State semantics
-    are pinned here via applyInPandasWithState, which shares the state
-    machinery.
+    target for new jobs — the tracker is IMPLEMENTED on it 1:1 as
+    ``t8b_tracker_transform_with_state`` below, capability-gated: its
+    Python worker protocol requires google.protobuf, absent in this
+    container (verified: TWS query start fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / protobuf
+    ImportError; no package installs allowed), so the probing test
+    skips here and runs it end-to-end wherever protobuf exists. State
+    semantics are pinned in-container via applyInPandasWithState, which
+    shares the state machinery.
     """
     import pandas as pd
 
@@ -234,6 +235,86 @@ def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandasWithState(
             track, out_schema, state_schema, "update", "NoTimeout"
         )
+    )
+    updated = run_to_completion(updates, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        updated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def t8b_tracker_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t8's per-user tracker on Spark 4's successor API,
+    ``transformWithStateInPandas`` (StatefulProcessor with typed
+    ValueState) — semantics identical to the applyInPandasWithState
+    form: after the 4-micro-batch replay drains, each user's final
+    state equals the batch groupBy (count, max value, purchase count).
+
+    Capability-gated, NOT a registered query: the TWS Python worker
+    protocol imports google.protobuf, which is absent in this container
+    (query start fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE). tests/test_streaming.py::test_transform_with_state_tracker
+    probes for protobuf and skips with that reason here; in a
+    protobuf-enabled deployment the test runs this end-to-end and
+    asserts equality with the batch aggregate.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python workers; absent in this container"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Tracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "track", "n long, mx double, np long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx, np_ = (
+                self._state.get()
+                if self._state.exists()
+                else (0, float("-inf"), 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+                    np_ += int((pdf["event_type"] == "purchase").sum())
+            self._state.update((n, mx, np_))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [n],
+                    "max_value": [mx],
+                    "n_purchase": [np_],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+    updates = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Tracker(),
+        outputStructType=(
+            "user_id long, n_seen long, max_value double, n_purchase long"
+        ),
+        outputMode="Update",
+        timeMode="None",
     )
     updated = run_to_completion(updates, "update")
     from pyspark.sql import Window

@@ -238,8 +238,14 @@ def w7_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="cum",
     )
     n = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
-    stats = cum.join(F.broadcast(n), "o_orderstatus").select(
-        "o_orderstatus",
+    # Joins are null-safe throughout so NULL-keyed rows stay in their
+    # NULL partition exactly as the Window form keeps them (a plain
+    # USING join would silently drop them).
+    stats = cum.alias("c").join(
+        F.broadcast(n).alias("g"),
+        F.col("c.o_orderstatus").eqNullSafe(F.col("g.o_orderstatus")),
+    ).select(
+        F.col("c.o_orderstatus").alias("o_orderstatus"),
         "o_totalprice",
         # singleton partition: percent_rank is defined as 0, not 0/0
         F.when(F.col("n") == 1, F.lit(0.0))
@@ -252,8 +258,19 @@ def w7_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cume"
         ),
     )
-    return o.join(stats, ["o_orderstatus", "o_totalprice"]).select(
-        "o_orderkey", "o_orderstatus", "pct_rank", "cume"
+    return (
+        o.alias("o")
+        .join(
+            stats.alias("st"),
+            F.col("o.o_orderstatus").eqNullSafe(F.col("st.o_orderstatus"))
+            & F.col("o.o_totalprice").eqNullSafe(F.col("st.o_totalprice")),
+        )
+        .select(
+            "o.o_orderkey",
+            F.col("o.o_orderstatus").alias("o_orderstatus"),
+            "st.pct_rank",
+            "st.cume",
+        )
     )
 
 
@@ -277,14 +294,25 @@ def w8_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     but fully parallel. Window.partitionBy(event_type) over raw events
     would funnel each event type's entire 100 TB history through one
     task; the group aggregate is map-side partial + a 5-row broadcast.
+    The join-back is null-safe, so NULL event_type rows keep their
+    NULL-partition stats exactly as the Window form would.
     """
     ev = load(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("__m"), F.stddev_samp("value").alias("__s")
     )
     z = (F.col("value") - F.col("__m")) / F.col("__s")
-    return ev.join(F.broadcast(stats), "event_type").select(
-        "event_id", "event_type", F.round(z, 6).alias("z")
+    return (
+        ev.alias("e")
+        .join(
+            F.broadcast(stats).alias("st"),
+            F.col("e.event_type").eqNullSafe(F.col("st.event_type")),
+        )
+        .select(
+            "e.event_id",
+            F.col("e.event_type").alias("event_type"),
+            F.round(z, 6).alias("z"),
+        )
     )
 
 
@@ -1049,7 +1077,18 @@ def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized deviation by 1 µ-unit. If this ever flakes, quantize
     from a deterministically-ordered aggregation (sum of pre-rounded
     per-row values) instead of rounding avg/stddev outputs.
+
+    Scale shape: the prefix sum AND the prefix-min-of-prefix-sum both
+    come from the per-group histogram cumsum (operators/ranks
+    ``min_out``) rather than Window.partitionBy(event_type) over raw
+    events — the 5-value key would funnel ~20% of a 100 TB table
+    through one task per value (the lowcard rule this query originally
+    violated once the lint learned to see through broadcast join-backs).
+    Integer µ-unit arithmetic keeps the decomposed sums bit-identical
+    to the sequential window form.
     """
+    from nipd_spark.operators import ranks
+
     ev = load(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("mean_r"),
@@ -1059,23 +1098,21 @@ def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "ts",
+        F.unix_micros("ts").alias("__ts_us"),
         F.round((F.col("value") - F.col("mean_r") - 0.25 * F.col("sd_r")) * 1e6, 0)
         .cast("long")
         .alias("d"),
         F.round(5 * F.col("sd_r") * 1e6, 0).cast("long").alias("h"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    pre = ranks.with_grouped_running_sum(
+        dev,
+        group="event_type",
+        key="__ts_us",
+        tiebreaks=["event_id"],
+        val="d",
+        out="p",
+        min_out="minp",
     )
-    pre = dev.select(
-        "event_type",
-        "event_id",
-        "ts",
-        "h",
-        F.sum("d").over(w).alias("p"),
-    ).withColumn("minp", F.min("p").over(w))
     cusum = pre.select(
         "event_type", "ts", "h", (F.col("p") - F.least("minp", F.lit(0).cast("long"))).alias("s")
     )

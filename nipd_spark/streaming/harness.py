@@ -41,20 +41,51 @@ def pinned_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     query starts and drains, so state partitioning never inherits the
     batch profile's shuffle width (see STATE_PARTITIONS note).
 
-    SINGLE-THREADED-PLANNING ASSUMPTION: this mutates the shared
-    session conf, so any query planned concurrently on the same
-    SparkSession during the window captures the pinned value instead
-    of the profile's. The repo's harness/tests/driver plan queries one
-    at a time, which is why this is safe here; a multi-threaded caller
-    should instead scope the width per query (repartition before the
-    stateful stage, or a per-stream checkpoint with the desired state
-    partition count baked in at first start)."""
+    FALLBACK PATH ONLY: this mutates the given session's conf, so a
+    query planned concurrently on the SAME session mid-pin would
+    capture the pinned value. The harness's primary mechanism is
+    ``pinned_session`` — streams built by ``events_stream`` live on a
+    dedicated child SparkSession whose shuffle width is permanently
+    STATE_PARTITIONS, so the caller's session conf is never touched and
+    concurrent batch planning on it is unaffected
+    (tests/test_streaming.py::test_pin_does_not_leak_to_parent). This
+    context manager remains for streams built directly on a caller's
+    session (t13's restart harness)."""
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+_PIN_ATTR = "_nipd_pinned_child"
+
+
+def pinned_session(spark: SparkSession) -> SparkSession:
+    """A child SparkSession (same SparkContext, own SQLConf) with
+    spark.sql.shuffle.partitions permanently = STATE_PARTITIONS.
+
+    A streaming query captures its conf from ITS DataFrame's session at
+    start, so building the stream here scopes the state-partition pin
+    per QUERY with zero mutation of the caller's conf — the profile's
+    batch width (2000 under 'scale') stays visible to anything planned
+    concurrently on the caller's session. Builder-time confs (timezone,
+    ANSI, AQE, Arrow — session.py) carry into child sessions via
+    initialSessionOptions, so plans differ only in shuffle width. One
+    child is cached per parent session (streaming memory-sink tables
+    are session-scoped; run_to_completion reads them from the stream's
+    own session, which is this child)."""
+    if getattr(spark, _PIN_ATTR, False):
+        return spark
+    cached = getattr(spark, "_nipd_pin_child_ref", None)
+    if cached is not None:
+        return cached
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    setattr(child, _PIN_ATTR, True)
+    spark._nipd_pin_child_ref = child  # noqa: SLF001
+    return child
 
 def _events_raw_schema(ts_is_ns: bool) -> T.StructType:
     return T.StructType(
@@ -113,9 +144,12 @@ def _stage_dir(sf_dir: str, parts: int = 1) -> str:
 def events_stream(
     spark: SparkSession, sf_dir: str, parts: int = 1, one_file_per_trigger: bool = False
 ) -> DataFrame:
-    """events as an unbounded table (S7 streaming source)."""
+    """events as an unbounded table (S7 streaming source). Built on the
+    ``pinned_session`` child so the stream's state partitioning is
+    scoped per-query (never a mutation of the caller's conf)."""
     from nipd_spark.catalog import _events_ts_is_ns
 
+    spark = pinned_session(spark)
     ts_is_ns = _events_ts_is_ns(sf_dir)
     if ts_is_ns:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -131,11 +165,19 @@ def events_stream(
 
 
 def start_pinned(writer):
-    """start() a DataStreamWriter under pinned_state_partitions — the
-    streaming query clones the session conf AT START, so wrapping only
-    the start call pins every micro-batch's state partitioning."""
-    spark = SparkSession.getActiveSession()
-    with pinned_state_partitions(spark):
+    """start() a DataStreamWriter with state partitioning pinned. The
+    streaming query clones the conf of ITS DataFrame's session at
+    start: for streams from ``events_stream`` that session is the
+    pinned child and nothing needs mutating; for streams built directly
+    on a caller's session, fall back to the scoped conf flip on that
+    session only."""
+    df = getattr(writer, "_df", None)
+    sess = (
+        df.sparkSession if df is not None else SparkSession.getActiveSession()
+    )
+    if getattr(sess, _PIN_ATTR, False):
+        return writer.start()
+    with pinned_state_partitions(sess):
         return writer.start()
 
 
@@ -143,18 +185,18 @@ def run_to_completion(
     streaming_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming aggregation until the source drains; return the
-    materialized result table (S8 memory sink)."""
+    materialized result table (S8 memory sink). The memory sink is
+    session-scoped, so the table is read back from the STREAM's session
+    (the pinned child for events_stream-built queries)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = streaming_df.sparkSession
-    with pinned_state_partitions(spark):
-        q = (
-            streaming_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = start_pinned(
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)

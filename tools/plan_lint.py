@@ -58,6 +58,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "l56_ivf_persisted": {
         "bnlj": "broadcast side = persisted C-centroid index"
     },
+    "l14b_ivf_neardup": {
+        "bnlj": "broadcast side = C IVF centroids (train/assign/probe)"
+    },
     "l38_hard_negatives": {
         "bnlj": "broadcast side = the bounded query/anchor set"
     },
@@ -115,10 +118,32 @@ _COLREF = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
 
 def _has_agg_below(node) -> bool:
-    for sub in _walk(node):
-        if "Aggregate" in sub.getClass().getSimpleName():
-            return True
-    return False
+    """True when every raw-row path into the window passes through an
+    aggregate. Descends only the STREAMED/probe side of build-sided
+    joins: an aggregate on a broadcast build side (a stats join-back
+    onto raw fact rows — exactly the funnel this rule targets) must not
+    count as bounding the window's input. Multi-child nodes without a
+    build side (sort-merge join, union) need the bound on EVERY branch,
+    since each can feed fact-scale rows through."""
+    cls = node.getClass().getSimpleName()
+    if "Aggregate" in cls:
+        return True
+    cs = node.children()
+    n = cs.size()
+    if n == 0:
+        return False
+    if n == 1:
+        return _has_agg_below(cs.apply(0))
+    if "Join" in cls:
+        try:
+            side = node.buildSide().toString()
+        except Exception:
+            side = None
+        if side is not None:
+            return _has_agg_below(
+                cs.apply(0 if side == "BuildRight" else 1)
+            )
+    return all(_has_agg_below(cs.apply(i)) for i in range(n))
 
 
 def _lowcard_window_hits(qe) -> list[str]:
@@ -236,6 +261,14 @@ def main() -> int:
             else:
                 bad += 1
                 print(f"FAIL  {name}: {rule}")
+    print(
+        "note: any Spark 'No Partition Defined for Window' WARNs above "
+        "come from deliberately-global windows over TINY aggregated "
+        "tables — the ALLOW-listed window entries (c25/l33/a27) and the "
+        "per-bucket-totals offset tables in operators/ranks.py "
+        "(|groups| x n_buckets rows, never raw rows) — benign by "
+        "construction."
+    )
     print(f"plan lint: {bad} unexplained, {allowed} allowed")
     return 1 if bad else 0
 

@@ -103,6 +103,11 @@ PROBE = [
     "w7_pct_rank_cume",
     "w8_zscore",
     "w16_cumulative_distinct",
+    # round-6: IVF-screened near-dup, CUSUM off the raw-row window,
+    # batched iterative CC
+    "l14b_ivf_neardup",
+    "w20_cusum_drift",
+    "g3_connected_components",
 ]
 
 
