@@ -15,6 +15,7 @@ from nipd_spark.operators.ivf import assign as ivf_assign
 from nipd_spark.operators.ivf import search as ivf_search
 from nipd_spark.operators.ivf import train_centroids as ivf_train_centroids
 from nipd_spark.operators.knn import top_pairs_gemm, topk_per_query_gemm
+from nipd_spark.operators.materialize import spill_checkpoint
 from nipd_spark.operators.merge import merge_into
 from nipd_spark.operators.minhash import near_dup_pairs
 from nipd_spark.operators.snapshots import (
@@ -43,6 +44,7 @@ __all__ = [
     "near_dup_pairs",
     "read_snapshot",
     "simhash_signatures",
+    "spill_checkpoint",
     "top_pairs_gemm",
     "topk_per_query_gemm",
     "vacuum",

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nipd_spark.operators.materialize import spill_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -59,7 +61,11 @@ def connected_components(
         .distinct()
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    # Edge list is fact-sized: DISK_ONLY blocks stay out of the unified
+    # memory pool so the per-round joins keep their execution budget
+    # (materialize.spill_checkpoint rationale). The O(nodes) label
+    # vector below stays on the default in-memory path.
+    sym = spill_checkpoint(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

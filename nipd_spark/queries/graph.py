@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
+from nipd_spark.operators.materialize import spill_checkpoint
 from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
@@ -93,9 +94,10 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # column pruning specializes each consumer's subtree so
         # ReusedExchange never fires and the co-purchase self-join would
         # recompute ~6x (measured: 20 s at sf0.1). Materialize once on
-        # executors (components.py's per-round discipline) — at 100 TB
-        # this is the standard cut for any multi-consumer subplan.
-        .localCheckpoint(eager=True)
+        # executors — at 100 TB this is the standard cut for any
+        # multi-consumer subplan; DISK_ONLY keeps the fact-sized blocks
+        # out of the unified memory pool (operators/materialize.py).
+        .transform(spill_checkpoint)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -115,7 +117,7 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(first_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(first_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .localCheckpoint(eager=True)  # three wedge-join consumers
+        .transform(spill_checkpoint)  # three wedge-join consumers
     )
     o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     o2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
@@ -203,15 +205,11 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    und = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     e = (
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # Hash-partition by the iteration join key BEFORE freezing the
@@ -221,8 +219,18 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # list (the fact-sized side) shuffles exactly once, ever.
         # Width = cluster parallelism (defaultParallelism), the same
         # sizing a bucketed-table write would use.
+        #
+        # Dedup rides the SAME exchange: hash(u) colocates equal (u, v)
+        # pairs, so HashPartitioning(u) satisfies the dropDuplicates
+        # ClusteredDistribution(u, v) and Catalyst inserts no second
+        # edge-sized shuffle (deduping the directed list after
+        # symmetrizing ≡ deduping the undirected list before — the
+        # reverse of a duplicate is a duplicate).
         .repartition(spark.sparkContext.defaultParallelism, "u")
-        .localCheckpoint(eager=True)
+        .dropDuplicates(["u", "v"])
+        # DISK_ONLY: the edge list is fact-sized; in-pool blocks starve
+        # the iteration joins' execution memory (materialize.py).
+        .transform(spill_checkpoint)
     )
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
 
