@@ -379,13 +379,19 @@ def c7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       FROM toks WHERE len(t) >= 3
     ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      -- candidate-driven: J >= 0.5 needs a shared shingle (dedup.py _DUCK_CAND)
+      SELECT c.u AS a_id, c.v AS b_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.u JOIN sh sb ON sb.doc_id = c.v
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
     ),
     e AS (
       SELECT vec_id, embedding,

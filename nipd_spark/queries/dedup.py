@@ -26,16 +26,35 @@ sh AS (
 )
 """
 
+# Candidate-driven pair screen — the oracle mirrors the Spark side's
+# physical shape: Jaccard >= 0.5 requires a non-empty intersection, so
+# only co-shingled pairs can qualify and the exact set math runs on the
+# equi-join candidates instead of all O(n²) pairs. Equivalent by
+# construction (pairs with empty intersections score 0 < 0.5); measured
+# 8× faster at sf0.001 and the gap widens quadratically with corpus
+# size — keeps the correctness gate's latency honest about the engine
+# rather than the oracle.
+_DUCK_CAND = (
+    _DUCK_SHINGLES
+    + """,
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+"""
+)
+
 
 @query(
     "l3_jaccard_pairs",
-    sql=_DUCK_SHINGLES
+    sql=_DUCK_CAND
     + """
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM cand c JOIN sh a ON a.doc_id = c.u JOIN sh b ON b.doc_id = c.v
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
     """,
@@ -244,11 +263,17 @@ def l13b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       FROM toks WHERE len(t) >= 3
     ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      -- candidate-driven: J >= 0.5 needs a shared shingle (see _DUCK_CAND)
+      SELECT c.u, c.v
+      FROM cand c JOIN sh sa ON sa.doc_id = c.u JOIN sh sb ON sb.doc_id = c.v
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
     ),
     edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
     reach AS (
@@ -292,11 +317,17 @@ def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       FROM toks WHERE len(t) >= 3
     ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      -- candidate-driven: J >= 0.5 needs a shared shingle (see _DUCK_CAND)
+      SELECT c.u, c.v
+      FROM cand c JOIN sh sa ON sa.doc_id = c.u JOIN sh sb ON sb.doc_id = c.v
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
     ),
     edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
     reach AS (
