@@ -1,0 +1,78 @@
+"""Deep scale probe: the literal "would it survive 100x?" measurement.
+
+tools/gen_scale.py builds a key-shifted 100x replica of sf0.1
+(~60 M lineitem rows, 10 M events, 500 k documents — a true two-order-
+of-magnitude jump over the bench corpus, "sf10-equivalent"), and this
+probe times the linear-path headline queries on it under the scale
+profile (AQE on), reporting time ratios vs sf0.1. Ideal is <= ~100x
+time for 100x data on fixed cores; on a real cluster the extra data
+would instead buy parallelism.
+
+The probe deliberately EXCLUDES the quadratic-output families at this
+tier: brute-force kNN (l4) is O(n^2) by definition and its 100 TB path
+is the IVF tier (probed at 16x); LSH/embedding near-dup output grows
+with the SQUARE of the per-content duplication factor on this
+deliberately duplicate-heavy replica (100 copies -> ~5k true pairs per
+planted dup group), so their cost at 100x measures the adversarial
+corpus, not the operator — they are probed at 16x where output stays
+inspectable (SCALE.md "Measured linearity").
+
+Usage: SPARK_GRAFT_PROFILE=scale python tools/scale_probe_deep.py [scaled_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from nipd_spark import registry
+from nipd_spark.session import get_spark
+from scale_probe import timed
+
+PROBE_DEEP = [
+    "q1_pricing_summary",  # scan -> partial/final hash agg
+    "q3_shipping_priority",  # 3-way shuffle join + global top-k
+    "q5_local_supplier",  # 6-way star join
+    "q13_customer_distribution",  # outer join + agg
+    "o4_pergroup_topk",  # window rank
+    "t1_tumbling_hourly",  # event-time window agg
+    "w14_reset_cumsum",  # per-user window recurrence
+    "a1b_salted_agg",  # two-stage skew-safe agg
+    "a17_heavy_hitters",  # distributed heavy hitters
+    "j8_range_join",  # bucketed range join
+    "j9_asof_join",  # union + last(ignorenulls) as-of
+    "l2_hash_dedup",  # content-hash dedup
+    "l6_token_tf",  # explode + agg
+    "l20_text_clean",  # map-only text normalization
+    "l50_gopher_rules",  # quality-rule filter battery
+    "g3_connected_components",  # iterative min-label CC
+]
+
+
+def main() -> None:
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nipd_scale100"
+    spark = get_spark("scale-probe-deep")
+    specs = registry.all_specs()
+    out = {}
+    for name in PROBE_DEEP:
+        fn = specs[name].fn
+        # warm=1 at this tier: one warm-up + one timed run — the 100x
+        # runs are tens of seconds, so run-to-run variance is a small
+        # fraction and a third execution buys little.
+        t_small, n_small = timed(fn, spark, "/root/testdata/sf0.1", warm=1)
+        t_big, n_big = timed(fn, spark, scaled, warm=1)
+        ratio = t_big / t_small if t_small > 0 else float("nan")
+        out[name] = {
+            "sf0.1_s": round(t_small, 3),
+            "x100_s": round(t_big, 3),
+            "time_ratio": round(ratio, 1),
+            "rows_out": [n_small, n_big],
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"probe_deep": out}))
+
+
+if __name__ == "__main__":
+    main()
