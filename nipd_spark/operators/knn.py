@@ -11,7 +11,8 @@ The zip_with/aggregate per-pair scan is correct but interpreter-bound
      toPandas; multi-block: streamed toLocalIterator accumulation)
   2. each partition of the big side runs one BLAS GEMM per block and
      keeps only its local top candidates (mapInPandas, Arrow-batched);
-     multi-block candidate sets are eagerly localCheckpoint'ed so the
+     multi-block candidate sets are eagerly checkpointed (DISK_ONLY —
+     candidate volume scales with output size; materialize.py) so the
      block's broadcast can be destroyed before the next is built
   3. global top-k over the union of per-block candidates — sound
      because every true top-k pair lives in exactly one
@@ -39,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from nipd_spark.operators.materialize import spill_checkpoint
 
 from nipd_spark.operators import vector
 
@@ -146,7 +149,7 @@ def top_pairs_gemm(
             # Materialize on executors NOW (bounded: ≤ n_parts·local_k
             # rows) so this block's broadcast can be torn down before the
             # next block is built — driver + cluster memory stay O(block).
-            cand = cand.localCheckpoint(eager=True)
+            cand = spill_checkpoint(cand)
             bc.destroy()
         cands.append(cand)
 
@@ -213,7 +216,7 @@ def topk_per_query_gemm(
             block, "q_id long, neighbor_id long, approx double"
         )
         if multi_block:
-            cand = cand.localCheckpoint(eager=True)
+            cand = spill_checkpoint(cand)
             bc.destroy()
         cands.append(cand)
 
@@ -304,7 +307,7 @@ def threshold_pairs_gemm(
 
         cand = bsrc.mapInPandas(block, "a_id long, b_id long, approx double")
         if multi_block:
-            cand = cand.localCheckpoint(eager=True)
+            cand = spill_checkpoint(cand)
             bc.destroy()
         cands.append(cand)
 

@@ -783,11 +783,13 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration; the depth bound caps the blow-up on this dense graph
     (avg degree ≈ 2·orders·C(basket,2)/parts, so depth 2 already
     reaches most of the component). The edge list behind the ``e``
-    view is localCheckpoint()ed — a plain view would re-derive the
+    view is checkpointed (DISK_ONLY — it is fact-sized, see
+    operators/materialize.py) — a plain view would re-derive the
     distinct self-join on EVERY recursion step, multiplying the
     dominant cost by the recursion depth.
     """
     from nipd_spark.catalog import register_views
+    from nipd_spark.operators.materialize import spill_checkpoint
 
     register_views(spark, sf_dir)
     edges = spark.sql(
@@ -800,7 +802,7 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT u, v FROM und UNION ALL SELECT v, u FROM und
         """
-    ).localCheckpoint(eager=True)
+    ).transform(spill_checkpoint)
     edges.createOrReplaceTempView("e")
     return spark.sql("WITH RECURSIVE " + _SQL3_BODY)
 
