@@ -540,40 +540,53 @@ def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-25 bigrams while bounding what crosses the network to
     ≤ m rows per partition instead of the full key domain.
 
-    Phase 1 generates candidates per partition: a (partition_id,
-    bigram) partial count — the map-side combine collapses each
-    partition's stream to its local distinct keys before any exchange —
-    then a per-partition top-m (m=256) window keeps only plausible
-    hitters. Phase 2 broadcast-semi-joins the tiny candidate union back
-    onto the data and recounts EXACTLY, so the final counts carry no
-    sketch error — which is what lets the plain GROUP BY oracle
-    hash-match. A per-partition top-m over n rows keeps every key with
-    local freq > n_p/m, and a global top-k key is above that bar in at
-    least one partition, so the candidate union covers the true top-k
-    whenever k ≪ m (here 25 ≪ 256 against a ~1.6k-bigram domain).
+    Phase 1 computes a (partition_id, bigram) partial count — the
+    map-side combine collapses each partition's stream to its local
+    distinct keys before any exchange — then a per-partition top-m
+    (m=256) window keeps only plausible hitters. Phase 2 recounts the
+    candidates EXACTLY — but from the SAME partials, never from the raw
+    stream: a bigram's global count is by definition the sum of its
+    per-partition counts, so semi-joining the candidate union onto the
+    checkpointed partials and summing ``c`` reproduces the full-shuffle
+    GROUP BY bit-for-bit (which is what lets the plain GROUP BY oracle
+    hash-match) while the fact-sized tokenize/explode stream is read
+    ONCE (r6: was two full passes — the 100x probe measured 52 s, half
+    of it the redundant second tokenize). A per-partition top-m over n
+    rows keeps every key with local freq > n_p/m, and a global top-k
+    key is above that bar in at least one partition, so the candidate
+    union covers the true top-k whenever k ≪ m (here 25 ≪ 256 against
+    a ~1.6k-bigram domain).
 
-    Scale: the phase-1 exchange carries per-partition distinct keys —
-    for heavy-hitter-shaped (Zipfian) data that is orders of magnitude
-    under the row count; when the distinct-per-partition set itself
+    Scale: the one exchange carries per-partition distinct keys — for
+    heavy-hitter-shaped (Zipfian) data that is orders of magnitude
+    under the row count; the partials table (what spill_checkpoint
+    materializes DISK_ONLY, outside the unified memory pool) is that
+    same post-combine set, so it scales with distinct keys x
+    partitions, not rows. When the distinct-per-partition set itself
     outgrows memory, swap phase 1 for a bounded-memory Misra-Gries
-    mapInPandas (same contract: a superset of every local top-m) — the
-    JVM path is preferred because an Arrow round-trip of every row
-    measured 17x slower at the 16x probe for identical output. Phase
-    2's semi-join probe side is a broadcast of ≤ m·partitions
-    candidates.
+    mapInPandas (same superset contract) and recount its survivors with
+    one additional pass — the JVM path is preferred because an Arrow
+    round-trip of every row measured 17x slower at the 16x probe for
+    identical output. Phase 2's probe side is a broadcast of
+    ≤ m·partitions candidates.
     """
     from pyspark.sql import Window
 
     from nipd_spark.operators import text
+    from nipd_spark.operators.materialize import spill_checkpoint
 
     docs = load(spark, sf_dir, "documents")
     bigrams = docs.select(
         F.explode(text.shingles(F.col("text"), 2)).alias("bigram")
     )
-    local = (
+    # lazy: a17 is single-action, so the checkpoint materializes inside
+    # the query's own first job (honest timing) and both plan branches
+    # (candidate top-m and exact recount) read the same DISK_ONLY blocks.
+    local = spill_checkpoint(
         bigrams.select(F.spark_partition_id().alias("pid"), "bigram")
         .groupBy("pid", "bigram")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
+        eager=False,
     )
     pw = Window.partitionBy("pid").orderBy(
         F.col("c").desc(), F.col("bigram").asc()
@@ -585,9 +598,9 @@ def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        bigrams.join(F.broadcast(cands), "bigram", "left_semi")
+        local.join(F.broadcast(cands), "bigram", "left_semi")
         .groupBy("bigram")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(25)
     )
