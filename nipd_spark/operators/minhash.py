@@ -168,16 +168,39 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataF
     """Full LSH pipeline: collapse exact dups → shingle → sign → band join
     → verify ≥ threshold → expand dup groups back into pairs.
 
+    The collapse/expand envelope is ``collapse_expand`` (shared with the
+    prefix-filter join — any candidate generator benefits identically);
+    this function supplies the banded-MinHash candidate stage.
+    """
+    return collapse_expand(
+        docs,
+        lambda sh: exact_jaccard(sh, band_candidates(signatures(sh))).filter(
+            F.col("jaccard") >= threshold
+        ),
+        n,
+    )
+
+
+def collapse_expand(docs: DataFrame, rep_pairs_fn, n: int = 3) -> DataFrame:
+    """Exact-duplicate collapse → pair search on representatives only →
+    group expansion back to member pairs.
+
     Exact duplicates (byte-identical text) are collapsed to one
-    representative per sha2(text) group BEFORE the LSH stages. Duplicate-
-    heavy corpora otherwise degenerate: k copies of a doc put k rows in
-    every one of its band buckets, and the bucket self-join materializes
-    all O(k²) candidate pairs through the shingle-join verify stage
-    (measured 37× time for 16× rows on a 16-copy corpus; 2.4× after).
-    Identical docs need no verification — their Jaccard is 1 by
+    representative per sha2(text) group BEFORE the candidate stages.
+    Duplicate-heavy corpora otherwise degenerate: k copies of a doc put
+    k rows in every one of its candidate buckets/join keys, and the
+    self-join materializes all O(k²) candidate pairs through the verify
+    stage (measured 37× time for 16× rows on a 16-copy corpus; 2.4×
+    after). Identical docs need no verification — their Jaccard is 1 by
     definition — so within-group pairs and group×group expansions are
     emitted by cheap equi-joins at the end, and the quadratic cost is
     confined to the unavoidable output size itself.
+
+    ``rep_pairs_fn`` maps the representatives' distinct (doc_id,
+    shingle) table to qualifying pairs (a_id, b_id, n_inter, jaccard) —
+    the pluggable candidate-generation + verify stage (banded MinHash in
+    ``near_dup_pairs``, document-frequency prefix filtering in the
+    AllPairs join).
     """
     members = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("ghash"))
     groups = members.groupBy("ghash").agg(F.min("doc_id").alias("rep_id"))
@@ -187,8 +210,7 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataF
     )
 
     sh = doc_shingles(reps, n)
-    cands = band_candidates(signatures(sh))
-    rep_pairs = exact_jaccard(sh, cands).filter(F.col("jaccard") >= threshold)
+    rep_pairs = rep_pairs_fn(sh)
 
     # Within-group: identical text ⇒ identical shingle set ⇒ J = 1.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_inter"))

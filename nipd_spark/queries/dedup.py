@@ -938,3 +938,94 @@ def l54_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.8)
         .orderBy(F.col("containment").desc(), F.col("a_id").asc(), F.col("b_id").asc())
     )
+
+
+@query(
+    "l61_prefix_filter_join",
+    # Identical oracle to l3_jaccard_pairs: prefix filtering is LOSSLESS
+    # (recall 1.0 by theorem, see docstring), so the qualifying pair set
+    # is exactly the J >= 0.5 set the brute-force anchor emits.
+    sql=_DUCK_CAND
+    + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM cand c JOIN sh a ON a.doc_id = c.u JOIN sh b ON b.doc_id = c.v
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    tags=("L3", "J1", "O4"),
+)
+def l61_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08) — the deterministic,
+    recall-1.0 alternative to MinHash LSH for Jaccard >= t pairs.
+
+    The brute-force anchor (l3) equi-joins on EVERY shared shingle, so a
+    hot shingle held by k docs contributes O(k^2) candidate rows before
+    dedup — at 100 TB a single boilerplate phrase becomes the shuffle's
+    heaviest key. Prefix filtering bounds that: order shingles globally
+    by ascending document frequency (rarest first, shingle text as the
+    tie-break), and for each doc keep only its first
+    p = |s| - ceil(t*|s|) + 1 shingles in that order. THEOREM: if
+    J(a,b) >= t then |a∩b| >= t*|a∪b| >= ceil(t*|a|), and if the
+    smallest-ranked common shingle sat outside a's prefix, all common
+    shingles would fit in a's last ceil(t*|a|) - 1 positions — fewer
+    than the overlap requires; symmetrically for b. So every qualifying
+    pair shares a PREFIX shingle in both prefixes, and joining prefixes
+    only is exact. Because prefixes hold each doc's RAREST shingles,
+    join-key fan-out is smallest where data is hottest — boilerplate
+    never becomes a join key unless a doc consists of little else.
+
+    Verification is candidate-driven (operators/minhash.exact_jaccard's
+    pairs mode): per-doc sets aggregate once, candidates probe them by
+    equi-key — the same physical discipline the LSH verify stage pins.
+    The whole pipeline runs inside minhash.collapse_expand, so
+    byte-identical copies are collapsed to one representative before
+    any shingle becomes a join key and expanded back at the end — on a
+    duplicate-heavy corpus the prefix join otherwise re-inherits the
+    O(k²) hot-key blow-up it exists to avoid.
+
+    Cost vs l3 on this corpus (31-token vocabulary, so shingles are
+    deliberately hot): distinct candidate pairs drop 11,533 -> 977
+    (11.8x, measured at sf0.01) before verify. The df ranking pass is
+    one extra groupBy over distinct (doc, shingle) — linear, map-side
+    combinable.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = 0.5
+
+    def prefix_pairs(sh: DataFrame) -> DataFrame:
+        df_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("df").asc(), F.col("shingle").asc()
+        )
+        pref = (
+            sh.join(df_freq, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .filter(
+                F.col("pos")
+                <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("long") + 1
+            )
+            .select("doc_id", "shingle")
+        )
+        cand = (
+            pref.alias("pa")
+            .join(pref.alias("pb"), "shingle")
+            .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+            .select(
+                F.col("pa.doc_id").alias("a_id"),
+                F.col("pb.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        return minhash.exact_jaccard(sh, pairs=cand).filter(
+            F.col("jaccard") >= t
+        )
+
+    return minhash.collapse_expand(docs, prefix_pairs, 3)

@@ -1559,3 +1559,70 @@ def test_ivf_neardup_recall_vs_gemm(spark, sf_dir):
     recall = len(ivf) / len(exact)
     print(f"ivf-neardup recall @ nprobe=6/16: {recall:.3f}")
     assert recall >= 0.8
+
+
+def test_prefix_filter_join_is_lossless(spark, sf_dir):
+    """l61's prefix-filtered candidates must reproduce the brute-force
+    exact-Jaccard anchor EXACTLY — the AllPairs prefix theorem promises
+    recall 1.0, not approximately 1.0 (full rows: ids, n_inter,
+    jaccard)."""
+    from nipd_spark.queries.dedup import l3_jaccard_pairs, l61_prefix_filter_join
+
+    exact = {
+        (r.a_id, r.b_id, r.n_inter, round(r.jaccard, 12))
+        for r in l3_jaccard_pairs(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.a_id, r.b_id, r.n_inter, round(r.jaccard, 12))
+        for r in l61_prefix_filter_join(spark, sf_dir).collect()
+    }
+    assert pref == exact
+    assert len(exact) > 0
+
+
+def test_prefix_filter_lossless_on_adversarial_sets(spark):
+    """Prefix filtering on a hand-built corpus that stresses the theorem's
+    edges: identical sets, sets meeting the threshold exactly, sets one
+    shingle short of it, and subset/superset pairs — the candidate join
+    may prune, never drop."""
+    import itertools
+
+    from nipd_spark.queries import dedup as dd
+    from nipd_spark.operators import minhash
+    from pyspark.sql import functions as F
+
+    # token streams engineered so 3-shingle Jaccards straddle t=0.5
+    texts = {
+        1: "a b c d e f g h",          # anchor
+        2: "a b c d e f g h",          # identical: J = 1
+        3: "a b c d e f g x",          # high overlap
+        4: "x y z a b c d e",          # shifted overlap
+        5: "p q r s t u v w",          # disjoint: J = 0
+        6: "a b c d",                  # subset-ish, few shingles
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    sh = minhash.doc_shingles(docs, 3)
+    sets: dict[int, set[str]] = {}
+    for r in sh.collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+            want.add((a, b))
+
+    # run l61's pipeline body against the synthetic docs via a stub loader
+    import nipd_spark.queries.dedup as dmod
+    orig_load = dmod.load
+    dmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            (r.a_id, r.b_id)
+            for r in dd.l61_prefix_filter_join(spark, "ignored").collect()
+        }
+    finally:
+        dmod.load = orig_load
+    assert got == want
+    assert len(want) >= 2  # identical + >=1 borderline pair present
