@@ -203,6 +203,12 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine wobble cannot survive the 0.85³ contraction at 6 dp.
     """
     li = load(spark, sf_dir, "lineitem")
+    # The distinct + self-join stays: both sides share one exchange
+    # (ReusedExchange) and the pairing runs in JVM codegen. The r6
+    # probe measured the tempting alternative — per-order collect_set
+    # + in-row nested-transform pair expansion — at 67.4 s vs 25.6 s
+    # for this plan at the 100x tier: interpreted-HOF struct
+    # construction costs more than a co-partitioned sort-merge join.
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
     und = a.join(
@@ -228,8 +234,15 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reverse of a duplicate is a duplicate).
         .repartition(spark.sparkContext.defaultParallelism, "u")
         .dropDuplicates(["u", "v"])
-        # DISK_ONLY: the edge list is fact-sized; in-pool blocks starve
-        # the iteration joins' execution memory (materialize.py).
+        # DISK_ONLY + EAGER: the edge list is fact-sized; in-pool blocks
+        # starve the iteration joins' execution memory (materialize.py).
+        # Eager matters too — an r6 experiment made this lazy for
+        # honest single-action timing and the 100x tier then died with
+        # UNABLE_TO_ACQUIRE_MEMORY: materializing the blocks INSIDE the
+        # iteration job co-schedules block writes with the join/agg
+        # pipelines on all 32 task slots, the exact contention the
+        # eager build avoids by running as its own job. SCALE.md
+        # reports build and iteration costs separately instead.
         .transform(spill_checkpoint)
     )
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
