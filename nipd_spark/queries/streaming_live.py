@@ -1164,3 +1164,141 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = dfv if out is None else out.unionByName(dfv)
     return out.select("version", "event_type", "n_events", "total_cents")
+
+
+@query(
+    "t19_stateful_session_timeout",
+    # Emission set = every 6h-gap session whose inactivity window closed
+    # before the final watermark (max ts − 1 s). Mid-replay a session
+    # closes either when the user's NEXT event reveals the gap (data
+    # path) or when the watermark passes last_ts + 6h with no new data
+    # (timer path); a user's final session can only close by timer.
+    # Gap-closed sessions satisfy the cutoff by construction (their
+    # next event, ≤ max ts, arrived > 6 h after session_end), so one
+    # data-derived predicate covers both paths on both engines.
+    # Sessions still inside their gap at shutdown stay in state and
+    # never emit; the oracle excludes them identically.
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, {ts_us()} AS ts, value FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+    ),
+    g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, sum(value) AS sv
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end,
+           n_events, {dround("sv", 6)} AS sum_value
+    FROM agg
+    WHERE session_end + INTERVAL 6 HOUR
+            < (SELECT max(ts) FROM ev) - INTERVAL 1 SECOND
+    """,
+    tags=("T8", "T3", "T4"),
+)
+def t19_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven stateful sessionization (applyInPandasWithState +
+    EventTimeTimeout) — the state-machine surface t8 leaves untested:
+    per-user 6-hour-gap sessions where a session is finalized EITHER by
+    the next event revealing the gap OR by a watermark-driven timeout
+    firing with no data for the key (``state.hasTimedOut``), the
+    pattern behind inactivity emails, session-end billing, and
+    abandoned-cart triggers. Each handler call re-arms the timer at
+    last_event + gap; the timeout path emits the session and removes
+    state, so keyed state stays bounded by ACTIVE sessions only — at
+    100 TB the timer wheel lives in the state store (RocksDB) and
+    eviction is incremental per micro-batch, never a scan.
+
+    The 4-file in-order replay advances the watermark between
+    micro-batches, so mid-stream timeouts genuinely fire (users absent
+    from a later file get their sessions evicted by timer, not by
+    shutdown). The oracle is the batch lag-gap sessionization
+    restricted to sessions decidably closed before the final
+    watermark — see the registration comment for why one predicate
+    covers both close paths.
+
+    Float discipline: per-session sums accumulate in event-time order
+    in the handler and in unspecified order in the oracle's SUM; both
+    round at 6 dp (≤ ~50 doubles per session, error ~1e-13 — far
+    inside the rounding).
+    """
+    import pandas as pd
+
+    GAP_US = 6 * 3600 * 1_000_000
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start_us long, last_us long, n long, sv double"
+
+    def sessionize(key, pdfs, state):
+        def emit(start_us, last_us, n, sv):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, sv = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, sv)
+            return
+
+        start = last = None
+        n, sv = 0, 0.0
+        if state.exists:
+            start, last, n, sv = state.get
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("ts", kind="mergesort")
+        closed = []
+        for t_us, v in zip(
+            batch["ts"].astype("int64") // 1000, batch["value"]
+        ):
+            t_us = int(t_us)
+            if start is None:
+                start, last, n, sv = t_us, t_us, 1, float(v)
+            elif t_us - last > GAP_US:
+                closed.append((start, last, n, sv))
+                start, last, n, sv = t_us, t_us, 1, float(v)
+            else:
+                last, n, sv = t_us, n + 1, sv + float(v)
+        state.update((int(start), int(last), int(n), float(sv)))
+        # re-arm the inactivity timer: fires when the watermark passes
+        # the session's gap horizon (ms resolution — the store's unit)
+        state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)
+        for c in closed:
+            yield emit(*c)
+
+    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+    sess = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize, out_schema, state_schema, "update", "EventTimeTimeout"
+        )
+    )
+    out = run_to_completion(sess, "update")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )

@@ -54,15 +54,17 @@ _QUERY_MODULES = (
 # carry a driver row (the full-sweep ritual — tools/diffcheck.py at
 # sf0.001 AND sf0.01 — still gates every query every round regardless).
 # Round-6 front: this round's additions/rewrites first (l61 AllPairs
-# prefix-filter join, a17 single-pass heavy hitters, l14b IVF near-dup
-# from the r5 tail — rows-only but a driver row documents it runs at
-# the driver's vantage), then never-checked names spanning every family
+# prefix-filter join, t19 timer-driven stateful sessionization, a17
+# single-pass heavy hitters, l14b IVF near-dup from the r5 tail —
+# rows-only but a driver row documents it runs at the driver's
+# vantage), then never-checked names spanning every family
 # (aggregates, composites, UDF surface, data quality, scalar functions,
 # join strategies, LLM curation, sources, windows). All are green in
 # the r6 full sweeps at both SFs before this rotation landed.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-6 additions / rewrites
     "l61_prefix_filter_join",
+    "t19_stateful_session_timeout",
     "a17_heavy_hitters",
     "l14b_ivf_neardup",
     # aggregates tail (never driver-checked)
@@ -119,7 +121,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "o6_keyset_pagination",
     "s12_zorder_skipping",
     "s20_file_provenance",
-    "w17_time_weighted_avg",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -205,3 +205,29 @@ def test_transform_with_state_tracker(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_session_timeout_timer_path_fires(spark, sf_dir):
+    """t19's EventTimeTimeout path must genuinely fire: a user's FINAL
+    session has no later event to reveal its gap, so its presence in
+    the output proves timer-driven eviction (not just data-path gap
+    closes). Also pins exactly-once emission per session."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.streaming_live import t19_stateful_session_timeout
+
+    out = t19_stateful_session_timeout(spark, sf_dir).collect()
+    assert out
+    last_ts = {
+        r.user_id: r.mx
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    }
+    timer_emitted = [r for r in out if r.session_end == last_ts[r.user_id]]
+    assert timer_emitted, "no session can only have closed by timer"
+    # data-path closes must also be present (sessions before a later event)
+    assert len(timer_emitted) < len(out)
+    # exactly-once: one row per (user, session_start)
+    keys = [(r.user_id, r.session_start) for r in out]
+    assert len(keys) == len(set(keys))
