@@ -1302,3 +1302,102 @@ def t19_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+@query(
+    "t20_state_store_reader",
+    # The state store's final content for the t8-shaped tracker IS the
+    # per-user batch aggregate: state was built by the drained replay,
+    # and the reader exposes the last committed micro-batch's snapshot.
+    sql="""
+    SELECT user_id,
+           count(*) AS n_seen,
+           max(value) AS max_value,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T8", "S1"),
+)
+def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection (Spark 4 State Data Source,
+    SPARK-45511): after a stateful streaming query drains, read its
+    checkpoint's keyed state back as a BATCH DataFrame with
+    ``spark.read.format("statestore").load(checkpoint)`` — the ops
+    surface for debugging stuck state, auditing eviction, and
+    migrating state between jobs, none of which the sink output can
+    answer. The query runs a t8-shaped per-user tracker
+    (applyInPandasWithState over the 4-file replay) against an
+    explicit checkpoint, then returns the STORE's content — key struct
+    + typed groupState struct flattened — which must equal the batch
+    per-user aggregate exactly (the oracle): state is the aggregate.
+
+    Scale: the reader maps checkpoint state files directly (one task
+    per state partition, here the pinned 32) with no replay — at
+    100 TB this is how you audit a TB-sized RocksDB state without
+    touching the source stream. The staged checkpoint is content-keyed
+    under /tmp; the tracker is (re)started on it every call — on an
+    existing checkpoint that is a t13-style RESTART that finds no new
+    files and commits nothing, which both exercises recovery and
+    guarantees the StateStoreCoordinator RPC endpoint exists in this
+    process (the state source resolves stores through it, and Spark
+    only creates it when a streaming query has run — a fresh process
+    reading a cold checkpoint fails with RpcEndpointNotFoundException
+    otherwise; observed, hence no read-only fast path).
+    """
+    import hashlib
+    import uuid as _uuid
+
+    import pandas as pd
+
+    tag = hashlib.sha1(f"{sf_dir}|t20".encode()).hexdigest()[:10]
+    chk = f"/tmp/nipd_chk_{tag}"
+
+    out_schema = (
+        "user_id long, n_seen long, max_value double, n_purchase long"
+    )
+    state_schema = "n long, mx double, np long"
+
+    def track(key, pdfs, state):
+        n, mx, np_ = state.get if state.exists else (0, float("-inf"), 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                np_ += int((pdf["event_type"] == "purchase").sum())
+        state.update((n, mx, np_))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "max_value": [mx],
+                "n_purchase": [np_],
+            }
+        )
+
+    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", "NoTimeout"
+    )
+    # foreachBatch + noop write: a RECOVERABLE sink (the memory sink
+    # rejects restarts from a checkpoint) that still forces each
+    # micro-batch's full execution so state commits; the sink output
+    # itself is irrelevant here — the STORE is the result.
+    q = start_pinned(
+        updates.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _id: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", chk)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return spark.read.format("statestore").load(chk).select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.n").alias("n_seen"),
+        F.col("value.groupState.mx").alias("max_value"),
+        F.col("value.groupState.np").alias("n_purchase"),
+    )

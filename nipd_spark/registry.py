@@ -54,8 +54,9 @@ _QUERY_MODULES = (
 # carry a driver row (the full-sweep ritual — tools/diffcheck.py at
 # sf0.001 AND sf0.01 — still gates every query every round regardless).
 # Round-6 front: this round's additions/rewrites first (l61 AllPairs
-# prefix-filter join, t19 timer-driven stateful sessionization, a17
-# single-pass heavy hitters, l14b IVF near-dup from the r5 tail —
+# prefix-filter join, t19 timer-driven stateful sessionization, t20
+# state-store reader, a17 single-pass heavy hitters, l14b IVF near-dup
+# from the r5 tail —
 # rows-only but a driver row documents it runs at the driver's
 # vantage), then never-checked names spanning every family
 # (aggregates, composites, UDF surface, data quality, scalar functions,
@@ -65,6 +66,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # round-6 additions / rewrites
     "l61_prefix_filter_join",
     "t19_stateful_session_timeout",
+    "t20_state_store_reader",
     "a17_heavy_hitters",
     "l14b_ivf_neardup",
     # aggregates tail (never driver-checked)
@@ -120,7 +122,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # ordering / sources / windows tail
     "o6_keyset_pagination",
     "s12_zorder_skipping",
-    "s20_file_provenance",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -231,3 +231,19 @@ def test_session_timeout_timer_path_fires(spark, sf_dir):
     # exactly-once: one row per (user, session_start)
     keys = [(r.user_id, r.session_start) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_state_store_reader_restart_stable(spark, sf_dir):
+    """t20 read back twice: the second call restarts the tracker on the
+    existing checkpoint (no new files -> no new commits) and the state
+    read must be identical — recovery does not mutate or lose state."""
+    from nipd_spark.queries.streaming_live import t20_state_store_reader
+
+    first = sorted(
+        map(tuple, t20_state_store_reader(spark, sf_dir).collect())
+    )
+    second = sorted(
+        map(tuple, t20_state_store_reader(spark, sf_dir).collect())
+    )
+    assert first == second
+    assert first  # non-empty state
