@@ -50,7 +50,7 @@ _QUERY_MODULES = (
 # queries() entries per round. Rounds 1-5 cumulatively covered 199
 # distinct queries; the r5 judge noted the r5 window re-sampled only
 # already-checked names, so from round 6 the front list ROTATES to 50
-# never-driver-checked queries each round until the remaining 118 all
+# never-driver-checked queries each round until the remaining 120 all
 # carry a driver row (the full-sweep ritual — tools/diffcheck.py at
 # sf0.001 AND sf0.01 — still gates every query every round regardless).
 # Round-6 front: this round's additions/rewrites first (l61 AllPairs
