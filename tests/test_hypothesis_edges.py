@@ -480,3 +480,54 @@ def test_weighted_median_matches_python_reference(spark, rows):
                 ref = v
                 break
         assert got[g] == ref, (g, got[g], ref, items)
+
+
+# --- prefix-filter join under randomized duplication -----------------
+
+_words = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@given(
+    bases=st.lists(
+        st.lists(_words, min_size=3, max_size=8), min_size=2, max_size=6
+    ),
+    dups=st.lists(st.integers(min_value=1, max_value=3), min_size=6, max_size=6),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_collapse_expand_equals_brute(spark, bases, dups):
+    """l61's full pipeline (collapse_expand envelope + df-ordered prefix
+    join + candidate-driven verify) must equal brute-force exact
+    Jaccard >= 0.5 over ALL co-shingled pairs on corpora with random
+    byte-identical duplication — the contract the r6 refactor moved
+    into a shared operator. Tiny 5-word vocabulary makes hot shingles
+    and threshold-straddling pairs common."""
+    from nipd_spark.operators import minhash
+    from nipd_spark.queries import dedup as dmod
+    from pyspark.sql import functions as F
+
+    rows, did = [], 0
+    for i, toks in enumerate(bases):
+        for _ in range(dups[i % len(dups)]):
+            rows.append((did, " ".join(toks)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = minhash.doc_shingles(docs, 3)
+    brute = {
+        (r.a_id, r.b_id, r.n_inter)
+        for r in minhash.exact_jaccard(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+
+    orig_load = dmod.load
+    dmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            (r.a_id, r.b_id, r.n_inter)
+            for r in dmod.l61_prefix_filter_join(spark, "ignored").collect()
+        }
+    finally:
+        dmod.load = orig_load
+    assert got == brute
