@@ -34,6 +34,32 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def dataset_tag(sf_dir: str, salt: str = "") -> str:
+    """Content-sensitive tag for /tmp staging and checkpoints: sha1 over
+    the (name, size, mtime_ns) of every table file under ``sf_dir``,
+    plus the path and a per-use salt.
+
+    Keying derived state on the PATH alone is a stale-reuse hazard: if
+    the data under sf_dir is regenerated in place, a path-keyed staged
+    fixture or streaming checkpoint silently serves results from the
+    OLD data (a restarted file source sees no new files at all). The
+    stat fingerprint changes with the data, so regeneration
+    auto-invalidates every derived artifact. ~10 stat calls, no reads.
+    """
+    import hashlib
+    import os
+
+    parts = [sf_dir, salt]
+    for name in TABLES:
+        p = f"{sf_dir}/{name}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
+        except FileNotFoundError:
+            parts.append(f"{name}|absent")
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:12]
+
+
 def _events_ts_is_ns(sf_dir: str) -> bool:
     """Sniff the events parquet footer (pyarrow, no Spark) — True when
     ``ts`` is stored as ns (either timestamp[ns] or raw int64 epoch-ns).

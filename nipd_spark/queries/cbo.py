@@ -20,7 +20,7 @@ any hint in this file.
 
 from __future__ import annotations
 
-import hashlib
+from nipd_spark.catalog import dataset_tag
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,7 +34,7 @@ def stats_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     Idempotent per (session, sf_dir): CREATE + ANALYZE run once; stats
     live in the session catalog (row count + per-column NDV/min/max).
     """
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tag = dataset_tag(sf_dir, "cbo")
     tbl = f"cbo_{name}_{tag}"
     if not spark.catalog.tableExists(tbl):
         spark.sql(

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nipd_spark.catalog import load
+from nipd_spark.catalog import dataset_tag, load
 from nipd_spark.registry import query
 
 
@@ -97,7 +97,6 @@ def l10b_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write to /tmp, read back, verify payload integrity end-to-end
     (rows-only; the integrity check is inside the query — mismatches
     would change the row count)."""
-    import hashlib as _h
     import os
 
     docs = load(spark, sf_dir, "documents").limit(100)
@@ -108,7 +107,7 @@ def l10b_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("tokens"),
         F.sha2(F.encode("text", "UTF-8"), 256).alias("sha_before"),
     )
-    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "mm")
     path = f"/tmp/nipd_modal_{tag}"
     if not os.path.exists(path):
         modal.write.mode("overwrite").parquet(path + ".tmp")

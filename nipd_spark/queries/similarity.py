@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nipd_spark.catalog import load
+from nipd_spark.catalog import dataset_tag, load
 from nipd_spark.operators import knn, lsh, vector
 from nipd_spark.oracle import dround
 from nipd_spark.registry import query
@@ -629,7 +629,7 @@ def l56_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nipd_spark.operators import ivf
 
-    tag = hashlib.sha1(f"{sf_dir}|ivf_index".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "ivf_index")
     idx = f"/tmp/nipd_ivf_{tag}"
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if not os.path.exists(idx):

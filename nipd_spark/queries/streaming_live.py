@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nipd_spark.catalog import load
+from nipd_spark.catalog import dataset_tag, load
 from nipd_spark.oracle import dround, ts_us
 from nipd_spark.registry import query
 from nipd_spark.streaming.harness import (
@@ -414,11 +414,10 @@ def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit log (_spark_metadata). This is the production landing
     pattern at 100 TB: Kafka → filter/project → partitioned parquet,
     with the commit log making restarts idempotent."""
-    import hashlib
     import os
     import shutil
 
-    tag = hashlib.sha1(f"{sf_dir}|t9".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t9")
     out = f"/tmp/nipd_sink_{tag}"
     chk = out + "_chk"
     if not os.path.exists(out + "/.done"):
@@ -477,13 +476,12 @@ def t10_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     the checkpoint's batch-id dedup as long as the swap is idempotent
     per batch id — here the replay is synchronous and single-writer.
     """
-    import hashlib
     import os
     import shutil
 
     from nipd_spark.operators.merge import merge_into
 
-    tag = hashlib.sha1(f"{sf_dir}|t10v2".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t10v2")
     store = f"/tmp/nipd_upsert_{tag}"
     chk = store + "_chk"
     done = store + "/.done"
@@ -674,14 +672,13 @@ def t12_incremental_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-run cost scales with the DELTA, not the table, and a crashed
     run resumes from the commit log.
     """
-    import hashlib
     import os
     import shutil
 
     from nipd_spark.streaming.harness import _stage_dir
 
     staged = _stage_dir(sf_dir, parts=4)  # 4 chunk files of events
-    tag = hashlib.sha1(f"{sf_dir}|t12".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t12")
     src = f"/tmp/nipd_t12_src_{tag}"
     out = f"/tmp/nipd_t12_out_{tag}"
     chk = f"/tmp/nipd_t12_chk_{tag}"
@@ -754,14 +751,13 @@ def t13_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes streaming jobs safely deployable, which is an OPERATIONAL
     property t12's stateless variant can't witness.
     """
-    import hashlib
     import os
     import shutil
 
     from nipd_spark.streaming.harness import _stage_dir
 
     staged = _stage_dir(sf_dir, parts=4)
-    tag = hashlib.sha1(f"{sf_dir}|t13".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t13")
     src = f"/tmp/nipd_t13_src_{tag}"
     chk = f"/tmp/nipd_t13_chk_{tag}"
     name = f"t13_sink_{tag}"
@@ -903,13 +899,12 @@ def t15_stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-foot: Σ sink-A counts == rows(sink B) — asserted in-function
     — and sink A must equal the batch oracle.
     """
-    import hashlib
     import os
     import shutil
 
     from nipd_spark.streaming.harness import events_stream
 
-    tag = hashlib.sha1(f"{sf_dir}|t15".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t15")
     a_dir = f"/tmp/nipd_t15_a_{tag}"
     b_dir = f"/tmp/nipd_t15_b_{tag}"
     chk = f"/tmp/nipd_t15_chk_{tag}"
@@ -974,13 +969,12 @@ def t16_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ordered them correctly. Multi-batch replay (4 chunk files,
     one per trigger) makes the per-batch delta behavior real.
     """
-    import hashlib
     import os
     import shutil
 
     from nipd_spark.streaming.harness import events_stream
 
-    tag = hashlib.sha1(f"{sf_dir}|t16".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t16")
     log_dir = f"/tmp/nipd_t16_log_{tag}"
     chk = f"/tmp/nipd_t16_chk_{tag}"
     if not os.path.exists(log_dir + "/_done"):
@@ -1102,7 +1096,6 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename), and history reads are plain parquet scans — the streaming
     half of what s22/s23 exercise in batch.
     """
-    import hashlib
     import shutil
 
     from nipd_spark.operators.merge import merge_into
@@ -1112,7 +1105,7 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    tag = hashlib.sha1(f"{sf_dir}|t18".encode()).hexdigest()[:10]
+    tag = dataset_tag(sf_dir, "t18")
     table = f"/tmp/nipd_snapver_{tag}"
     chk = table + "_chk"
     if (latest_version(table) or 0) != 4:  # self-heal any partial state
@@ -1168,14 +1161,19 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t19_stateful_session_timeout",
-    # Emission set = every 6h-gap session whose inactivity window closed
-    # before the final watermark (max ts − 1 s). Mid-replay a session
-    # closes either when the user's NEXT event reveals the gap (data
-    # path) or when the watermark passes last_ts + 6h with no new data
-    # (timer path); a user's final session can only close by timer.
-    # Gap-closed sessions satisfy the cutoff by construction (their
-    # next event, ≤ max ts, arrived > 6 h after session_end), so one
-    # data-derived predicate covers both paths on both engines.
+    # Emission set mirrors the handler's TWO close paths exactly:
+    # (1) DATA path — the user's next event reveals the gap; the
+    #     handler emits unconditionally (even inside the final second
+    #     of the stream), and a session has a later same-user event
+    #     iff it is not that user's LAST session (sid < max sid).
+    # (2) TIMER path — only a user's last session can reach shutdown
+    #     unclosed; it emits iff its timer fired, and the firing rule
+    #     was pinned empirically (tests/test_streaming.py): fire iff
+    #     timeout_ms < floor(max_ts_us/1000) − 1000, strict, both
+    #     sides ms-floored (Spark's watermark unit). The handler ceils
+    #     the timeout to the next ms, so the oracle compares
+    #     ceil((session_end_us + 6h)/1000) against that watermark —
+    #     bit-identical arithmetic, no sub-ms boundary ambiguity.
     # Sessions still inside their gap at shutdown stay in state and
     # never emit; the oracle excludes them identically.
     sql=f"""
@@ -1195,15 +1193,22 @@ def t18_stream_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     ),
     agg AS (
-      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      SELECT user_id, sid, min(ts) AS session_start,
+             max(ts) AS session_end,
              count(*) AS n_events, sum(value) AS sv
       FROM g GROUP BY user_id, sid
+    ),
+    ranked AS (
+      SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM agg
+    ),
+    wm AS (
+      SELECT epoch_us(max(ts)) // 1000 - 1000 AS wm_ms FROM ev
     )
     SELECT user_id, session_start, session_end,
            n_events, {dround("sv", 6)} AS sum_value
-    FROM agg
-    WHERE session_end + INTERVAL 6 HOUR
-            < (SELECT max(ts) FROM ev) - INTERVAL 1 SECOND
+    FROM ranked, wm
+    WHERE sid < last_sid
+       OR (epoch_us(session_end) + 21600000999) // 1000 < wm_ms
     """,
     tags=("T8", "T3", "T4"),
 )
@@ -1223,10 +1228,12 @@ def t19_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 4-file in-order replay advances the watermark between
     micro-batches, so mid-stream timeouts genuinely fire (users absent
     from a later file get their sessions evicted by timer, not by
-    shutdown). The oracle is the batch lag-gap sessionization
-    restricted to sessions decidably closed before the final
-    watermark — see the registration comment for why one predicate
-    covers both close paths.
+    shutdown). The oracle is the batch lag-gap sessionization with the
+    handler's two close paths reproduced verbatim: non-last sessions
+    (data-path, emitted unconditionally) plus last sessions whose
+    ms-ceiled timer horizon cleared the ms-floored final watermark
+    strictly — the firing rule pinned empirically in
+    tests/test_streaming.py (registration comment has the arithmetic).
 
     Float discipline: per-session sums accumulate in event-time order
     in the handler and in unspecified order in the oracle's SUM; both
@@ -1281,8 +1288,11 @@ def t19_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 last, n, sv = t_us, n + 1, sv + float(v)
         state.update((int(start), int(last), int(n), float(sv)))
         # re-arm the inactivity timer: fires when the watermark passes
-        # the session's gap horizon (ms resolution — the store's unit)
-        state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)
+        # the session's gap horizon. The store's unit is ms, so CEIL
+        # the µs-exact last+gap to the next ms — a floor could fire
+        # the timer up to 1 ms before the true horizon, and the oracle
+        # mirrors this exact ceil (registration comment).
+        state.setTimeoutTimestamp((last + GAP_US + 999) // 1000)
         for c in closed:
             yield emit(*c)
 
@@ -1345,12 +1355,16 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading a cold checkpoint fails with RpcEndpointNotFoundException
     otherwise; observed, hence no read-only fast path).
     """
-    import hashlib
-    import uuid as _uuid
+    import os
 
     import pandas as pd
 
-    tag = hashlib.sha1(f"{sf_dir}|t20".encode()).hexdigest()[:10]
+    # Keyed on the dataset FINGERPRINT (not the path — regenerating data
+    # in place must invalidate the checkpoint, or the restarted file
+    # source sees no new files and serves stale state) plus the pid, so
+    # concurrent processes never contend on one checkpoint. Within a
+    # process the tag is stable: call 2+ is the documented restart.
+    tag = f"{dataset_tag(sf_dir, 't20')}_{os.getpid()}"
     chk = f"/tmp/nipd_chk_{tag}"
 
     out_schema = (

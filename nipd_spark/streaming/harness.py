@@ -105,13 +105,17 @@ def _stage_dir(sf_dir: str, parts: int = 1) -> str:
     """The parquet file source requires a *directory*; testdata is a flat
     read-only file. Stage a /tmp dir (idempotent): a symlink for parts=1,
     or the file split into ``parts`` chunk files so maxFilesPerTrigger=1
-    yields a real multi-micro-batch replay for stateful operators."""
-    import hashlib
+    yields a real multi-micro-batch replay for stateful operators.
+
+    Content-keyed (catalog.dataset_tag): regenerating the data under
+    sf_dir in place yields a fresh stage dir, never a stale replay."""
     import os
 
     import pyarrow.parquet as pq
 
-    tag = hashlib.sha1(f"{sf_dir}|{parts}".encode()).hexdigest()[:10]
+    from nipd_spark.catalog import dataset_tag
+
+    tag = dataset_tag(sf_dir, f"stage{parts}")
     d = f"/tmp/nipd_stream_{tag}"
     src = f"{sf_dir}/events.parquet"
     if parts == 1:

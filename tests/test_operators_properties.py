@@ -1067,6 +1067,55 @@ def test_heavy_hitter_candidates_cover_topk(spark, sf_dir):
     assert [(r.bigram, r.n) for r in got] == [(r.bigram, r.n) for r in exact]
 
 
+def test_heavy_hitter_guard_falls_back_on_flat_distribution(spark):
+    """The coverage certificate is a precondition, not a theorem: on a
+    flat distribution the true kth count can be ≤ n/m and the bounded
+    candidate union may genuinely miss a top-k key. The guard must
+    detect that (kth·m ≤ n) and fall back to the exact recount over
+    the partials — result equal to the brute-force GROUP BY."""
+    import pyspark.sql.functions as F
+
+    from nipd_spark.queries.aggregates import _certified_topk_from_partials
+
+    # 4 partitions × 40 distinct keys each, every count 1 — totally
+    # flat. With m=2 each partition nominates only 2 candidates, so the
+    # fast path sees 8 of 160 keys and the certificate (1·2 > 160)
+    # fails; only the fallback can produce the true deterministic
+    # top-5 (count ties broken by key asc ⇒ globally smallest keys).
+    rows = [
+        (pid, f"k{pid:02d}_{i:03d}", 1) for pid in range(4) for i in range(40)
+    ]
+    local = spark.createDataFrame(rows, "pid int, tok string, c long")
+    got = _certified_topk_from_partials(local, key="tok", m=2, k=5)
+    exact = (
+        local.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(5)
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
+    # and with a genuinely skewed head the certificate passes and the
+    # bounded fast path is chosen (broadcast-semi recount in the plan)
+    # per-pid counts 50/45/40/35/30/25 → globals 200/180/160/140/120/100;
+    # n = 160 + 900 = 1060, kth (hot_c) = 160, certificate 160·8 > 1060 ✓
+    skew = rows + [
+        (pid, f"hot_{x}", c)
+        for pid in range(4)
+        for x, c in zip("abcdef", (50, 45, 40, 35, 30, 25))
+    ]
+    local2 = spark.createDataFrame(skew, "pid int, tok string, c long")
+    got2 = _certified_topk_from_partials(local2, key="tok", m=8, k=3)
+    assert [tuple(r) for r in got2.collect()] == [
+        ("hot_a", 200),
+        ("hot_b", 180),
+        ("hot_c", 160),
+    ]
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "LeftSemi" in plan2
+
+
 def test_pagerank_mass_conservation(spark, sf_dir):
     """g2's undirected graph has no dangling nodes, so total rank mass
     stays ≈ n_nodes every iteration; and ranks must be ≥ 0.15."""

@@ -530,15 +530,36 @@ def test_j15_bloom_filter_injected(spark, sf_dir):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
 
 
-def test_a17_semi_join_is_broadcast(spark, sf_dir):
-    """Heavy-hitter phase 2 must probe the candidate set as a broadcast
-    left-semi join — never shuffle the exploded bigram stream against
-    a tiny candidate list."""
+def test_a17_plan_matches_coverage_certificate(spark, sf_dir):
+    """a17's plan is DATA-ADAPTIVE: the bounded broadcast-semi recount
+    only when the runtime coverage certificate (kth·m > n) proves it
+    exact; otherwise the exact GROUP BY over the partials. The chosen
+    branch must correspond to the certificate computed independently
+    here — and the test corpus's flat bigram domain fails it, so the
+    shipped plan on this corpus is the fallback (no LeftSemi). The
+    fast path's broadcast-semi shape is pinned on a skewed corpus in
+    test_heavy_hitter_guard_falls_back_on_flat_distribution."""
+    import pyspark.sql.functions as F
+
+    from nipd_spark.catalog import load
+    from nipd_spark.operators import text
+
     plan = _plan(spark, sf_dir, "a17_heavy_hitters")
-    assert "BroadcastHashJoin LeftSemi" in plan or (
-        "LeftSemi" in plan and "BroadcastExchange" in plan
-    )
     assert "CartesianProduct" not in plan
+
+    bigrams = load(spark, sf_dir, "documents").select(
+        F.explode(text.shingles(F.col("text"), 2)).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(25)
+    kth = top.collect()[-1]["n"]
+    n_total = counts.agg(F.sum("n")).first()[0]
+    certificate_passes = int(kth) * 256 > int(n_total)
+    assert ("LeftSemi" in plan) == certificate_passes
+    assert not certificate_passes, (
+        "corpus distribution changed: if the certificate now passes, "
+        "move the fast-path plan pin here"
+    )
 
 
 def test_c14_attribution_no_cartesian(spark, sf_dir):

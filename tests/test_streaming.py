@@ -233,6 +233,83 @@ def test_session_timeout_timer_path_fires(spark, sf_dir):
     assert len(keys) == len(set(keys))
 
 
+def test_event_time_timeout_boundary_semantics(spark, tmp_path):
+    """Pins the engine rule t19's oracle arithmetic depends on: an
+    EventTimeTimeout timer fires iff timeout_ms < floor(max_ts_us/1000)
+    − delay_ms — STRICT comparison, watermark ms-floored from µs event
+    times. Three keys arm timers at wm−1 / wm / wm+1; only wm−1 may
+    fire. If a Spark upgrade flips the strictness or the flooring,
+    this fails before the oracle silently diverges."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "src")
+    import os
+
+    os.makedirs(d)
+    pa_schema = pa.schema([("k", pa.int64()), ("ts", pa.timestamp("us"))])
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "ts": [1_000_000_000] * 3}, schema=pa_schema),
+        f"{d}/part0.parquet",
+    )
+    # watermark driver: max ts 2000.123456 s -> wm_ms = 2000123 - 1000
+    pq.write_table(
+        pa.table({"k": [99], "ts": [2_000_123_456]}, schema=pa_schema),
+        f"{d}/part1.parquet",
+    )
+    os.utime(f"{d}/part0.parquet", (1_600_000_000, 1_600_000_000))
+    os.utime(f"{d}/part1.parquet", (1_600_000_010, 1_600_000_010))
+    wm_ms = 2_000_123 - 1_000
+
+    def handler(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"k": [key[0]], "fired": [True]})
+            return
+        for _ in pdfs:
+            pass
+        state.update((int(key[0]),))
+        offset = {1: -1, 2: 0, 3: 1}.get(key[0], 10_000_000)
+        state.setTimeoutTimestamp(wm_ms + offset)
+        if False:
+            yield pd.DataFrame()
+
+    from nipd_spark.streaming.harness import start_pinned
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    out = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("k")
+        .applyInPandasWithState(
+            handler, "k long, fired boolean", "kk long", "update",
+            "EventTimeTimeout",
+        )
+    )
+    name = "timeout_boundary_sink"
+    q = start_pinned(
+        out.writeStream.outputMode("update").format("memory").queryName(name)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fired = sorted(r.k for r in spark.table(name).collect())
+    assert fired == [1], (
+        f"EventTimeTimeout boundary changed: fired={fired}, expected only "
+        "timeout_ms == wm-1 (strict <, ms-floored watermark)"
+    )
+
+
 def test_state_store_reader_restart_stable(spark, sf_dir):
     """t20 read back twice: the second call restarts the tracker on the
     existing checkpoint (no new files -> no new commits) and the state
