@@ -2332,3 +2332,230 @@ def l60_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("cap"), F.col("th")).alias("alloc"),
         (F.col("cap") <= F.col("th")).alias("capped"),
     )
+
+
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "window"), (1, "sort"), (1, "order"),
+    (2, "hash"), (2, "join"), (2, "merge"),
+    (3, "stream"), (3, "batch"), (3, "filter"),
+    (4, "scan"), (4, "column"), (4, "table"),
+)
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "l62_bm25_topk",
+    # Float discipline: avgdl is sum(dl)/n (integer sum then one
+    # division — bit-identical, never avg()'s order-dependent float
+    # sum); per-(doc,term) contributions are identical expression
+    # shapes over identical integers, so only ln()'s last ulp and the
+    # ≤3-term SUM order differ cross-engine — both far inside the 6 dp
+    # rounding. Ranking uses the ROUNDED score (ties → doc_id), so
+    # rank is deterministic on both engines.
+    sql=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+    tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+    tf AS (
+      SELECT q.query_id, t.term, t.doc_id, t.dl, count(*) AS tf
+      FROM tok t JOIN q ON t.term = q.term
+      GROUP BY 1, 2, 3, 4
+    ),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT f.query_id, f.doc_id,
+             {dround('''sum(
+               ln(1 + (s.n_docs - x.df + 0.5) / (x.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+             )''', 6)} AS score
+      FROM tf f JOIN dfreq x USING (term), stats s
+      GROUP BY f.query_id, f.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, score
+    FROM ranked WHERE rn <= 10
+    """,
+    tags=("L7", "L6", "O4"),
+)
+def l62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (k1=1.2, b=0.75): top-10 documents per
+    query for a fixed 4-query set — the lexical-retrieval primitive
+    behind eval-set decontamination probes, RAG candidate generation,
+    and quality-by-query curation that TF-IDF (l7) doesn't cover
+    (BM25's tf saturation and length normalization change ranking).
+
+    Plan shape for 100 TB: the query-term table is a ≤12-row broadcast,
+    so the fact-sized tokenize/explode stream is filtered to matching
+    terms BEFORE the (query, term, doc) tf aggregation — the shuffle
+    carries only docs containing ≥1 query term. Document frequencies
+    and corpus stats are tiny aggregates broadcast back. The final
+    per-query top-k uses the l58 salted two-level pattern: level 1
+    ranks within (query, salt-of-doc) so no window ever funnels all
+    matching docs of one query through one task; level 2 takes the
+    exact global top-10 from the ≤ k·n_salts survivors with a bounded
+    collect + array_sort + slice. posexplode rebuilds rn 1..k.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    dd = docs.withColumn("dl", F.size("toks"))
+    stats = dd.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tok = dd.select("doc_id", "dl", F.explode("toks").alias("term"))
+    qterms = docs.sparkSession.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, term string"
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = (
+        F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (F.lit(0.25) + 0.75 * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    k, n_salts = 10, 16
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    local = (
+        scored.withColumn("__salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+    )
+    return (
+        local.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("ns"), "doc_id", "score"
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("long").alias("rn"),
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.score").alias("score"),
+        )
+    )
+
+
+@query(
+    "l63_hrw_shard_rebalance",
+    # Fully integer/hex-deterministic: both engines build the SAME
+    # candidate strings "<doc_id>|<shard>", md5 to lowercase hex, and
+    # pick the lexicographic-max hash (unique — no ties), so shard
+    # assignments are bit-identical cross-engine with no float in
+    # sight. The n_moved_in = 0 rows for shards 0-7 ARE the minimal-
+    # movement theorem, visible in the result.
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    c8 AS (
+      SELECT doc_id, s, md5(doc_id || '|' || s) AS h
+      FROM ids, range(8) t(s)
+    ),
+    a8 AS (SELECT doc_id, arg_max(s, h) AS shard_old FROM c8 GROUP BY doc_id),
+    c9 AS (
+      SELECT doc_id, s, md5(doc_id || '|' || s) AS h
+      FROM ids, range(9) t(s)
+    ),
+    a9 AS (SELECT doc_id, arg_max(s, h) AS shard_new FROM c9 GROUP BY doc_id)
+    SELECT CAST(a9.shard_new AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE a8.shard_old <> a9.shard_new)
+             AS n_moved_in
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("L9", "A1", "F3"),
+)
+def l63_hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with a rebalance
+    proof: assign every document to one of 8 shards by
+    argmax_s md5(doc_id|s), then re-assign under 9 shards and report,
+    per new shard, the document count and how many documents MOVED in.
+    HRW's guarantee — growing 8→9 shards moves only the ~1/9 of keys
+    won by the new shard, and nothing relocates between surviving
+    shards — shows up directly in the result: n_moved_in = 0 for
+    shards 0-7, ≈ N/9 for shard 8. This is the stable-sharding
+    primitive for 100 TB training-data layout (adding capacity must
+    not reshuffle the corpus; cf. consistent hashing) and for
+    deterministic worker routing.
+
+    Plan shape: the argmax is a per-row array_max over 8/9
+    (hash, shard) structs — pure map-side JVM expressions, zero
+    shuffle, zero UDF — followed by one 9-group partial aggregate.
+    Scales as a single linear scan at any corpus size.
+    """
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+
+    def hrw(n: int):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("doc_id").cast("string"),
+                                F.lit(str(s)),
+                            )
+                        ).alias("h"),
+                        F.lit(s).alias("s"),
+                    )
+                    for s in range(n)
+                ]
+            )
+        )["s"]
+
+    assigned = ids.select(
+        hrw(8).alias("shard_old"), hrw(9).alias("shard_new")
+    )
+    return (
+        assigned.groupBy(F.col("shard_new").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("shard_old") != F.col("shard_new")).alias(
+                "n_moved_in"
+            ),
+        )
+    )

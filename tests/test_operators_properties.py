@@ -1675,3 +1675,38 @@ def test_prefix_filter_lossless_on_adversarial_sets(spark):
         dmod.load = orig_load
     assert got == want
     assert len(want) >= 2  # identical + >=1 borderline pair present
+
+
+def test_hrw_sharding_minimal_movement(spark, sf_dir):
+    """l63's rendezvous-hash guarantee: growing 8→9 shards moves docs
+    ONLY into the new shard (n_moved_in = 0 for shards 0-7), the new
+    shard wins ≈ 1/9 of keys, and no document is lost or duplicated."""
+    from nipd_spark.catalog import load
+    from nipd_spark.queries.text_llm import l63_hrw_shard_rebalance
+
+    rows = {r.shard_id: r for r in l63_hrw_shard_rebalance(spark, sf_dir).collect()}
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n
+    for s in range(8):
+        assert rows[s].n_moved_in == 0, f"shard {s} gained relocated docs"
+    moved = rows[8].n_moved_in
+    assert rows[8].n_docs == moved  # everything in shard 8 is new
+    assert n / 20 <= moved <= n / 4, (moved, n)
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """l62: each query returns ≤10 docs ranked by rounded score desc
+    (doc_id tiebreak), scores strictly positive, rn dense from 1."""
+    from nipd_spark.queries.text_llm import l62_bm25_topk
+
+    out = l62_bm25_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r.score > 0 for r in rs)
+        keys = [(-r.score, r.doc_id) for r in rs]
+        assert keys == sorted(keys), f"query {q} not score-desc ordered"
