@@ -2559,3 +2559,88 @@ def l63_hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "l64_systematic_token_sample",
+    # Integer-exact end to end: weights, the running sum, the total and
+    # the stride test (100·run) div tot are all BIGINT ops — no float
+    # ever enters, so both engines agree bit-for-bit. DuckDB's SUM over
+    # BIGINT widens to HUGEINT → explicit BIGINT casts on every output.
+    sql="""
+    WITH d AS (
+      SELECT doc_id, source,
+             (doc_id * 1103) % 10007 AS hk,
+             len(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT *, sum(w) OVER (ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM d
+    ),
+    t AS (SELECT sum(w) AS tot FROM d),
+    p AS (
+      SELECT c.*,
+             ((100 * run) // tot) - ((100 * (run - w)) // tot) AS m
+      FROM c, t
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE m > 0) AS BIGINT) AS n_picked,
+           CAST(sum(m) AS BIGINT) AS n_draws,
+           CAST(sum(doc_id) FILTER (WHERE m > 0) AS BIGINT)
+             AS picked_id_sum,
+           CAST(sum(w) FILTER (WHERE m > 0) AS BIGINT) AS picked_tokens
+    FROM p GROUP BY source
+    """,
+    tags=("L9", "W3", "A12"),
+)
+def l64_systematic_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling proportional to token count —
+    the 'downsample the corpus to a K-draw token budget with exact
+    proportional representation' step of a mixture build (the
+    with-replacement complement of l58's per-source cap; UniMax l60
+    sets the budgets, this executes a draw). Documents are laid on a
+    token-weighted number line in multiplicative-hash order (the l17
+    split discipline — stable under repartitioning, no RNG state) and
+    every (i·T/100)-th token boundary selects the document under it;
+    a document longer than T/100 is legitimately drawn multiple times
+    (``n_draws`` = its multiplicity, Σ n_draws = 100 exactly).
+
+    Everything is 64-bit integer arithmetic — selection is
+    (100·run) div tot strides over the inclusive running token sum —
+    so the draw is bit-reproducible on any engine (overflow bound:
+    100·total_tokens < 2⁶³ holds to ~9·10¹⁶ tokens, three orders past
+    a 100 TB corpus).
+
+    Plan shape: the global running sum is the bucketed two-level form
+    (operators/ranks.with_global_running_sum) — per-bucket window +
+    broadcast offsets, no single-partition stage; the total is a 1-row
+    broadcast; the verdict is one per-source partial aggregate. One
+    narrow-projection scan, two tiny exchanges.
+    """
+    from nipd_spark.operators.ranks import with_global_running_sum
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.pmod(F.col("doc_id") * 1103, F.lit(10007)).alias("hk"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+    )
+    c = with_global_running_sum(
+        base, key="hk", tiebreaks=["doc_id"], val="w", out="run"
+    )
+    tot = base.agg(F.sum("w").alias("tot"))
+    p = c.crossJoin(F.broadcast(tot)).withColumn(
+        "m",
+        F.expr("(100 * run) div tot") - F.expr("(100 * (run - w)) div tot"),
+    )
+    return p.groupBy("source").agg(
+        F.count_if(F.col("m") > 0).alias("n_picked"),
+        F.sum("m").alias("n_draws"),
+        F.sum(F.when(F.col("m") > 0, F.col("doc_id"))).alias(
+            "picked_id_sum"
+        ),
+        F.sum(F.when(F.col("m") > 0, F.col("w"))).alias("picked_tokens"),
+    )
