@@ -46,82 +46,80 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 6): the driver hash-checks the FIRST 50
-# queries() entries per round. Rounds 1-5 cumulatively covered 199
-# distinct queries; the r5 judge noted the r5 window re-sampled only
-# already-checked names, so from round 6 the front list ROTATES to 50
-# never-driver-checked queries each round until the remaining 120 all
-# carry a driver row (the full-sweep ritual — tools/diffcheck.py at
-# sf0.001 AND sf0.01 — still gates every query every round regardless).
-# Round-6 front: this round's additions/rewrites first (l61 AllPairs
-# prefix-filter join, t19 timer-driven stateful sessionization, t20
-# state-store reader, a17 single-pass heavy hitters, l14b IVF near-dup
-# from the r5 tail —
-# rows-only but a driver row documents it runs at the driver's
-# vantage), then never-checked names spanning every family
-# (aggregates, composites, UDF surface, data quality, scalar functions,
-# join strategies, LLM curation, sources, windows). All are green in
-# the r6 full sweeps at both SFs before this rotation landed.
+# Verification rotation (round 7): the driver hash-checks the FIRST 50
+# queries() entries per round. Cumulative driver coverage after r6 is
+# 249/322 names; the front list continues rotating to never-checked
+# queries (73 remain) until every name carries a driver row — the
+# full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01) still
+# gates every query every round regardless.
+# Round-7 front: this round's additions first (l62 BM25 retrieval,
+# l63 HRW shard rebalance, l64 systematic token sampling), then the
+# three queries whose SEMANTICS changed this round (t19's two-path
+# oracle + ms-ceil timer, t20's content-keyed checkpoint, a17's
+# runtime coverage certificate) so the driver re-verifies the changed
+# behavior, then 44 never-checked names spanning every family. The 23
+# never-checked names left over (incl. the rows-only sketch/ANN set)
+# roll to round 8. All are green in the r7 full sweeps at both SFs
+# before this rotation landed.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # round-6 additions / rewrites
-    "l61_prefix_filter_join",
+    # round-7 additions
+    "l62_bm25_topk",
+    "l63_hrw_shard_rebalance",
+    "l64_systematic_token_sample",
+    # round-7 semantic changes (driver re-verification)
     "t19_stateful_session_timeout",
     "t20_state_store_reader",
     "a17_heavy_hitters",
-    "l14b_ivf_neardup",
-    # aggregates tail (never driver-checked)
-    "a16_unpivot",
-    "a17b_approx_top_k",
-    "a19_bitmap_distinct",
-    "a20_boolean_aggregates",
-    "a21_string_agg",
-    "a22_window_distinct",
-    "a24_weighted_median",
-    "a26_deterministic_mode",
-    "a29_harmonic_mean",
-    "a31_weighted_median",
-    # business/genomics/stat composites
-    "c13_time_in_state",
-    "c14_time_decay_attribution",
-    "c17_bootstrap_ci",
-    "c18_transition_matrix",
-    "c22_association_rules",
-    "c26_capped_balance",
-    "c30_scd2_dimension",
-    "c31_hardy_weinberg",
-    "c33_assoc_chi2",
-    "c34_kaplan_meier",
-    # UDF surface extensions
-    "d10_sql_udf",
-    "d11_arrow_udf",
-    "d12_udtf_analyze",
-    # data quality
-    "dq1_expectations",
-    "dq4_distribution_drift",
-    "dq9_control_chart",
-    # scalar-function families
-    "f9_calendar_funcs",
-    "f12_regression_funcs",
-    "f14_try_family",
-    "f15_nested_struct_ops",
-    "f16_variant_json",
-    # join strategies / dimensional
-    "j13_salted_join",
-    "j16_drill_across",
-    "j20_interval_overlap",
+    # streaming tail (never driver-checked)
+    "t10_stream_foreachbatch_upsert",
+    "t11_stream_outer_join",
+    "t12_incremental_availablenow",
+    "t13_stateful_restart",
+    "t14_python_stream_source",
+    "t15_stream_multi_sink",
+    "t16_update_mode_changelog",
+    "t17_stream_sliding_window",
+    "t18_stream_snapshot_versions",
+    # sources / sinks tail
+    "s9_text_source",
+    "s10_binary_source",
+    "s11_schema_evolution",
+    "s13_compaction",
+    "s14_corrupt_records",
+    "s15_python_datasource",
+    "s18_managed_table_ddl",
+    "s19_compression_codecs",
+    "s20_file_provenance",
+    "s25_snapshot_retention",
+    # composites tail
+    "c19_seasonality_profile",
+    "c21_leadtime_distribution",
+    "c23_ordered_funnel",
+    "c24_discount_response",
+    "c25_mom_growth",
+    "c27_pareto_abc",
+    "c28_session_paths",
+    "c29_revenue_waterfall",
+    "c32_ld_r2",
+    # windows tail
+    "w11_gap_fill",
+    "w15_nth_value_family",
+    "w17_time_weighted_avg",
+    "w21_ewma",
     # LLM curation tail
-    "l16b_canonical_rep",
-    "l24_pii_redact",
-    "l25_pack_sequences",
-    "l26_incremental_dedup",
-    "l31_bpe_pair_step",
-    "l44_dedup_audit",
-    "l50_gopher_rules",
-    "l58_per_source_cap",
-    "l59_token_budget_mix",
-    # ordering / sources / windows tail
-    "o6_keyset_pagination",
-    "s12_zorder_skipping",
+    "l23_repetition_filter",
+    "l27_corpus_card",
+    "l28_quantize_embeddings",
+    "l29_domain_rebalance",
+    "l30_fuzzy_blocked_match",
+    "l32_weighted_sample",
+    "l33_corpus_shuffle",
+    "l34_grouped_split",
+    "l36_chunk_documents",
+    # scalar/predicate tail
+    "f13_bitwise_family",
+    "f18_null_scalar_family",
+    "p8_not_in_nulls",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list
