@@ -531,3 +531,50 @@ def test_prefix_filter_collapse_expand_equals_brute(spark, bases, dups):
     finally:
         dmod.load = orig_load
     assert got == brute
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # pid
+            st.integers(min_value=0, max_value=9),   # key id (collisions common)
+            st.integers(min_value=1, max_value=50),  # local count
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    m=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_certified_topk_always_exact(spark, counts, m, k):
+    """a17's _certified_topk_from_partials must equal the brute-force
+    GROUP BY top-k for ANY partial distribution and any (m, k) — the
+    certificate may only choose BETWEEN two exact plans, never change
+    the answer. Randomized pids/keys/counts with tiny m force both the
+    fallback (flat, certificate fails) and fast (skewed head) branches
+    across examples."""
+    import pyspark.sql.functions as F
+
+    from nipd_spark.queries.aggregates import _certified_topk_from_partials
+
+    # collapse duplicate (pid, key) to one row: the helper's contract is
+    # per-partition PARTIALS (one row per key per partition)
+    agg: dict[tuple[int, str], int] = {}
+    for pid, kid, c in counts:
+        agg[(pid, f"k{kid}")] = agg.get((pid, f"k{kid}"), 0) + c
+    rows = [(p, key, c) for (p, key), c in agg.items()]
+    local = spark.createDataFrame(rows, "pid int, tok string, c long")
+    got = [
+        tuple(r)
+        for r in _certified_topk_from_partials(local, "tok", m, k).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in local.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(k)
+        .collect()
+    ]
+    assert got == want
