@@ -324,3 +324,89 @@ def test_state_store_reader_restart_stable(spark, sf_dir):
     )
     assert first == second
     assert first  # non-empty state
+
+
+def test_t19_boundary_corpus_matches_oracle(spark, tmp_path):
+    """The advisor's flake scenario, made a permanent fixture: a crafted
+    events table where (a) a session's gap-closing event lands INSIDE
+    the final second of the stream — data-path emitted, excluded by the
+    old one-predicate oracle; (b) timers arm exactly AT, 1 ms BELOW,
+    and (via µs ceil) just ABOVE the final watermark. t19's streaming
+    output must match its registered DuckDB oracle on this corpus
+    row-for-row — both the emission set and the boundary arithmetic."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nipd_spark import registry
+    from nipd_spark.queries.streaming_live import t19_stateful_session_timeout
+
+    GAP = 21_600_000_000  # 6 h in µs
+    M = 1_000_000_123_456  # max ts (µs); wm_ms = floor(M/1000) - 1000
+    wm_ms = M // 1000 - 1000
+    # timer fires iff ceil((last+GAP)/1000) < wm_ms (strict)
+    a_fire = (wm_ms - 1) * 1000 - GAP          # ceil == wm-1 -> fires
+    a_eq = wm_ms * 1000 - GAP                  # ceil == wm   -> holds
+    a_ceil = (wm_ms - 1) * 1000 + 1 - GAP      # ceil == wm (floor would
+    #                                            say wm-1) -> holds; pins
+    #                                            the ms-CEIL in the handler
+    c1 = M - GAP - 500_000                     # session end at M-0.5s
+    c2 = c1 + GAP + 1                          # gap-closer inside final 1s
+    rows = sorted(
+        [
+            (1, a_fire, 10.0),
+            (2, a_eq, 20.0),
+            (3, a_ceil, 30.0),
+            (4, c1, 40.0),
+            (4, c2, 41.0),
+            (5, M, 50.0),
+        ],
+        key=lambda r: r[1],
+    )
+    tbl = pa.table(
+        {
+            "event_id": list(range(len(rows))),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        },
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    got = {
+        (r.user_id, int(r.session_start.timestamp() * 1e6),
+         int(r.session_end.timestamp() * 1e6), r.n_events, r.sum_value)
+        for r in t19_stateful_session_timeout(spark, sf_dir).collect()
+    }
+    # expected: user 1 (timer, strictly below wm) and user 4's FIRST
+    # session (data-closed inside the final second). Users 2/3 hold at
+    # the boundary; user 4's second session and user 5 are unclosed.
+    want = {
+        (1, a_fire, a_fire, 1, 10.0),
+        (4, c1, c1, 1, 40.0),
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    spec = registry.all_specs()["t19_stateful_session_timeout"]
+    oracle = {
+        (u, int(s.timestamp() * 1e6), int(e.timestamp() * 1e6), n, sv)
+        for u, s, e, n, sv in con.execute(spec.sql).fetchall()
+    }
+    assert oracle == want
