@@ -108,12 +108,16 @@ PROBE = [
     "l14b_ivf_neardup",
     "w20_cusum_drift",
     "g3_connected_components",
+    # round-7: BM25 retrieval, HRW sharding, systematic token sampling
+    "l62_bm25_topk",
+    "l63_hrw_shard_rebalance",
+    "l64_systematic_token_sample",
 ]
 
 
 def timed(fn, spark, sf_dir: str, warm: int = 2) -> tuple[float, int]:
-    """Best-warm FULL-materialization time (Arrow toPandas, like
-    bench.py and any real consumer).
+    """Best-warm BUILD + FULL-materialization time (Arrow toPandas,
+    like bench.py and any real consumer).
 
     ``df.count()`` lets Catalyst prune unreferenced projections — for a
     map-only query that silently times a bare scan (this bit us: an
@@ -121,6 +125,16 @@ def timed(fn, spark, sf_dir: str, warm: int = 2) -> tuple[float, int]:
     ~60 s). count(col) is no better: provably-non-null counts fold to
     count(1). Materializing every column is the only honest forcing;
     result-collection cost is part of the query's real price.
+
+    The timer starts BEFORE fn() — several queries legitimately run
+    bounded driver actions while BUILDING their DataFrame (a17's
+    coverage-certificate collect, knn's GEMM block loop, the iterative
+    families' supersteps, eager fixture materialization), and a window
+    that opens after fn() silently zeroes that work (observed: a17's
+    whole partials materialization vanished from the probe when its
+    certificate landed; the g2 edge-build had to be hand-reported in
+    r6 for the same reason). Plan construction for action-free queries
+    is ~ms and does not disturb ratios.
     """
     fn(spark, sf_dir).toPandas()  # warm-up: footers, code cache, JIT
     n = 0
@@ -131,8 +145,8 @@ def timed(fn, spark, sf_dir: str, warm: int = 2) -> tuple[float, int]:
         # would time only the final stage for shuffle-heavy queries. A
         # fresh plan re-runs every stage — comparable to DuckDB's warm
         # re-execution.
-        df = fn(spark, sf_dir)
         t0 = time.time()
+        df = fn(spark, sf_dir)
         n = len(df.toPandas())
         runs.append(time.time() - t0)
     return min(runs), n

@@ -48,6 +48,10 @@ PROBE_DEEP = [
     "l20_text_clean",  # map-only text normalization
     "l50_gopher_rules",  # quality-rule filter battery
     "g3_connected_components",  # iterative min-label CC
+    # round-7 additions, all linear-path
+    "l62_bm25_topk",  # term-filtered tf + broadcast df/stats + salted top-k
+    "l63_hrw_shard_rebalance",  # map-only argmax-of-md5 + 9-key agg
+    "l64_systematic_token_sample",  # bucketed running sum + stride test
 ]
 
 
