@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
-from nipd_spark.operators import text
+from nipd_spark.operators import text, vector
 from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
@@ -2342,18 +2342,16 @@ _BM25_QUERIES: tuple[tuple[int, str], ...] = (
 )
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
-
-@query(
-    "l62_bm25_topk",
-    # Float discipline: avgdl is sum(dl)/n (integer sum then one
-    # division — bit-identical, never avg()'s order-dependent float
-    # sum); per-(doc,term) contributions are identical expression
-    # shapes over identical integers, so only ln()'s last ulp and the
-    # ≤3-term SUM order differ cross-engine — both far inside the 6 dp
-    # rounding. Ranking uses the ROUNDED score (ties → doc_id), so
-    # rank is deterministic on both engines.
-    sql=f"""
-    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+# BM25 scored CTE chain shared by the l62 oracle and l65's sparse leg.
+# Ends at scored(query_id, doc_id, score) with the 6 dp rounded score.
+# Float discipline: avgdl is sum(dl)/n (integer sum then one
+# division — bit-identical, never avg()'s order-dependent float
+# sum); per-(doc,term) contributions are identical expression
+# shapes over identical integers, so only ln()'s last ulp and the
+# ≤3-term SUM order differ cross-engine — both far inside the 6 dp
+# rounding. Ranking uses the ROUNDED score (ties → doc_id), so
+# rank is deterministic on both engines.
+_BM25_SCORED_CTES = f"""q(query_id, term) AS (VALUES {_BM25_VALUES}),
     d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -2378,35 +2376,19 @@ _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
              )''', 6)} AS score
       FROM tf f JOIN dfreq x USING (term), stats s
       GROUP BY f.query_id, f.doc_id
-    ),
-    ranked AS (
-      SELECT query_id, doc_id, score,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id ASC) AS rn
-      FROM scored
-    )
-    SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, score
-    FROM ranked WHERE rn <= 10
-    """,
-    tags=("L7", "L6", "O4"),
-)
-def l62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 sparse retrieval (k1=1.2, b=0.75): top-10 documents per
-    query for a fixed 4-query set — the lexical-retrieval primitive
-    behind eval-set decontamination probes, RAG candidate generation,
-    and quality-by-query curation that TF-IDF (l7) doesn't cover
-    (BM25's tf saturation and length normalization change ranking).
+    )"""
 
-    Plan shape for 100 TB: the query-term table is a ≤12-row broadcast,
-    so the fact-sized tokenize/explode stream is filtered to matching
-    terms BEFORE the (query, term, doc) tf aggregation — the shuffle
-    carries only docs containing ≥1 query term. Document frequencies
-    and corpus stats are tiny aggregates broadcast back. The final
-    per-query top-k uses the l58 salted two-level pattern: level 1
-    ranks within (query, salt-of-doc) so no window ever funnels all
-    matching docs of one query through one task; level 2 takes the
-    exact global top-10 from the ≤ k·n_salts survivors with a bounded
-    collect + array_sort + slice. posexplode rebuilds rn 1..k.
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score): BM25 (k1=1.2, b=0.75) over the fixed
+    4-query term set, 6 dp rounded — the sparse-retrieval core shared
+    by l62 (direct top-k) and l65 (hybrid fusion sparse leg).
+
+    The query-term table is a ≤12-row broadcast, so the fact-sized
+    tokenize/explode stream is filtered to matching terms BEFORE the
+    (query, term, doc) tf aggregation — the shuffle carries only docs
+    containing ≥1 query term. Document frequencies and corpus stats
+    are tiny aggregates broadcast back.
     """
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
@@ -2439,13 +2421,23 @@ def l62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("tf") * 2.2)
         / (F.col("tf") + 1.2 * (F.lit(0.25) + 0.75 * F.col("dl") / avgdl))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
-    k, n_salts = 10, 16
+
+
+def _salted_topk(scored: DataFrame, k: int, n_salts: int = 16) -> DataFrame:
+    """Exact per-query top-k over (query_id, doc_id, score) without a
+    per-query window funnel — the l58 salted two-level pattern: level 1
+    ranks within (query, salt-of-doc) so no window ever funnels all
+    matching docs of one query through one task; level 2 takes the
+    exact global top-k from the ≤ k·n_salts survivors with a bounded
+    collect + array_sort + slice. posexplode rebuilds rn 1..k.
+    Ties break by doc_id, matching the oracles' ORDER BY.
+    """
     w1 = Window.partitionBy("query_id", "__salt").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -2477,6 +2469,41 @@ def l62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.score").alias("score"),
         )
     )
+
+
+@query(
+    "l62_bm25_topk",
+    # Float discipline: see _BM25_SCORED_CTES.
+    sql=f"""
+    WITH {_BM25_SCORED_CTES},
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, score
+    FROM ranked WHERE rn <= 10
+    """,
+    tags=("L7", "L6", "O4"),
+)
+def l62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (k1=1.2, b=0.75): top-10 documents per
+    query for a fixed 4-query set — the lexical-retrieval primitive
+    behind eval-set decontamination probes, RAG candidate generation,
+    and quality-by-query curation that TF-IDF (l7) doesn't cover
+    (BM25's tf saturation and length normalization change ranking).
+
+    Plan shape for 100 TB: the query-term table is a ≤12-row broadcast,
+    so the fact-sized tokenize/explode stream is filtered to matching
+    terms BEFORE the (query, term, doc) tf aggregation — the shuffle
+    carries only docs containing ≥1 query term. Document frequencies
+    and corpus stats are tiny aggregates broadcast back. The final
+    per-query top-k uses the l58 salted two-level pattern
+    (_salted_topk): no window ever funnels all matching docs of one
+    query through one task.
+    """
+    return _salted_topk(_bm25_scored(spark, sf_dir), k=10)
 
 
 @query(
@@ -2643,4 +2670,316 @@ def l64_systematic_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "picked_id_sum"
         ),
         F.sum(F.when(F.col("m") > 0, F.col("w"))).alias("picked_tokens"),
+    )
+
+
+_RRF_QVECS = ((1, 11), (2, 22), (3, 33), (4, 44))
+_RRF_QVEC_VALUES = ", ".join(f"({q}, {v})" for q, v in _RRF_QVECS)
+
+
+@query(
+    "l65_rrf_hybrid",
+    # Determinism: ranks on BOTH legs come from 6 dp ROUNDED scores
+    # with doc_id tiebreaks (sparse: _BM25_SCORED_CTES discipline;
+    # dense: the sequential-double dot product verified bit-identical
+    # to list_sum/list_transform, then dround 6). Given identical
+    # integer ranks, 1.0/(60+r) and the fixed two-term sum are IEEE
+    # bit-identical cross-engine — the fused score needs no rounding.
+    sql=f"""
+    WITH {_BM25_SCORED_CTES},
+    sp AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS r
+      FROM scored
+    ),
+    sp50 AS (SELECT query_id, doc_id, r FROM sp WHERE r <= 50),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt({vector.duck_sq_norm('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT m.query_id, e.embedding AS qemb, e.nrm AS qnrm
+      FROM (VALUES {_RRF_QVEC_VALUES}) m(query_id, vec_id)
+      JOIN e ON e.vec_id = m.vec_id
+    ),
+    dsc AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             {dround(
+                 f"({vector.duck_dot('qv.qemb', 'e.embedding')})"
+                 " / (qv.qnrm * e.nrm)", 6)} AS score
+      FROM qv, e
+    ),
+    dn AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS r
+      FROM dsc
+    ),
+    dn50 AS (SELECT query_id, doc_id, r FROM dn WHERE r <= 50),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + s.r), 0.0)
+               + COALESCE(1.0 / (60 + d.r), 0.0) AS score
+      FROM sp50 s FULL OUTER JOIN dn50 d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    ),
+    fr AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rn
+      FROM fused
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, score
+    FROM fr WHERE rn <= 10
+    """,
+    tags=("L7", "L4", "J3", "O4"),
+)
+def l65_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion [PK: Cormack,
+    Clarke & Buettcher, "Reciprocal Rank Fusion outperforms Condorcet
+    and individual rank learning methods", SIGIR 2009]: each eval
+    query carries both its analyzed terms (the l62 BM25 set) and its
+    encoder embedding (a designated `embeddings` row per query);
+    retrieve depth-50 candidate lists from BOTH systems and fuse with
+    RRF(d) = Σ 1/(60 + rank_sys(d)), taking the top-10 fused docs per
+    query. This is the standard sparse+dense two-tower retrieval
+    pattern behind RAG candidate generation and retrieval-based
+    decontamination — neither l62 (lexical only) nor l4b (dense only)
+    expresses the fusion.
+
+    Plan shape for 100 TB: the sparse leg is _bm25_scored (broadcast
+    query terms filter the token stream before any shuffle); the dense
+    leg broadcasts 4 query vectors across the embeddings scan — a
+    map-side sequential-double cosine inside whole-stage codegen, no
+    pair shuffle. Both legs reduce to ≤ 50·|queries| rows via the
+    salted two-level top-k (_salted_topk), so the fusion's full outer
+    join runs on two k-bounded tables regardless of corpus size. At
+    real scale the dense leg's linear scan is the IVF-probed tier
+    (operators/ivf.py) — this query is the exact-retrieval anchor.
+    """
+    sparse = _salted_topk(_bm25_scored(spark, sf_dir), k=50).select(
+        "query_id", "doc_id", F.col("rn").alias("r_sp")
+    )
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vector.l2_norm(F.col("embedding")))
+    )
+    qmap = spark.createDataFrame(
+        list(_RRF_QVECS), "query_id int, vec_id long"
+    )
+    qv = e.join(F.broadcast(qmap), "vec_id").select(
+        "query_id",
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dsc = e.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            vector.dot(F.col("qemb"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    dense = _salted_topk(dsc, k=50).select(
+        "query_id", "doc_id", F.col("rn").alias("r_dn")
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sp")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dn")), F.lit(0.0))
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full").select(
+        "query_id", "doc_id", rrf.alias("score")
+    )
+    return _salted_topk(fused, k=10)
+
+
+@query(
+    "l66_temperature_mixture",
+    # Float discipline: n_tok is an exact integer per source; pow and
+    # the 20-term tot_w sum differ cross-engine only in the last ulp,
+    # far inside the 6 dp (2 dp for alloc) rounding. Each output is
+    # rounded ONCE from full-precision intermediates with identical
+    # expression shapes on both engines.
+    sql=f"""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS w FROM documents
+    ),
+    s AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_tok
+      FROM d GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+             sum(pow(CAST(n_tok AS DOUBLE), 0.3)) AS tot_w
+      FROM s
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tok,
+      {dround('pow(CAST(n_tok AS DOUBLE), 0.3) / tot_w', 6)} AS p_temp,
+      {dround('''pow(CAST(n_tok AS DOUBLE), 0.3)
+         * CAST(tot_tok AS DOUBLE)
+         / (tot_w * CAST(n_tok AS DOUBLE))''', 6)} AS boost,
+      {dround('1000000.0 * pow(CAST(n_tok AS DOUBLE), 0.3) / tot_w', 2)}
+        AS alloc_tok
+    FROM s, t
+    """,
+    tags=("L9", "A1", "F3"),
+)
+def l66_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights [PK: Xue et al., "mT5: A
+    Massively Multilingual Pre-trained Text-to-Text Transformer",
+    NAACL 2021, §3.1]: sampling probability p_s ∝ (tokens_s)^α with
+    α = 0.3 flattens the natural source distribution so low-resource
+    sources are upsampled without letting any source dominate. Reports,
+    per source: document/token counts, the temperature probability
+    p_temp, the upsampling factor vs natural proportion (boost > 1 ⇔
+    low-resource), and the token allocation from a 1 M-token budget.
+    Complements the mixture family: l58 caps per-source shares, l59
+    materializes a budget as a concrete doc set, l60 waterfills under
+    epoch caps — this is the α-temperature reweighting those recipes
+    start from.
+
+    Plan shape for 100 TB: one narrow-projection scan with map-side
+    partial aggregation down to |sources| rows; the pow/normalize
+    arithmetic runs on that tiny table with a 1-row broadcast total.
+    Zero raw-row windows, zero UDFs — a single linear pass.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("w")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("long").alias("n_tok"),
+    )
+    t = s.agg(
+        F.sum("n_tok").alias("tot_tok"),
+        F.sum(F.pow(F.col("n_tok").cast("double"), 0.3)).alias("tot_w"),
+    )
+    w_s = F.pow(F.col("n_tok").cast("double"), 0.3)
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tok",
+        F.round(w_s / F.col("tot_w"), 6).alias("p_temp"),
+        F.round(
+            w_s
+            * F.col("tot_tok").cast("double")
+            / (F.col("tot_w") * F.col("n_tok").cast("double")),
+            6,
+        ).alias("boost"),
+        F.round(F.lit(1000000.0) * w_s / F.col("tot_w"), 2).alias(
+            "alloc_tok"
+        ),
+    )
+
+
+@query(
+    "l67_kneser_ney_logprob",
+    # Float discipline: every per-bigram P_KN is the SAME IEEE chain on
+    # both engines (greatest/max over integers-minus-0.75, three
+    # divisions, one fused add) → bit-identical; ln's last ulp and the
+    # order-dependent per-doc avg are covered by the 6 dp round, the
+    # l22 precedent. All counts are exact integers.
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS u,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w
+      FROM toks WHERE len(t) >= 2
+    ),
+    cb AS (SELECT u, w, count(*) AS c FROM bg GROUP BY u, w),
+    cu AS (
+      SELECT u, CAST(sum(c) AS BIGINT) AS cu, count(*) AS n1p_fwd
+      FROM cb GROUP BY u
+    ),
+    cw AS (SELECT w, count(*) AS n1p_back FROM cb GROUP BY w),
+    nb AS (SELECT count(*) AS n_types FROM cb),
+    p AS (
+      SELECT cb.u, cb.w,
+             greatest(CAST(cb.c AS DOUBLE) - 0.75, 0.0)
+               / CAST(cu.cu AS DOUBLE)
+             + (0.75 * CAST(cu.n1p_fwd AS DOUBLE) / CAST(cu.cu AS DOUBLE))
+               * (CAST(cw.n1p_back AS DOUBLE) / CAST(nb.n_types AS DOUBLE))
+               AS pkn
+      FROM cb JOIN cu USING (u) JOIN cw USING (w), nb
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {dround('avg(ln(pkn))', 6)} AS avg_logprob
+    FROM bg JOIN p USING (u, w)
+    GROUP BY doc_id
+    """,
+    tags=("L9", "L8", "J6"),
+)
+def l67_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM scoring [PK: Chen & Goodman,
+    "An Empirical Study of Smoothing Techniques for Language
+    Modeling", Harvard TR-10-98 / CSL 1999]: train the bigram model on
+    the corpus with absolute discount D = 0.75 —
+    P_KN(w|u) = max(c(u,w)−D, 0)/c(u·) + λ(u)·P_cont(w), with
+    λ(u) = D·N1+(u·)/c(u·) and P_cont(w) = N1+(·w)/|bigram types| —
+    then score every document by its mean bigram log-probability.
+    This is the KenLM-style n-gram perplexity filter corpora are
+    actually pruned with (CCNet et al.); l22's unigram score can't
+    see word-order degradation (shuffled text scores identically) —
+    the bigram KN model can.
+
+    Plan shape for 100 TB: the bigram stream is one map-side
+    two-column explode; c(u,w) is ONE equi-keyed shuffle; the context
+    (c(u·), N1+(u·)), continuation (N1+(·w)) and type-count tables are
+    vocab-/1-row-sized aggregates broadcast back onto the bigram-type
+    table, so P_KN materializes map-side on cb's existing (u,w)
+    partitioning; the scoring join re-shuffles only the bigram stream
+    (the LM side reuses its hash partitioning); the per-doc avg is the
+    final keyed aggregate. At 100 TB train on l21's sample — same
+    plan, type-sized tables stay broadcastable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("w")),
+            )
+        ).alias("uw"),
+    ).select("doc_id", "uw.u", "uw.w")
+    cb = bg.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    cu = cb.groupBy("u").agg(
+        F.sum("c").cast("long").alias("cu"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    cw = cb.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_back"))
+    nb = cb.agg(F.count(F.lit(1)).alias("n_types"))
+    pkn = (
+        F.greatest(F.col("c").cast("double") - 0.75, F.lit(0.0))
+        / F.col("cu").cast("double")
+    ) + (
+        F.lit(0.75) * F.col("n1p_fwd").cast("double")
+        / F.col("cu").cast("double")
+    ) * (
+        F.col("n1p_back").cast("double") / F.col("n_types").cast("double")
+    )
+    p = (
+        cb.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(nb))
+        .select("u", "w", pkn.alias("pkn"))
+    )
+    return (
+        bg.join(p, ["u", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("pkn"))), 6).alias("avg_logprob"),
+        )
     )

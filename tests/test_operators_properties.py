@@ -1743,3 +1743,163 @@ def test_systematic_sample_exact_budget_and_proportionality(spark, sf_dir):
         assert abs(r.n_draws - expected) <= 6, (
             r.source, r.n_draws, expected,
         )
+
+
+def test_rrf_fusion_math_and_ranking(spark, sf_dir):
+    """l65: fused scores must equal 1/(60+r_sparse) + 1/(60+r_dense)
+    recomputed from the two depth-50 legs run independently; ranks are
+    dense 1..k per query, score-desc with doc_id tiebreak; every score
+    is in (0, 2/61]."""
+    from nipd_spark.queries.text_llm import (
+        _bm25_scored,
+        _salted_topk,
+        l65_rrf_hybrid,
+    )
+
+    out = l65_rrf_hybrid(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r.score, r.doc_id) for r in rs]
+        assert keys == sorted(keys), f"query {q} not score-desc ordered"
+        assert all(0 < r.score <= 2 / 61 + 1e-12 for r in rs)
+
+    # recompute both legs independently and check the fusion arithmetic
+    sparse = {
+        (r.query_id, r.doc_id): r.rn
+        for r in _salted_topk(_bm25_scored(spark, sf_dir), k=50).collect()
+    }
+    import pyspark.sql.functions as F
+
+    from nipd_spark.catalog import load
+    from nipd_spark.operators import vector
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vector.l2_norm(F.col("embedding")))
+    )
+    dense = {}
+    for q, v in ((1, 11), (2, 22), (3, 33), (4, 44)):
+        qrow = e.filter(F.col("vec_id") == v).collect()[0]
+        scored = e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                vector.dot(
+                    F.lit(qrow.embedding).cast("array<float>"),
+                    F.col("embedding"),
+                )
+                / (F.lit(qrow.nrm) * F.col("nrm")),
+                6,
+            ).alias("score"),
+        ).collect()
+        ranked = sorted(scored, key=lambda r: (-r.score, r.doc_id))[:50]
+        for i, r in enumerate(ranked):
+            dense[(q, r.doc_id)] = i + 1
+    for r in out:
+        want = 0.0
+        rs = sparse.get((r.query_id, r.doc_id))
+        rd = dense.get((r.query_id, r.doc_id))
+        if rs is not None:
+            want += 1.0 / (60 + rs)
+        if rd is not None:
+            want += 1.0 / (60 + rd)
+        assert abs(r.score - want) < 1e-12, (r.query_id, r.doc_id)
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    """l66: p_temp sums to 1, allocations sum to the 1 M budget (both
+    within rounding), boost is monotone DECREASING in n_tok (α < 1
+    upsamples low-resource sources), and the temperature distribution
+    is strictly flatter than the natural one: max/min p_temp ratio
+    equals (max/min token ratio)^0.3."""
+    from nipd_spark.queries.text_llm import l66_temperature_mixture
+
+    out = l66_temperature_mixture(spark, sf_dir).collect()
+    n = len(out)
+    assert abs(sum(r.p_temp for r in out) - 1.0) <= n * 5e-7
+    assert abs(sum(r.alloc_tok for r in out) - 1e6) <= n * 5e-3 + 1
+    by_tok = sorted(out, key=lambda r: r.n_tok)
+    for a, b in zip(by_tok, by_tok[1:]):
+        if a.n_tok < b.n_tok:
+            assert a.boost > b.boost, (a.source, b.source)
+        else:
+            assert abs(a.boost - b.boost) <= 2e-6
+    ps = [r.p_temp for r in out]
+    toks = [r.n_tok for r in out]
+    ratio_p = max(ps) / min(ps)
+    ratio_n = max(toks) / min(toks)
+    assert abs(ratio_p - ratio_n ** 0.3) < 0.01 * ratio_p
+    assert ratio_p < ratio_n  # flatter than natural
+
+
+def test_kneser_ney_matches_reference_and_normalizes(spark):
+    """l67 against a from-scratch KN reference on a crafted corpus:
+    per-doc scores match the hand-computed interpolated-KN bigram
+    model to 6 dp, and for every observed context u the full-vocab
+    distribution Σ_w P_KN(w|u) = 1 (the smoothing-mass invariant the
+    formula exists to satisfy)."""
+    import math
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "the cat the cat the cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # reference model in plain python
+    D = 0.75
+    cb = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for u, w in zip(toks, toks[1:]):
+            cb[(u, w)] += 1
+    cu = Counter()
+    n1p_fwd = Counter()
+    n1p_back = Counter()
+    for (u, w), c in cb.items():
+        cu[u] += c
+        n1p_fwd[u] += 1
+        n1p_back[w] += 1
+    n_types = len(cb)
+
+    def pkn(u, w):
+        disc = max(cb.get((u, w), 0) - D, 0.0) / cu[u]
+        lam = D * n1p_fwd[u] / cu[u]
+        return disc + lam * (n1p_back[w] / n_types)
+
+    vocab = {u for u, _ in cb} | {w for _, w in cb}
+    for u in cu:
+        total = sum(pkn(u, w) for w in vocab if n1p_back.get(w))
+        assert abs(total - 1.0) < 1e-12, (u, total)
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        lps = [math.log(pkn(u, w)) for u, w in zip(toks, toks[1:])]
+        want[i] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logprob)
+            for r in tmod.l67_kneser_ney_logprob(spark, "ignored").collect()
+        }
+    finally:
+        tmod.load = orig_load
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])

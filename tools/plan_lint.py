@@ -64,6 +64,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "l38_hard_negatives": {
         "bnlj": "broadcast side = the bounded query/anchor set"
     },
+    "l65_rrf_hybrid": {
+        "bnlj": "broadcast side = the fixed 4-row query-vector table "
+        "(dense leg scores all embeddings against each query map-side)"
+    },
     "l29_domain_rebalance": {
         "bnlj": "broadcast side = per-source target weights (source domain)"
     },
