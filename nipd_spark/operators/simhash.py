@@ -51,18 +51,28 @@ def hamming(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def near_pairs(sigs: DataFrame, max_hamming: int = 10) -> DataFrame:
+def near_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 10,
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
+) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via banded equi-join.
-    Requires max_hamming ≤ N_BANDS-1 for completeness (pigeonhole)."""
+    Requires max_hamming ≤ n_bands-1 for completeness (pigeonhole).
+    n_bands × band_bits must cover the fingerprint's live bits EXACTLY:
+    banding past them makes every pair share the all-zero high bands —
+    a full cross product (the reason these are parameters, not the
+    64-bit module constants, for narrower hashes like l10d's 32-bit
+    block fingerprint)."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * BAND_BITS)
-                .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .alias("bkey"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     keyed = sigs.select(

@@ -167,3 +167,94 @@ def l10c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("payload"), F.col("frame_idx") * 16 + 1, 16), 256
         ).alias("frame_sha"),
     )
+
+
+def _l10d_bits_sql(n_bits: int) -> str:
+    """DuckDB twin of the block-bit fingerprint: bit i = parity of the
+    first hex char of sha256(block_i). Generated as an explicit
+    n_bits-term sum so both engines evaluate identical integer ops."""
+    terms = [
+        f"(ascii(substr(sha256(substr(text, CAST({i}*bs+1 AS BIGINT), "
+        f"CAST(bs AS BIGINT))), 1, 1)) % 2) * {1 << i}"
+        for i in range(n_bits)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "l10d_perceptual_neardup",
+    # Integer/hex-deterministic end to end: block digests are sha256
+    # over identical bytes (the l10c-proven VARCHAR-substr ≡
+    # binary-substring equivalence on this ascii corpus), the bit rule
+    # is ascii-parity of one hex char, the fingerprint is an exact
+    # 32-bit integer, and Hamming is bit_count(xor) — no float at all.
+    sql=f"""
+    WITH fp AS (
+      SELECT doc_id, ({_l10d_bits_sql(32)})::BIGINT AS f
+      FROM (SELECT doc_id, text,
+                   greatest(1, CAST(ceil(n_chars/32.0) AS BIGINT)) AS bs
+            FROM documents)
+    ),
+    bands AS (
+      SELECT doc_id, f, j, (f // power(256, j)::BIGINT) % 256 AS nib
+      FROM fp, range(4) t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.f AS fa, b.f AS fb
+      FROM bands a
+      JOIN bands b ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    tags=("L10", "L3", "J1"),
+)
+def l10d_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over opaque binary payloads — the
+    image/video dedup shape [PK: block-mean perceptual hashing, e.g.
+    Yang, Gu & Niu, "Block Mean Value Based Image Perceptual Hashing",
+    IIH-MSP 2006]: normalize each payload to 32 fixed-width blocks
+    (the 'resize' step), derive one bit per block from the block's
+    content digest (identical block ⇒ identical bit, so payloads
+    differing in k blocks are ≤ k Hamming apart), and find pairs
+    within Hamming ≤ 3 by the pigeonhole band join (4 × 8-bit bands —
+    the SimHash operator's near_pairs with explicit widths). A real
+    image pipeline swaps the block-digest bit for the
+    block-mean-vs-global-mean bit after decode; the fingerprint width,
+    banding, and verify stages are unchanged.
+
+    Plan shape for 100 TB: the fingerprint is one map-side pass (32
+    JVM sha2/substring expressions, no Python, bytes never shuffle);
+    the join carries only (doc_id, fingerprint) pairs — 12 bytes a
+    row — banded into 4 equi-keyed buckets; exact Hamming verify runs
+    on candidates only. Band width is the candidate-volume lever:
+    τ = 3 needs ≥ τ+1 = 4 intact-or-damaged bands for the pigeonhole,
+    and making them as WIDE as the hash allows (8 bits here, not 4)
+    shrinks each band's expected bucket to n/256 — measured at the 16×
+    adversarial replica, 4-bit bands ran the candidate join ~16× hotter
+    for identical output. Same candidate-driven discipline as l3b/l3c.
+    """
+    from nipd_spark.operators.simhash import near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    bs = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("n_chars") / 32.0).cast("long")
+    )
+    base = docs.select("doc_id", payload.alias("payload"), bs.alias("bs"))
+    fp = F.lit(0).cast("long")
+    for i in range(32):
+        block_sha = F.sha2(
+            F.substring(
+                F.col("payload"), (F.lit(i) * F.col("bs") + 1), F.col("bs")
+            ),
+            256,
+        )
+        bit = F.ascii(F.substring(block_sha, 1, 1)) % 2
+        fp = fp + bit.cast("long") * F.lit(1 << i).cast("long")
+    sigs = base.select("doc_id", fp.alias("simhash"))
+    return near_pairs(sigs, max_hamming=3, n_bands=4, band_bits=8).select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -48,20 +48,21 @@ _QUERY_MODULES = (
 
 # Verification rotation (round 7): the driver hash-checks the FIRST 50
 # queries() entries per round. Cumulative driver coverage after r6 is
-# 249/325 names; the front list continues rotating to never-checked
-# queries (76 remain) until every name carries a driver row — the
+# 249/326 names; the front list continues rotating to never-checked
+# queries (77 remain) until every name carries a driver row — the
 # full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01) still
 # gates every query every round regardless.
 # Round-7 front: this round's additions first (l62 BM25 retrieval,
 # l63 HRW shard rebalance, l64 systematic token sampling, l65 RRF
 # hybrid retrieval, l66 temperature mixture weights, l67 Kneser–Ney
-# bigram scoring), then the three queries whose SEMANTICS changed
-# this round (t19's two-path oracle + ms-ceil timer, t20's
-# content-keyed checkpoint, a17's runtime coverage certificate) so
-# the driver re-verifies the changed behavior, then 41 never-checked
-# names spanning every family. The 26 never-checked names left over
-# (incl. the rows-only sketch/ANN set) roll to round 8. All are green
-# in the r7 full sweeps at both SFs before this rotation landed.
+# bigram scoring, l10d perceptual-hash near-dup), then the three
+# queries whose SEMANTICS changed this round (t19's two-path oracle +
+# ms-ceil timer, t20's content-keyed checkpoint, a17's runtime
+# coverage certificate) so the driver re-verifies the changed
+# behavior, then 40 never-checked names spanning every family. The 27
+# never-checked names left over (incl. the rows-only sketch/ANN set)
+# roll to round 8. All are green in the r7 full sweeps at both SFs
+# before this rotation landed.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-7 additions
     "l62_bm25_topk",
@@ -70,6 +71,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l65_rrf_hybrid",
     "l66_temperature_mixture",
     "l67_kneser_ney_logprob",
+    "l10d_perceptual_neardup",
     # round-7 semantic changes (driver re-verification)
     "t19_stateful_session_timeout",
     "t20_state_store_reader",
@@ -119,7 +121,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l32_weighted_sample",
     "l33_corpus_shuffle",
     "l34_grouped_split",
-    "l36_chunk_documents",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

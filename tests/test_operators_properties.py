@@ -1903,3 +1903,68 @@ def test_kneser_ney_matches_reference_and_normalizes(spark):
     for i in want:
         assert got[i][0] == want[i][0], i
         assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
+
+
+def test_perceptual_neardup_matches_bruteforce(spark):
+    """l10d against a from-scratch reference on a crafted corpus:
+    the banded join finds EXACTLY the pairs a brute-force all-pairs
+    Hamming scan finds (pigeonhole completeness at threshold 3), and
+    a payload differing in k blocks is ≤ k Hamming from its base."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    base = rand_text(64)  # bs = 2 -> 32 blocks of 2 chars
+    texts = [base]
+    # flip k blocks for k = 1..3: same length, block-aligned edits
+    for k in (1, 2, 3):
+        t = list(base)
+        for b in range(k):
+            pos = b * 2  # blocks 0..k-1
+            t[pos] = "Z"
+        texts.append("".join(t))
+    texts += [rand_text(64) for _ in range(20)]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+
+    def fingerprint(t):
+        bs = max(1, math.ceil(len(t) / 32))
+        f = 0
+        for i in range(32):
+            block = t[i * bs : i * bs + bs]
+            h = hashlib.sha256(block.encode()).hexdigest()
+            f |= (ord(h[0]) % 2) << i
+        return f
+
+    fps = [fingerprint(t) for t in texts]
+    for k in (1, 2, 3):
+        d = bin(fps[0] ^ fps[k]).count("1")
+        assert d <= k, (k, d)
+    want = {
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+
+    import nipd_spark.queries.multimodal as mmod
+
+    orig_load = mmod.load
+    mmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            (r.a_id, r.b_id)
+            for r in mmod.l10d_perceptual_neardup(spark, "ignored").collect()
+        }
+    finally:
+        mmod.load = orig_load
+    assert got == want
+    assert {(0, 1), (0, 2), (0, 3)} <= got  # the planted block edits

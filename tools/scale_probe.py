@@ -112,6 +112,12 @@ PROBE = [
     "l62_bm25_topk",
     "l63_hrw_shard_rebalance",
     "l64_systematic_token_sample",
+    # round-7 second batch: hybrid fusion, mixture weights, bigram KN,
+    # perceptual near-dup
+    "l65_rrf_hybrid",
+    "l66_temperature_mixture",
+    "l67_kneser_ney_logprob",
+    "l10d_perceptual_neardup",
 ]
 
 

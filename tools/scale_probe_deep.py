@@ -48,10 +48,15 @@ PROBE_DEEP = [
     "l20_text_clean",  # map-only text normalization
     "l50_gopher_rules",  # quality-rule filter battery
     "g3_connected_components",  # iterative min-label CC
-    # round-7 additions, all linear-path
+    # round-7 additions, all linear-path (l10d_perceptual_neardup is
+    # EXCLUDED here with the other near-dup family members: its output
+    # grows with the square of the replica's per-content duplication)
     "l62_bm25_topk",  # term-filtered tf + broadcast df/stats + salted top-k
     "l63_hrw_shard_rebalance",  # map-only argmax-of-md5 + 9-key agg
     "l64_systematic_token_sample",  # bucketed running sum + stride test
+    "l65_rrf_hybrid",  # sparse+dense k-bounded fusion
+    "l66_temperature_mixture",  # map-side agg to |sources| rows
+    "l67_kneser_ney_logprob",  # bigram LM train + broadcast score
 ]
 
 
