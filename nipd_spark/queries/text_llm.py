@@ -2983,3 +2983,62 @@ def l67_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("pkn"))), 6).alias("avg_logprob"),
         )
     )
+
+
+@query("l65b_rrf_ivf", sql=None, tags=("L7", "L5", "O4"))
+def l65b_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF retrieval with the dense leg on the IVF-probed path —
+    l65's 100 TB plan as an actual query (cf. l14 → l14b): the dense
+    candidates come from operators/ivf.search (broadcast k-means
+    centroids → probe nprobe=6 of 16 inverted lists → exact-cosine
+    re-rank inside the probed lists) instead of the full-scan cosine.
+    Rows-only: the IVF leg is recall<1 by design at nprobe < n_lists,
+    so no SQL twin — the property test pins probe-all == the exact
+    dense leg's ranking and reports default-nprobe recall of the fused
+    top-10 against l65.
+
+    Scale: the dense leg's work drops from a full corpus scan per
+    query batch to Θ(n · nprobe / n_lists) rows through one equi-join
+    on list_id; everything downstream (depth-50 truncation, RRF
+    fusion on two k-bounded tables, salted top-k) is unchanged from
+    l65.
+    """
+    from nipd_spark.operators import ivf
+
+    sparse = _salted_topk(_bm25_scored(spark, sf_dir), k=50).select(
+        "query_id", "doc_id", F.col("rn").alias("r_sp")
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qmap = spark.createDataFrame(
+        list(_RRF_QVECS), "query_id int, vec_id long"
+    )
+    qvecs = e.join(F.broadcast(qmap), "vec_id").select(
+        "query_id", "vec_id", "embedding"
+    )
+    centroids = ivf.train_centroids(e, n_lists=16)
+    assigned = ivf.assign(e, centroids)
+    hits = ivf.search(
+        e,
+        qvecs.select("vec_id", "embedding"),
+        centroids,
+        assigned,
+        k=50,
+        nprobe=6,
+    )
+    dense = (
+        hits.join(
+            F.broadcast(qmap.withColumnRenamed("vec_id", "q_id")), "q_id"
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rn").alias("r_dn"),
+        )
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sp")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dn")), F.lit(0.0))
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full").select(
+        "query_id", "doc_id", rrf.alias("score")
+    )
+    return _salted_topk(fused, k=10)

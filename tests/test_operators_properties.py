@@ -1968,3 +1968,60 @@ def test_perceptual_neardup_matches_bruteforce(spark):
         mmod.load = orig_load
     assert got == want
     assert {(0, 1), (0, 2), (0, 3)} <= got  # the planted block edits
+
+
+def test_rrf_ivf_probe_all_is_exact_and_default_recalls(spark, sf_dir):
+    """l65b: with nprobe = n_lists (probe-all) the IVF dense leg must
+    reproduce the exact full-scan ranking bit-for-bit (same sequential
+    cosine, same neighbor_id tiebreak); at the default nprobe=6 the
+    fused top-10 must keep >= 50% overlap with l65's exact fusion."""
+    import pyspark.sql.functions as F
+
+    from nipd_spark import registry
+    from nipd_spark.catalog import load
+    from nipd_spark.operators import ivf, vector
+    from nipd_spark.queries.text_llm import _RRF_QVECS
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qids = [v for _, v in _RRF_QVECS]
+    qvecs = e.filter(F.col("vec_id").isin(qids))
+    centroids = ivf.train_centroids(e, n_lists=16)
+    assigned = ivf.assign(e, centroids)
+    probe_all = {
+        (r.q_id, r.rn): r.neighbor_id
+        for r in ivf.search(
+            e, qvecs, centroids, assigned, k=50, nprobe=16
+        ).collect()
+    }
+
+    en = e.withColumn("nrm", vector.l2_norm(F.col("embedding")))
+    for q in qids:
+        qrow = en.filter(F.col("vec_id") == q).collect()[0]
+        scored = (
+            en.filter(F.col("vec_id") != q)
+            .select(
+                "vec_id",
+                vector.cosine(
+                    F.lit(qrow.embedding).cast("array<float>"),
+                    F.col("embedding"),
+                    F.lit(qrow.nrm),
+                    F.col("nrm"),
+                ).alias("cosine"),
+            )
+            .collect()
+        )
+        exact = sorted(scored, key=lambda r: (-r.cosine, r.vec_id))[:50]
+        for i, r in enumerate(exact):
+            assert probe_all[(q, i + 1)] == r.vec_id, (q, i + 1)
+
+    specs = registry.all_specs()
+    a = {
+        (r.query_id, r.doc_id)
+        for r in specs["l65_rrf_hybrid"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r.query_id, r.doc_id)
+        for r in specs["l65b_rrf_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert len(a) == len(b) == 40
+    assert len(a & b) >= 20, len(a & b)

@@ -68,6 +68,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "bnlj": "broadcast side = the fixed 4-row query-vector table "
         "(dense leg scores all embeddings against each query map-side)"
     },
+    "l65b_rrf_ivf": {
+        "bnlj": "broadcast side = C IVF centroids (train/assign/probe)"
+    },
     "l29_domain_rebalance": {
         "bnlj": "broadcast side = per-source target weights (source domain)"
     },

@@ -115,6 +115,7 @@ PROBE = [
     # round-7 second batch: hybrid fusion, mixture weights, bigram KN,
     # perceptual near-dup
     "l65_rrf_hybrid",
+    "l65b_rrf_ivf",
     "l66_temperature_mixture",
     "l67_kneser_ney_logprob",
     "l10d_perceptual_neardup",
