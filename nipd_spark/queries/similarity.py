@@ -644,3 +644,154 @@ def l56_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.search(
         e, e.filter(F.col("vec_id") < 20), cen, assigned, k=5, nprobe=2
     )
+
+
+@query(
+    "l68_margin_bitext",
+    # Determinism: pair cosines are the sequential-double expression
+    # (bit-identical cross-engine, l4 discipline) rounded to 6 dp; the
+    # top-4 neighborhood membership is exact (rounded cos + id ties);
+    # the 4-term avg and the mu_a+mu_b sum differ only in the last ulp,
+    # absorbed by the final 6 dp margin round; ranking uses the ROUNDED
+    # margin with (a_id, b_id) ties.
+    sql=_DUCK_NORMED.replace(
+        "FROM embeddings",
+        "FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id",
+    ).replace(
+        "SELECT vec_id, embedding,",
+        "SELECT em.vec_id AS vec_id, d.lang AS lang, em.embedding AS embedding,",
+    )
+    + f"""
+    , p AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {dround(f"({_DUCK_COS})", 6)} AS cos
+      FROM e a JOIN e b ON a.lang < b.lang
+    ),
+    neigh AS (
+      SELECT a_id AS id, cos FROM p
+      UNION ALL
+      SELECT b_id AS id, cos FROM p
+    ),
+    topn AS (
+      SELECT id, cos,
+             row_number() OVER (PARTITION BY id ORDER BY cos DESC) AS rn
+      FROM neigh
+    ),
+    mu AS (SELECT id, avg(cos) AS mu FROM topn WHERE rn <= 4 GROUP BY id),
+    m AS (
+      SELECT p.a_id, p.b_id, p.cos,
+             {dround("p.cos / ((ma.mu + mb.mu) / 2)", 6)} AS margin
+      FROM p JOIN mu ma ON p.a_id = ma.id JOIN mu mb ON p.b_id = mb.id
+    )
+    SELECT a_id, b_id, cos, margin
+    FROM m
+    ORDER BY margin DESC, a_id ASC, b_id ASC
+    LIMIT 20
+    """,
+    tags=("L4", "L9", "J10", "O3"),
+)
+def l68_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining [PK: Artetxe & Schwenk,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", ACL 2019]: candidate translation pairs are CROSS-
+    language document pairs ranked by the ratio margin — cosine(a,b)
+    divided by the mean of each side's top-4 neighborhood cosines —
+    which suppresses hub vectors that are close to everything (raw
+    cosine's failure mode in multilingual spaces). Returns the global
+    top-20 mined pairs. This is the standard curation step for
+    parallel-corpus construction from web crawls.
+
+    Plan shape for 100 TB: cross-language pairing is PRE-BANDED EQUI —
+    each side equi-joins a broadcast 10-row (lang_a < lang_b)
+    dimension, so the pair relation is two hash joins, never a
+    nested-loop theta join (the J10 discipline). Neighborhood means
+    are one union + per-vector top-4 window + 4-row avg; the global
+    top-20 is orderBy+limit (TakeOrderedAndProject). The exact
+    O(n_a·n_b) pair enumeration is the correctness anchor — at real
+    scale the pair relation is the IVF-probed candidate set
+    (operators/ivf.py, cf. l65→l65b) with margins computed on
+    candidates only, unchanged downstream.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "vec_id",
+            "lang",
+            "embedding",
+            vector.l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    # ordered lang-pair dimension built join-free: collect the distinct
+    # langs into ONE sorted array and expand ordered pairs in-plan with
+    # nested transforms (a tiny-dim self-join would plan as a Cartesian)
+    lp = (
+        e.select("lang")
+        .distinct()
+        .agg(F.sort_array(F.collect_set("lang")).alias("ls"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ls, (x, i) -> "
+                    "transform(slice(ls, i + 2, size(ls)), "
+                    "y -> struct(x AS lang_a, y AS lang_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.lang_a", "pr.lang_b")
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("lang").alias("lang_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("lang").alias("lang_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    p = (
+        a.join(F.broadcast(lp), "lang_a")
+        .join(b, "lang_b")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                vector.cosine(
+                    F.col("emb_a"),
+                    F.col("emb_b"),
+                    F.col("nrm_a"),
+                    F.col("nrm_b"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    neigh = p.select(F.col("a_id").alias("id"), "cos").unionAll(
+        p.select(F.col("b_id").alias("id"), "cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc())
+    mu = (
+        neigh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .groupBy("id")
+        .agg(F.avg("cos").alias("mu"))
+    )
+    m = (
+        p.join(mu.withColumnRenamed("id", "a_id").withColumnRenamed("mu", "mu_a"), "a_id")
+        .join(mu.withColumnRenamed("id", "b_id").withColumnRenamed("mu", "mu_b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cos",
+            F.round(
+                F.col("cos") / ((F.col("mu_a") + F.col("mu_b")) / 2), 6
+            ).alias("margin"),
+        )
+    )
+    return m.orderBy(
+        F.col("margin").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    ).limit(20)

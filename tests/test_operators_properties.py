@@ -2025,3 +2025,60 @@ def test_rrf_ivf_probe_all_is_exact_and_default_recalls(spark, sf_dir):
     }
     assert len(a) == len(b) == 40
     assert len(a & b) >= 20, len(a & b)
+
+
+def test_margin_bitext_finds_pair_and_suppresses_hub(spark):
+    """l68 on a crafted multilingual space: a planted translation pair
+    (near-identical vectors in different languages) must rank #1 by
+    margin, and a hub vector (high cosine to MANY vectors) must score
+    a LOWER margin than the planted pair even where its raw cosine is
+    comparable — the property margin scoring exists for."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def randv():
+        return unit([rng.gauss(0, 1) for _ in range(dim)])
+
+    base = randv()
+    pair_b = unit([x + rng.gauss(0, 0.01) for x in base])  # translation
+    hub = unit([1.0] * dim)
+    rows = [
+        (0, "en", base),
+        (1, "fr", pair_b),
+        (2, "de", hub),
+    ]
+    # distractors correlated with the hub direction so the hub has
+    # HIGH cosine to many vectors in every language
+    for i in range(3, 30):
+        lang = ["en", "fr", "de"][i % 3]
+        v = unit([1.0 + rng.gauss(0, 0.4) for _ in range(dim)])
+        rows.append((i, lang, v))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, _, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(i, lang) for i, lang, _ in rows], "doc_id long, lang string"
+    )
+
+    import nipd_spark.queries.similarity as smod
+
+    orig_load = smod.load
+    smod.load = (
+        lambda _s, _d, t: docs if t == "documents" else emb
+    )
+    try:
+        out = smod.l68_margin_bitext(spark, "ignored").collect()
+    finally:
+        smod.load = orig_load
+    top = out[0]
+    assert {top.a_id, top.b_id} == {0, 1}, (top.a_id, top.b_id)
+    hub_margins = [r.margin for r in out if 2 in (r.a_id, r.b_id)]
+    assert all(m < top.margin for m in hub_margins)

@@ -118,6 +118,9 @@ PROBE = [
     "l65b_rrf_ivf",
     "l66_temperature_mixture",
     "l67_kneser_ney_logprob",
+    # l68_margin_bitext is EXCLUDED (with l3_jaccard_pairs): it is the
+    # exact all-pairs anchor whose interpreted-HOF cosine is O(n²·d) by
+    # definition — its scale path is the IVF candidate set (l65b shape)
     "l10d_perceptual_neardup",
 ]
 
