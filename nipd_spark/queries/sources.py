@@ -1665,3 +1665,47 @@ def s25_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3 - n_live_dirs).cast("long").alias("n_versions_removed"),
         F.lit(old_read_fails).alias("old_read_fails"),
     )
+
+
+@query(
+    "s26_xml_source",
+    sql="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+    FROM documents
+    """,
+    tags=("S4", "S2"),
+)
+def s26_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip on Spark 4's NATIVE xml data source
+    (no external package) — the semi-structured feed-ingest path for
+    corpora delivered as XML dumps (wiki exports, TREC/patent
+    collections). Documents are staged once as <doc> row elements under
+    a corpus root, then read back with an EXPLICIT schema (no
+    inferSchema/rowTag sampling pass — SURVEY.md §1.2) and must
+    reproduce the source table exactly, entity escaping included.
+
+    Scale shape: the XML reader splits files like any text-based
+    source and parses per-row inside the scan; with an explicit schema
+    there is no inference pre-pass over the corpus. One staged file
+    here; at scale, one file per shard partition.
+    """
+    d = _stage(sf_dir, "doc_xml")
+    if not os.path.exists(d):
+        docs = load(spark, sf_dir, "documents")
+        (
+            docs.select("doc_id", "lang", "n_chars", "text")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "corpus")
+            .option("rowTag", "doc")
+            .save(d + ".tmp")
+        )
+        os.rename(d + ".tmp", d)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, n_chars long, text string")
+        .load(d)
+        .select("doc_id", "lang", "n_chars", "text")
+    )

@@ -2082,3 +2082,35 @@ def test_margin_bitext_finds_pair_and_suppresses_hub(spark):
     assert {top.a_id, top.b_id} == {0, 1}, (top.a_id, top.b_id)
     hub_margins = [r.margin for r in out if 2 in (r.a_id, r.b_id)]
     assert all(m < top.margin for m in hub_margins)
+
+
+def test_xml_source_roundtrips_special_characters(spark, tmp_path):
+    """s26: XML staging must survive the characters XML itself uses —
+    &, <, >, quotes, and a CDATA-looking literal — via entity escaping
+    on write and unescaping on read. Exact text equality, not just
+    well-formedness."""
+    texts = [
+        "plain tokens only",
+        "ampersand & less < greater > quote \" apos '",
+        "looks like markup <doc attr=\"x\">not a row</doc>",
+        "cdata-ish <![CDATA[payload]]> literal",
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", len(t), t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+
+    import nipd_spark.queries.sources as smod
+
+    orig_load = smod.load
+    smod.load = lambda _s, _d, _t: docs
+    try:
+        out = {
+            r.doc_id: r.text
+            for r in smod.s26_xml_source(
+                spark, f"xmltest|{tmp_path}"
+            ).collect()
+        }
+    finally:
+        smod.load = orig_load
+    assert out == {i: t for i, t in enumerate(texts)}
