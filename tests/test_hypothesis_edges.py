@@ -578,3 +578,115 @@ def test_certified_topk_always_exact(spark, counts, m, k):
         .collect()
     ]
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # query_id: few, collide
+            st.integers(min_value=0, max_value=25),  # doc_id: ties across salts
+            st.integers(min_value=-4, max_value=4),  # score: heavy ties
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_salted_topk_matches_plain_window(spark, rows, k):
+    """The salted two-level top-k (text_llm._salted_topk — the pattern
+    under l62/l65/l65b) must equal the plain per-query window top-k on
+    ANY (query_id, doc_id, score) relation: same rows, same rn, same
+    (score desc, doc_id asc) total order, including groups with fewer
+    than k rows and maximal score ties across salt buckets."""
+    from nipd_spark.queries.text_llm import _salted_topk
+
+    data = {(q, d): float(s) for q, d, s in rows}  # unique (q, d)
+    df = spark.createDataFrame(
+        [(q, d, s) for (q, d), s in data.items()],
+        "query_id int, doc_id long, score double",
+    )
+    got = sorted(
+        (r.query_id, r.rn, r.doc_id, r.score)
+        for r in _salted_topk(df, k=k).collect()
+    )
+    want = []
+    by_q: dict = {}
+    for (q, d), s in data.items():
+        by_q.setdefault(q, []).append((d, s))
+    for q, items in by_q.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for i, (d, s) in enumerate(items[:k]):
+            want.append((q, i + 1, d, s))
+    assert got == sorted(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_kneser_ney_matches_reference_on_random_corpora(spark, docs):
+    """l67's interpolated-KN scores equal a from-scratch python
+    reference on arbitrary corpora over a 4-token alphabet (heavy
+    bigram collisions — the regime where discount/continuation terms
+    actually move), and every observed context's full-vocab
+    distribution sums to 1."""
+    import math
+    from collections import Counter
+
+    texts = [" ".join(t) for t in docs]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    D = 0.75
+    cb: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for u, w in zip(toks, toks[1:]):
+            cb[(u, w)] += 1
+    cu: Counter = Counter()
+    n1p_fwd: Counter = Counter()
+    n1p_back: Counter = Counter()
+    for (u, w), c in cb.items():
+        cu[u] += c
+        n1p_fwd[u] += 1
+        n1p_back[w] += 1
+    n_types = len(cb)
+
+    def pkn(u, w):
+        disc = max(cb.get((u, w), 0) - D, 0.0) / cu[u]
+        lam = D * n1p_fwd[u] / cu[u]
+        return disc + lam * (n1p_back[w] / n_types)
+
+    for u in cu:
+        total = sum(pkn(u, w) for w in n1p_back)
+        assert abs(total - 1.0) < 1e-9, (u, total)
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        lps = [math.log(pkn(u, w)) for u, w in zip(toks, toks[1:])]
+        want[i] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: sdf
+    try:
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logprob)
+            for r in tmod.l67_kneser_ney_logprob(spark, "ignored").collect()
+        }
+    finally:
+        tmod.load = orig_load
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
