@@ -720,3 +720,34 @@ def test_interval_overlap_is_equi_not_bnlj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j20_interval_overlap")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_l10d_band_join_is_equi(spark, sf_dir):
+    """The perceptual-hash band join must plan as a hash equi join on
+    (band, bkey) — never a nested loop over fingerprints — and the
+    fingerprint must be computed map-side (no Python eval)."""
+    plan = _plan(spark, sf_dir, "l10d_perceptual_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_l68_lang_pairing_is_equi(spark, sf_dir):
+    """Cross-language pairing must go through the lang-pair equi joins
+    — the tiny-dim theta self-join variant planned as a Cartesian and
+    is the shape this test exists to forbid."""
+    plan = _plan(spark, sf_dir, "l68_margin_bitext")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # global top-20, no full sort
+
+
+def test_l65_fusion_joins_are_not_nested_loop(spark, sf_dir):
+    """l65: the only nested-loop join allowed is the broadcast of the
+    fixed 4-row query-vector table onto the embeddings scan; the
+    fusion of the two k-bounded legs must stay a hash join and the
+    BM25 leg's term filter must reach the join before any aggregation
+    (no CartesianProduct anywhere)."""
+    plan = _plan(spark, sf_dir, "l65_rrf_hybrid")
+    assert "CartesianProduct" not in plan
+    # tree nodes only (each also repeats in the details section)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2  # qv + stats
