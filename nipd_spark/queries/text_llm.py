@@ -3042,3 +3042,101 @@ def l65b_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", rrf.alias("score")
     )
     return _salted_topk(fused, k=10)
+
+
+def _bpe_merge_expr(sym_col: str, a: str, b: str) -> str:
+    """SQL expression merging adjacent (a, b) symbol pairs in an
+    array<string>, leftmost-first and non-overlapping (the BPE merge
+    semantics): a left fold whose state carries the pending previous
+    symbol, so 'aaa' with rule (a,a) becomes ['aa','a'], never
+    ['aa','aa']."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return f"""aggregate(
+      {sym_col},
+      named_struct('acc', cast(array() as array<string>),
+                   'prev', cast(null as string)),
+      (st, x) -> case
+        when st.prev is null
+          then named_struct('acc', st.acc, 'prev', x)
+        when st.prev = {q(a)} and x = {q(b)}
+          then named_struct('acc', array_append(st.acc, {q(a + b)}),
+                            'prev', cast(null as string))
+        else named_struct('acc', array_append(st.acc, st.prev),
+                          'prev', x) end,
+      st -> case when st.prev is null then st.acc
+                 else array_append(st.acc, st.prev) end
+    )"""
+
+
+@query("l31b_bpe_train", sql=None, tags=("L6", "L8", "A1"))
+def l31b_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, not just one step [PK: Sennrich, Haddow
+    & Birch, "Neural Machine Translation of Rare Words with Subword
+    Units", ACL 2016]: 5 merge rounds over the corpus vocabulary —
+    each round counts adjacent symbol pairs weighted by word
+    frequency, takes the argmax pair (count desc, then lexicographic
+    (left, right) — deterministic), and rewrites every word's symbol
+    sequence with the leftmost-first non-overlapping merge. Returns
+    the learned merge table (step, left, right, merged, n) — the
+    artifact a tokenizer ships. l31 is the single-step anchor; this is
+    the loop. Rows-only: the iterative merge is not one SQL statement —
+    a python reference pins exact merges on random corpora
+    (tests/test_hypothesis_edges.py).
+
+    Scale shape: the corpus collapses ONCE to the (word, freq) table
+    (map-side-combined agg over the fact-sized token stream; the
+    domain is vocabulary-sized), so every merge round is a Spark job
+    over the tiny vocab table — per-round cost independent of corpus
+    size, the same once-per-corpus collapse a real BPE trainer does.
+    The pair count is one vocab-domain shuffle per round; the argmax
+    is a 1-row bounded collect (a17-certificate precedent); the merge
+    rewrite is a per-row fold. Lineage is cut per round with a
+    localCheckpoint on the vocab-sized table (plain storage level —
+    O(vocab) rows, the materialize.py DISK_ONLY rule is for
+    fact-sized tables).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    syms = words.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, 6):
+        pairs = syms.filter(F.size("s") >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("s"), 1, F.size("s") - 1),
+                    F.slice(F.col("s"), 2, F.size("s") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].l, top[0].r, top[0].n
+        merges.append((step, a, b, a + b, n))
+        syms = syms.select(
+            F.expr(_bpe_merge_expr("s", a, b)).alias("s"), "freq"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, n long"
+    )

@@ -48,22 +48,22 @@ _QUERY_MODULES = (
 
 # Verification rotation (round 7): the driver hash-checks the FIRST 50
 # queries() entries per round. Cumulative driver coverage after r6 is
-# 249/329 names; the front list continues rotating to never-checked
-# queries (80 remain) until every name carries a driver row — the
+# 249/330 names; the front list continues rotating to never-checked
+# queries (81 remain) until every name carries a driver row — the
 # full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01) still
 # gates every query every round regardless.
 # Round-7 front: this round's additions first (l62 BM25 retrieval,
 # l63 HRW shard rebalance, l64 systematic token sampling, l65 RRF
 # hybrid retrieval + l65b IVF-probed variant, l66 temperature mixture
 # weights, l67 Kneser–Ney bigram scoring, l68 margin bitext mining,
-# l10d perceptual-hash near-dup, s26 native-XML source), then the
-# three queries whose SEMANTICS changed this round (t19's two-path
-# oracle + ms-ceil timer, t20's content-keyed checkpoint, a17's
-# runtime coverage certificate) so the driver re-verifies the changed
-# behavior, then 37 never-checked names spanning every family. The 30
-# never-checked names left over (incl. the rows-only sketch/ANN set)
-# roll to round 8. All are green in the r7 full sweeps at both SFs
-# before this rotation landed.
+# l10d perceptual-hash near-dup, s26 native-XML source, l31b BPE
+# trainer), then the three queries whose SEMANTICS changed this round
+# (t19's two-path oracle + ms-ceil timer, t20's content-keyed
+# checkpoint, a17's runtime coverage certificate) so the driver
+# re-verifies the changed behavior, then 36 never-checked names
+# spanning every family. The 31 never-checked names left over (incl.
+# the rows-only sketch/ANN set) roll to round 8. All are green in the
+# r7 full sweeps at both SFs before this rotation landed.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-7 additions
     "l62_bm25_topk",
@@ -76,6 +76,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l68_margin_bitext",
     "l10d_perceptual_neardup",
     "s26_xml_source",
+    "l31b_bpe_train",
     # round-7 semantic changes (driver re-verification)
     "t19_stateful_session_timeout",
     "t20_state_store_reader",
@@ -121,7 +122,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l27_corpus_card",
     "l28_quantize_embeddings",
     "l29_domain_rebalance",
-    "l30_fuzzy_blocked_match",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -690,3 +690,70 @@ def test_kneser_ney_matches_reference_on_random_corpora(spark, docs):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=2, max_size=6),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_reference(spark, docs):
+    """l31b's learned merge table equals a from-scratch BPE trainer on
+    random 2-letter corpora — the regime where merged symbols
+    immediately re-collide ('aaaa' → 'aa' pairs) and leftmost-first
+    non-overlap semantics decide the counts."""
+    from collections import Counter
+
+    texts = [" ".join(ws) for ws in docs]
+    wf: Counter = Counter()
+    for ws in docs:
+        for w in ws:
+            if len(w) >= 2:
+                wf[w] += 1
+
+    syms = {w: list(w) for w in wf}
+    want = []
+    for step in range(1, 6):
+        counts: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, n))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: sdf
+    try:
+        got = [
+            (r.step, r.left, r.right, r.merged, r.n)
+            for r in tmod.l31b_bpe_train(spark, "ignored").collect()
+        ]
+    finally:
+        tmod.load = orig_load
+    assert sorted(got) == sorted(want), (got, want)
