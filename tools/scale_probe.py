@@ -122,6 +122,8 @@ PROBE = [
     # exact all-pairs anchor whose interpreted-HOF cosine is O(n²·d) by
     # definition — its scale path is the IVF candidate set (l65b shape)
     "l10d_perceptual_neardup",
+    "s26_xml_source",
+    "l31b_bpe_train",
 ]
 
 
