@@ -753,6 +753,8 @@ def l68_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    from nipd_spark.operators.materialize import spill_checkpoint
+
     p = (
         a.join(F.broadcast(lp), "lang_a")
         .join(b, "lang_b")
@@ -769,6 +771,13 @@ def l68_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos"),
         )
+        # p feeds BOTH neigh union branches and the final margin join —
+        # three consumers of the query's dominant cost (the interpreted
+        # sequential-double cosine over every cross-lang pair). Without
+        # a lineage cut each consumer re-enumerates and re-scores every
+        # pair; DISK_ONLY keeps the pair-sized blocks out of the
+        # unified memory pool (operators/materialize.py).
+        .transform(spill_checkpoint)
     )
     neigh = p.select(F.col("a_id").alias("id"), "cos").unionAll(
         p.select(F.col("b_id").alias("id"), "cos")

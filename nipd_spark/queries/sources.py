@@ -1689,7 +1689,11 @@ def s26_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no inference pre-pass over the corpus. One staged file
     here; at scale, one file per shard partition.
     """
-    d = _stage(sf_dir, "doc_xml")
+    from nipd_spark.catalog import dataset_tag
+
+    # content-keyed, not path-keyed: regenerating sf_dir in place must
+    # invalidate the staged XML (catalog.dataset_tag rationale)
+    d = f"/tmp/nipd_src_{dataset_tag(sf_dir, 'doc_xml')}"
     if not os.path.exists(d):
         docs = load(spark, sf_dir, "documents")
         (

@@ -1361,11 +1361,36 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Keyed on the dataset FINGERPRINT (not the path — regenerating data
     # in place must invalidate the checkpoint, or the restarted file
-    # source sees no new files and serves stale state) plus the pid, so
-    # concurrent processes never contend on one checkpoint. Within a
-    # process the tag is stable: call 2+ is the documented restart.
-    tag = f"{dataset_tag(sf_dir, 't20')}_{os.getpid()}"
-    chk = f"/tmp/nipd_chk_{tag}"
+    # source sees no new files and serves stale state). The checkpoint
+    # is SHARED across processes under an atomic-mkdir lock: every call
+    # must (re)run the tracker in ITS process anyway (the state source
+    # resolves stores through the StateStoreCoordinator, which Spark
+    # only creates once a streaming query has run here), and a restart
+    # that finds no new files commits nothing, so the lock only needs
+    # to serialize the replay window — the lazy store read afterwards
+    # is safe concurrently. If the lock stays held (crashed holder or
+    # long contention), fall back to a pid-private checkpoint removed
+    # at process exit — no per-process /tmp leakage either way (the
+    # pid-suffix-forever variant leaked one full state store per
+    # process and could hand a pid-reusing process a dead one's
+    # checkpoint).
+    import atexit
+    import shutil
+    import time
+
+    chk = f"/tmp/nipd_chk_{dataset_tag(sf_dir, 't20')}"
+    lock = chk + ".lock"
+    acquired = False
+    for _ in range(120):  # bounded wait: holders finish in seconds
+        try:
+            os.mkdir(lock)
+            acquired = True
+            break
+        except FileExistsError:
+            time.sleep(0.5)
+    if not acquired:
+        chk = f"{chk}_{os.getpid()}"
+        atexit.register(shutil.rmtree, chk, ignore_errors=True)
 
     out_schema = (
         "user_id long, n_seen long, max_value double, n_purchase long"
@@ -1408,6 +1433,8 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        if acquired:
+            os.rmdir(lock)
 
     return spark.read.format("statestore").load(chk).select(
         F.col("key.user_id").alias("user_id"),

@@ -2555,27 +2555,25 @@ def l63_hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ids = load(spark, sf_dir, "documents").select("doc_id")
 
-    def hrw(n: int):
-        return F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.col("doc_id").cast("string"),
-                                F.lit(str(s)),
-                            )
-                        ).alias("h"),
-                        F.lit(s).alias("s"),
+    # ONE 9-struct (h, s) array per row: the 8-shard assignment is the
+    # argmax over its first 8 entries (HRW's stability property in the
+    # plan itself) — 9 md5 evaluations per row, not 8 + 9
+    cands = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.lit(str(s))
                     )
-                    for s in range(n)
-                ]
+                ).alias("h"),
+                F.lit(s).alias("s"),
             )
-        )["s"]
-
-    assigned = ids.select(
-        hrw(8).alias("shard_old"), hrw(9).alias("shard_new")
+            for s in range(9)
+        ]
+    )
+    assigned = ids.select(cands.alias("c")).select(
+        F.array_max(F.slice(F.col("c"), 1, 8))["s"].alias("shard_old"),
+        F.array_max(F.col("c"))["s"].alias("shard_new"),
     )
     return (
         assigned.groupBy(F.col("shard_new").cast("long").alias("shard_id"))

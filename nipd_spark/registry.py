@@ -61,9 +61,11 @@ _QUERY_MODULES = (
 # (t19's two-path oracle + ms-ceil timer, t20's content-keyed
 # checkpoint, a17's runtime coverage certificate) so the driver
 # re-verifies the changed behavior, then 36 never-checked names
-# spanning every family. The 31 never-checked names left over (incl.
-# the rows-only sketch/ANN set) roll to round 8. All are green in the
-# r7 full sweeps at both SFs before this rotation landed.
+# spanning every family. 81 never-checked minus the 47 consumed here
+# (11 additions + 36 tail; t19/t20/a17 are RE-checks, not new) = 34
+# left over (incl. the rows-only sketch/ANN set), rolling to round 8.
+# All are green in the r7 full sweeps at both SFs before this
+# rotation landed.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-7 additions
     "l62_bm25_topk",
