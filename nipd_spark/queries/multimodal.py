@@ -133,7 +133,8 @@ def l10b_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT f.doc_id, f.frame_idx,
-           sha256(substr(d.text, CAST(f.frame_idx * 16 + 1 AS BIGINT), 16))
+           sha256(substr(hex(encode(d.text)),
+                         CAST(f.frame_idx * 32 + 1 AS BIGINT), 32))
              AS frame_sha
     FROM frames f JOIN documents d USING (doc_id)
     WHERE f.frame_idx % 4 = 0
@@ -143,11 +144,13 @@ def l10b_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l10c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over an opaque binary payload (the video
     frame-sample shape): payload → fixed 16-byte frames → keep every
-    4th → per-frame digest. The payload here is the doc's utf-8 bytes
-    (BinaryType end-to-end on the Spark side; the oracle slices the
-    same ascii bytes as VARCHAR and casts — byte-identical on this
-    corpus). A real codec replaces the fixed-width slicer with keyframe
-    offsets; the explode/digest plumbing is unchanged.
+    4th → per-frame digest. The payload is the doc's utf-8 bytes
+    (BinaryType end-to-end on the Spark side); the digest hashes the
+    uppercase HEX of each byte slice so the DuckDB twin (VARCHAR-only
+    sha256) can address the identical bytes via hex(encode(text)) —
+    byte-true on any corpus, no ASCII assumption. A real codec
+    replaces the fixed-width slicer with keyframe offsets; the
+    explode/digest plumbing is unchanged.
 
     Scale: explode multiplies rows ×(frames/doc ÷ 4); all JVM-side
     (sequence + transform + substring on binary), no Python.
@@ -164,18 +167,28 @@ def l10c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "frame_idx",
         F.sha2(
-            F.substring(F.col("payload"), F.col("frame_idx") * 16 + 1, 16), 256
+            F.hex(
+                F.substring(F.col("payload"), F.col("frame_idx") * 16 + 1, 16)
+            ),
+            256,
         ).alias("frame_sha"),
     )
 
 
 def _l10d_bits_sql(n_bits: int) -> str:
     """DuckDB twin of the block-bit fingerprint: bit i = parity of the
-    first hex char of sha256(block_i). Generated as an explicit
-    n_bits-term sum so both engines evaluate identical integer ops."""
+    first hex char of sha256(hex(block_i bytes)). Byte-true on ANY
+    corpus: blocks are sliced from hex(encode(text)) — 2 hex chars per
+    UTF-8 byte, so char positions 2·(i·bs)+1 … +2·bs address exactly
+    the byte slice Spark's binary substring takes (this DuckDB's
+    sha256 only accepts VARCHAR, hence hashing the uppercase hex of
+    the bytes rather than the bytes themselves — both engines agree
+    bit-for-bit, verified incl. out-of-range slices → sha of '').
+    Generated as an explicit n_bits-term sum so both engines evaluate
+    identical integer ops."""
     terms = [
-        f"(ascii(substr(sha256(substr(text, CAST({i}*bs+1 AS BIGINT), "
-        f"CAST(bs AS BIGINT))), 1, 1)) % 2) * {1 << i}"
+        f"(ascii(substr(sha256(substr(h, CAST(2*{i}*bs+1 AS BIGINT), "
+        f"CAST(2*bs AS BIGINT))), 1, 1)) % 2) * {1 << i}"
         for i in range(n_bits)
     ]
     return " + ".join(terms)
@@ -184,14 +197,14 @@ def _l10d_bits_sql(n_bits: int) -> str:
 @query(
     "l10d_perceptual_neardup",
     # Integer/hex-deterministic end to end: block digests are sha256
-    # over identical bytes (the l10c-proven VARCHAR-substr ≡
-    # binary-substring equivalence on this ascii corpus), the bit rule
+    # over the hex of identical UTF-8 byte slices (byte-true on any
+    # corpus, no ASCII assumption — see _l10d_bits_sql), the bit rule
     # is ascii-parity of one hex char, the fingerprint is an exact
     # 32-bit integer, and Hamming is bit_count(xor) — no float at all.
     sql=f"""
     WITH fp AS (
       SELECT doc_id, ({_l10d_bits_sql(32)})::BIGINT AS f
-      FROM (SELECT doc_id, text,
+      FROM (SELECT doc_id, hex(encode(text)) AS h,
                    greatest(1, CAST(ceil(n_chars/32.0) AS BIGINT)) AS bs
             FROM documents)
     ),
@@ -246,9 +259,17 @@ def l10d_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", payload.alias("payload"), bs.alias("bs"))
     fp = F.lit(0).cast("long")
     for i in range(32):
+        # sha2 over the HEX of the byte slice (not the raw bytes): this
+        # DuckDB's sha256 is VARCHAR-only, and hashing the shared
+        # uppercase-hex rendering keeps the oracle byte-true for
+        # non-ASCII text instead of assuming chars == bytes.
         block_sha = F.sha2(
-            F.substring(
-                F.col("payload"), (F.lit(i) * F.col("bs") + 1), F.col("bs")
+            F.hex(
+                F.substring(
+                    F.col("payload"),
+                    (F.lit(i) * F.col("bs") + 1),
+                    F.col("bs"),
+                )
             ),
             256,
         )

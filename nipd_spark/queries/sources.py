@@ -1683,6 +1683,10 @@ def s26_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus root, then read back with an EXPLICIT schema (no
     inferSchema/rowTag sampling pass — SURVEY.md §1.2) and must
     reproduce the source table exactly, entity escaping included.
+    ignoreSurroundingSpaces=false keeps leading/trailing whitespace in
+    element text (the reader default trims it), and empty elements —
+    which the reader yields as null — are coalesced back to '' so an
+    empty document survives the round-trip too.
 
     Scale shape: the XML reader splits files like any text-based
     source and parses per-row inside the scan; with an explicit schema
@@ -1709,7 +1713,14 @@ def s26_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
         .schema("doc_id long, lang string, n_chars long, text string")
         .load(d)
-        .select("doc_id", "lang", "n_chars", "text")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            # an empty <text/> element reads back as null, not ''
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
     )

@@ -1314,6 +1314,63 @@ def t19_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOCK_STALE_SEC = 300.0  # t20 holders finish in seconds; 5 min = dead
+
+
+def _chk_lock_try_acquire(lock: str) -> bool:
+    """Atomic-mkdir lock with a pid stamp so later waiters can detect
+    a crashed holder (see _chk_lock_holder_stale). Returns True iff
+    THIS process now owns the lock; the caller must release via
+    _chk_lock_release in a try/finally entered immediately after."""
+    import os
+
+    try:
+        os.mkdir(lock)
+    except FileExistsError:
+        return False
+    try:
+        with open(os.path.join(lock, "pid"), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass  # stamp is advisory; mtime staleness still covers us
+    return True
+
+
+def _chk_lock_holder_stale(lock: str) -> bool:
+    """True when the lock's recorded holder pid is verifiably dead, or
+    the lock dir is older than _LOCK_STALE_SEC (pid file missing /
+    unreadable / pid recycled). Waiters reclaim stale locks with
+    rmtree instead of waiting out the full 60 s and permanently
+    degrading to pid-private checkpoints."""
+    import os
+    import time
+
+    try:
+        age = time.time() - os.path.getmtime(lock)
+    except OSError:
+        return False  # lock vanished — next mkdir attempt just wins
+    try:
+        with open(os.path.join(lock, "pid")) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        # holder hasn't stamped (yet, or ever): only age can condemn it
+        return age > _LOCK_STALE_SEC
+    if pid != os.getpid():
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True  # holder died without releasing
+        except PermissionError:
+            pass  # alive, owned by someone else
+    return age > _LOCK_STALE_SEC
+
+
+def _chk_lock_release(lock: str) -> None:
+    import shutil
+
+    shutil.rmtree(lock, ignore_errors=True)
+
+
 @query(
     "t20_state_store_reader",
     # The state store's final content for the t8-shaped tracker IS the
@@ -1368,12 +1425,16 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only creates once a streaming query has run here), and a restart
     # that finds no new files commits nothing, so the lock only needs
     # to serialize the replay window — the lazy store read afterwards
-    # is safe concurrently. If the lock stays held (crashed holder or
-    # long contention), fall back to a pid-private checkpoint removed
-    # at process exit — no per-process /tmp leakage either way (the
-    # pid-suffix-forever variant leaked one full state store per
-    # process and could hand a pid-reusing process a dead one's
-    # checkpoint).
+    # is safe concurrently. The lock records the holder's pid so a
+    # waiter can RECLAIM a stale lock (holder verifiably dead, or lock
+    # older than 5 min) instead of waiting out the full 60 s; the
+    # holder releases in a try/finally entered the moment mkdir
+    # succeeds, so an exception during stream construction can no
+    # longer strand the lock. If the lock genuinely stays contended,
+    # fall back to a pid-private checkpoint removed at process exit —
+    # no per-process /tmp leakage either way (the pid-suffix-forever
+    # variant leaked one full state store per process and could hand
+    # a pid-reusing process a dead one's checkpoint).
     import atexit
     import shutil
     import time
@@ -1382,12 +1443,13 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     lock = chk + ".lock"
     acquired = False
     for _ in range(120):  # bounded wait: holders finish in seconds
-        try:
-            os.mkdir(lock)
+        if _chk_lock_try_acquire(lock):
             acquired = True
             break
-        except FileExistsError:
-            time.sleep(0.5)
+        if _chk_lock_holder_stale(lock):
+            _chk_lock_release(lock)  # reclaim; next loop re-races mkdir
+            continue
+        time.sleep(0.5)
     if not acquired:
         chk = f"{chk}_{os.getpid()}"
         atexit.register(shutil.rmtree, chk, ignore_errors=True)
@@ -1414,27 +1476,33 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
-    updates = stream.groupBy("user_id").applyInPandasWithState(
-        track, out_schema, state_schema, "update", "NoTimeout"
-    )
-    # foreachBatch + noop write: a RECOVERABLE sink (the memory sink
-    # rejects restarts from a checkpoint) that still forces each
-    # micro-batch's full execution so state commits; the sink output
-    # itself is irrelevant here — the STORE is the result.
-    q = start_pinned(
-        updates.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda df, _id: df.write.format("noop").mode("overwrite").save()
-        )
-        .option("checkpointLocation", chk)
-    )
     try:
-        q.processAllAvailable()
+        stream = events_stream(
+            spark, sf_dir, parts=4, one_file_per_trigger=True
+        )
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            track, out_schema, state_schema, "update", "NoTimeout"
+        )
+        # foreachBatch + noop write: a RECOVERABLE sink (the memory sink
+        # rejects restarts from a checkpoint) that still forces each
+        # micro-batch's full execution so state commits; the sink output
+        # itself is irrelevant here — the STORE is the result.
+        q = start_pinned(
+            updates.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: df.write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            .option("checkpointLocation", chk)
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
         if acquired:
-            os.rmdir(lock)
+            _chk_lock_release(lock)
 
     return spark.read.format("statestore").load(chk).select(
         F.col("key.user_id").alias("user_id"),

@@ -3050,7 +3050,11 @@ def _bpe_merge_expr(sym_col: str, a: str, b: str) -> str:
     ['aa','aa']."""
 
     def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+        # Backslash first: inside a Spark SQL string literal '\' is an
+        # escape character, so a raw backslash in a merge symbol would
+        # either raise ParseException ('\'' at end) or silently rewrite
+        # a different symbol (e.g. '\n'). Then double the quotes.
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     return f"""aggregate(
       {sym_col},

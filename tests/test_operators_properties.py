@@ -2094,6 +2094,12 @@ def test_xml_source_roundtrips_special_characters(spark, tmp_path):
         "ampersand & less < greater > quote \" apos '",
         "looks like markup <doc attr=\"x\">not a row</doc>",
         "cdata-ish <![CDATA[payload]]> literal",
+        # whitespace/empty round-trips: the reader default trims
+        # surrounding spaces and reads empty elements as null — s26
+        # must preserve these exactly (ADVICE r7)
+        "  leading and trailing spaces  ",
+        "\ttab-framed\t",
+        "",
     ]
     docs = spark.createDataFrame(
         [(i, "en", len(t), t) for i, t in enumerate(texts)],
@@ -2114,3 +2120,121 @@ def test_xml_source_roundtrips_special_characters(spark, tmp_path):
     finally:
         smod.load = orig_load
     assert out == {i: t for i, t in enumerate(texts)}
+
+
+def test_bpe_merge_expr_escapes_backslashes(spark):
+    """_bpe_merge_expr must treat merge symbols as OPAQUE strings: a
+    backslash symbol used to pass raw into the Spark SQL literal where
+    it acted as an escape character — '\\' raised ParseException and
+    a literal backslash-n symbol silently matched the newline symbol
+    instead (ADVICE r7). Pin both directions."""
+    from nipd_spark.queries.text_llm import _bpe_merge_expr
+
+    bs = "\\"  # one backslash character
+    rows = [
+        ([bs, bs, "a"],),
+        ([bs + "n", "x"],),  # literal backslash-n, then x
+        (["\n", "x"],),  # actual newline, then x — must NOT merge below
+        (["'", bs, "'"],),
+    ]
+    df = spark.createDataFrame(rows, "s array<string>")
+
+    # rule (\, \): merges only the two raw backslashes
+    out = [
+        r.m
+        for r in df.select(
+            F.expr(_bpe_merge_expr("s", bs, bs)).alias("m")
+        ).collect()
+    ]
+    assert out == [[bs + bs, "a"], [bs + "n", "x"], ["\n", "x"], ["'", bs, "'"]]
+
+    # rule (\n-literal, x): merges the 2-char symbol, not the newline
+    out2 = [
+        r.m
+        for r in df.select(
+            F.expr(_bpe_merge_expr("s", bs + "n", "x")).alias("m")
+        ).collect()
+    ]
+    assert out2 == [[bs, bs, "a"], [bs + "nx"], ["\n", "x"], ["'", bs, "'"]]
+
+
+def test_chk_lock_stale_holder_reclaim(tmp_path):
+    """t20's checkpoint lock: a crashed holder (dead pid) or an ancient
+    lock dir must be reclaimable; a live holder must not be (ADVICE
+    r7 — the old lock had no staleness recovery, so one crash stalled
+    every later caller 60 s and leaked pid-private checkpoints)."""
+    import os
+    import subprocess
+
+    from nipd_spark.queries import streaming_live as sl
+
+    lock = str(tmp_path / "chk.lock")
+    assert sl._chk_lock_try_acquire(lock)
+    assert not sl._chk_lock_try_acquire(lock)  # held
+    assert not sl._chk_lock_holder_stale(lock)  # we're alive and young
+
+    # dead holder: stamp the pid of a process that has already exited
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(os.path.join(lock, "pid"), "w") as fh:
+        fh.write(str(p.pid))
+    assert sl._chk_lock_holder_stale(lock)
+    sl._chk_lock_release(lock)
+    assert sl._chk_lock_try_acquire(lock)  # reclaimed and re-acquired
+
+    # unstamped but ancient lock dir: stale by mtime
+    os.remove(os.path.join(lock, "pid"))
+    old = 1.0  # epoch — definitely older than _LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    assert sl._chk_lock_holder_stale(lock)
+    sl._chk_lock_release(lock)
+    assert not os.path.exists(lock)
+
+
+def test_l10d_oracle_byte_true_on_non_ascii(spark):
+    """l10d's DuckDB twin must address the SAME UTF-8 bytes as Spark's
+    binary substring on non-ASCII text (ADVICE r7: the old twin sliced
+    VARCHAR by characters, valid only on ASCII). Build a corpus of
+    accented/CJK/emoji near-dup pairs and hash-compare the two engines'
+    full pipelines, not just the fingerprint."""
+    import duckdb
+
+    import nipd_spark.queries.multimodal as mmod
+    from nipd_spark.registry import all_specs
+    from nipd_spark.testing import canon_rows
+
+    base = "héllo wörld — 東京タワー データ 🌍🌎🌏 ação über"
+    texts = [
+        base,
+        base,  # exact dup → hamming 0
+        base.replace("wörld", "wørld"),  # near-dup, one block differs
+        "全く別の文書です。" * 4,
+        "plain ascii control document number five",
+    ]
+    rows = [(i, "xx", len(t), t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+
+    orig_load = mmod.load
+    mmod.load = lambda _s, _d, _t: docs
+    try:
+        sdf = mmod.l10d_perceptual_neardup(spark, "ignored")
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.collect()]
+    finally:
+        mmod.load = orig_load
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, "
+        "n_chars BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    res = con.execute(all_specs()["l10d_perceptual_neardup"].sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+    assert any(r[0] == 0 and r[1] == 1 for r in srows)  # planted dup found
