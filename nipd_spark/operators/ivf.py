@@ -116,18 +116,21 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def search(
+def candidates(
     base: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     assigned: DataFrame,
-    k: int = 5,
     nprobe: int = 2,
 ) -> DataFrame:
-    """Top-k approximate neighbors per query: probe ``nprobe`` lists,
-    exact cosine re-rank inside them. Returns (q_id, neighbor_id,
-    cosine, rn) — same shape/arithmetic as lsh.ann_topk / knn ground
-    truth, so scores are comparable bit-for-bit."""
+    """The raw probed candidate relation (q_id, neighbor_id, cosine):
+    every (query, base vector) pair meeting in one of the query's
+    ``nprobe`` nearest lists, with the exact sequential-double cosine.
+    SELF pairs are included (a query always probes its own assigned
+    list, so q_id == neighbor_id rows exist when the query is in the
+    base) — callers that want kNN semantics drop them (``search``);
+    callers aligning with a full-scan leg that scores self keep them
+    (l65b's dense leg, matching l65's oracle exactly at probe-all)."""
     probe_w = Window.partitionBy("q_id").orderBy(
         F.col("ccos").desc(), F.col("list_id").asc()
     )
@@ -149,9 +152,8 @@ def search(
         vector.l2_norm(F.col("embedding")).alias("n_nrm"),
         "list_id",
     )
-    cand = (
+    return (
         probes.join(b, "list_id")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
         .select(
             "q_id",
             "neighbor_id",
@@ -163,6 +165,23 @@ def search(
             ).alias("cosine"),
         )
         .distinct()
+    )
+
+
+def search(
+    base: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k approximate neighbors per query: probe ``nprobe`` lists,
+    exact cosine re-rank inside them. Returns (q_id, neighbor_id,
+    cosine, rn) — same shape/arithmetic as lsh.ann_topk / knn ground
+    truth, so scores are comparable bit-for-bit."""
+    cand = candidates(base, queries, centroids, assigned, nprobe).filter(
+        F.col("q_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

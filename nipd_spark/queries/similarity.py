@@ -707,22 +707,12 @@ def l68_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop theta join (the J10 discipline). Neighborhood means
     are one union + per-vector top-4 window + 4-row avg; the global
     top-20 is orderBy+limit (TakeOrderedAndProject). The exact
-    O(n_a·n_b) pair enumeration is the correctness anchor — at real
-    scale the pair relation is the IVF-probed candidate set
+    O(n_a·n_b) pair enumeration is the correctness anchor — the scale
+    path is l68b_margin_bitext_ivf: the IVF-probed candidate set
     (operators/ivf.py, cf. l65→l65b) with margins computed on
-    candidates only, unchanged downstream.
+    candidates only, unchanged downstream (_margin_topk).
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .join(docs, F.col("vec_id") == F.col("doc_id"))
-        .select(
-            "vec_id",
-            "lang",
-            "embedding",
-            vector.l2_norm(F.col("embedding")).alias("nrm"),
-        )
-    )
+    e = _bitext_lang_embeddings(spark, sf_dir)
     # ordered lang-pair dimension built join-free: collect the distinct
     # langs into ONE sorted array and expand ordered pairs in-plan with
     # nested transforms (a tiny-dim self-join would plan as a Cartesian)
@@ -779,6 +769,30 @@ def l68_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unified memory pool (operators/materialize.py).
         .transform(spill_checkpoint)
     )
+    return _margin_topk(p)
+
+
+def _bitext_lang_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, lang, embedding, nrm) — embeddings tagged with their
+    document's language, shared by l68 (exact) and l68b (IVF path)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        load(spark, sf_dir, "embeddings")
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "vec_id",
+            "lang",
+            "embedding",
+            vector.l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+
+
+def _margin_topk(p: DataFrame) -> DataFrame:
+    """Shared margin-ranking tail for l68/l68b: a (a_id, b_id, cos)
+    pair table (cos rounded to 6 dp) → per-id top-4 neighborhood mean →
+    ratio margin → global top-20 via orderBy+limit
+    (TakeOrderedAndProject, plan-pinned)."""
     neigh = p.select(F.col("a_id").alias("id"), "cos").unionAll(
         p.select(F.col("b_id").alias("id"), "cos")
     )
@@ -804,3 +818,142 @@ def l68_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.orderBy(
         F.col("margin").desc(), F.col("a_id").asc(), F.col("b_id").asc()
     ).limit(20)
+
+
+def _margin_bitext_ivf(
+    spark: SparkSession, sf_dir: str, n_lists: int = 16, nprobe: int = 6
+) -> DataFrame:
+    """l68 with the pair relation replaced by the IVF-probed candidate
+    set — parameterized so the probe-all property test can set
+    nprobe = n_lists and recover l68 bit-for-bit."""
+    from nipd_spark.operators import ivf
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    # Exact-dup collapse (the l14b/minhash degeneracy discipline): byte-
+    # identical (lang, embedding) rows carry zero additional mining
+    # information but would multiply the candidate relation by the
+    # square of the copy count (a dup-heavy crawl is the NORM at 100 TB
+    # — the 16x replica is 16 copies per vector, and without this
+    # collapse its candidate stage OOMed an 8 GiB heap). Mining runs
+    # once per distinct content; on an all-distinct corpus (the
+    # fixture) min(vec_id) of a singleton group is the row itself, so
+    # the collapse is the identity and probe-all == l68 exactly.
+    e = (
+        _bitext_lang_embeddings(spark, sf_dir)
+        .groupBy("lang", "embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select(
+            "vec_id",
+            "lang",
+            "embedding",
+            vector.l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    emb = e.select("vec_id", "embedding")
+    cen = ivf.train_centroids(emb, n_lists=n_lists, iters=2)
+    assigned = ivf.assign(emb, cen)
+    probe_w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        emb.crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "list_id",
+            (
+                vector.dot(F.col("embedding"), F.col("centroid"))
+                / vector.l2_norm(F.col("embedding"))
+            ).alias("ccos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("p_id"), "list_id")
+    )
+    # candidate pairs = vectors meeting in a probed list, canonicalized
+    # by id so each unordered pair survives .distinct() exactly once
+    meet = (
+        probes.join(
+            assigned.select(F.col("vec_id").alias("t_id"), "list_id"),
+            "list_id",
+        )
+        .filter(F.col("p_id") != F.col("t_id"))
+        .select(
+            F.least("p_id", "t_id").alias("x_id"),
+            F.greatest("p_id", "t_id").alias("y_id"),
+        )
+        .distinct()
+    )
+    ex = e.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("lang").alias("lang_x"),
+        F.col("embedding").alias("emb_x"),
+        F.col("nrm").alias("nrm_x"),
+    )
+    ey = e.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("lang").alias("lang_y"),
+        F.col("embedding").alias("emb_y"),
+        F.col("nrm").alias("nrm_y"),
+    )
+    # relabel (x, y) to (a, b) with lang_a < lang_b — l68's orientation.
+    # The cosine is evaluated on (x, y) regardless: IEEE multiply is
+    # commutative, so dot(x,y) and nrm_x*nrm_y match l68's (a,b)
+    # orientation bit-for-bit even when flipped.
+    flip = F.col("lang_x") > F.col("lang_y")
+    p = (
+        meet.join(ex, "x_id")
+        .join(ey, "y_id")
+        .filter(F.col("lang_x") != F.col("lang_y"))
+        .select(
+            F.when(flip, F.col("y_id")).otherwise(F.col("x_id")).alias("a_id"),
+            F.when(flip, F.col("x_id")).otherwise(F.col("y_id")).alias("b_id"),
+            F.round(
+                vector.cosine(
+                    F.col("emb_x"),
+                    F.col("emb_y"),
+                    F.col("nrm_x"),
+                    F.col("nrm_y"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        # same three-consumer role as l68's pair table; candidate-sized
+        # now, but still the dominant cost — cut lineage once
+        .transform(spill_checkpoint)
+    )
+    return _margin_topk(p)
+
+
+@query("l68b_margin_bitext_ivf", sql=None, tags=("L4", "L5", "L9", "O3"))
+def l68b_margin_bitext_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin bitext mining on the IVF candidate set — the 100 TB scale
+    path l68's docstring promises (cf. l65 → l65b) [PK: Artetxe &
+    Schwenk, ACL 2019 — the paper itself mines margins over FAISS-IVF
+    neighborhoods, not exact pair enumeration]. Every vector probes its
+    ``nprobe`` nearest coarse lists; candidates are cross-language
+    vectors meeting in a probed list (equi-join on list_id); margins —
+    cosine over the mean of each side's top-4 CANDIDATE neighborhood —
+    and the global top-20 are computed on candidates only, downstream
+    unchanged (_margin_topk).
+
+    Rows-only: the candidate set is approximate by design. Anchors:
+    (a) probe-all (nprobe = n_lists) reproduces l68's oracled top-20
+    EXACTLY on the all-distinct fixture (property test — the meet
+    relation then contains every cross-lang pair, cosines are
+    bit-identical by commutativity, and the dup collapse is the
+    identity); (b) the top-20 overlap vs l68 at the default nprobe is
+    measured and reported by the same test module and recorded in
+    SCALE.md.
+
+    Plan shape for 100 TB: byte-identical (lang, embedding) rows
+    collapse to one representative first (map-side-combined agg —
+    dup-heavy crawls would otherwise square the candidate volume);
+    train/assign/probe are broadcast-centroid map passes (C centroids,
+    never fact-sized); the ONLY pair-producing stage is the equi-join
+    on list_id, so candidate FLOPs scale as Θ(distinct² · nprobe /
+    n_lists) with n_lists chosen ~√distinct in production —
+    sub-quadratic and fully shuffle-partitioned, no Cartesian anywhere
+    (plan-pinned). The exact l68 remains the correctness anchor; this
+    is the shape you actually run on a crawl.
+    """
+    return _margin_bitext_ivf(spark, sf_dir, n_lists=16, nprobe=6)

@@ -198,7 +198,9 @@ def t8_stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-filters to each user's final state (max n_seen). Tests assert it
     equals the batch groupBy. At 100 TB this is the funnel/state-machine
     shape: state is per-key and bounded, the state store (RocksDB in
-    prod) holds it between triggers.
+    prod — exercised for real by the r8 RocksDB twin runs in
+    tests/test_streaming.py, result-equal to the default provider)
+    holds it between triggers.
 
     API note: Spark 4's successor API, transformWithStateInPandas
     (StatefulProcessor: typed value/list/map state, timers, TTL), is the
@@ -1222,8 +1224,10 @@ def t19_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     abandoned-cart triggers. Each handler call re-arms the timer at
     last_event + gap; the timeout path emits the session and removes
     state, so keyed state stays bounded by ACTIVE sessions only — at
-    100 TB the timer wheel lives in the state store (RocksDB) and
-    eviction is incremental per micro-batch, never a scan.
+    100 TB the timer wheel lives in the state store (RocksDB — the r8
+    twin run under RocksDBStateStoreProvider reproduces this query's
+    session table exactly; tests/test_streaming.py) and eviction is
+    incremental per micro-batch, never a scan.
 
     The 4-file in-order replay advances the watermark between
     micro-batches, so mid-stream timeouts genuinely fire (users absent
@@ -1402,7 +1406,10 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the reader maps checkpoint state files directly (one task
     per state partition, here the pinned 32) with no replay — at
     100 TB this is how you audit a TB-sized RocksDB state without
-    touching the source stream. The staged checkpoint is content-keyed
+    touching the source stream (measured, not just claimed: the r8
+    RocksDB twin in tests/test_streaming.py runs this tracker + state
+    source under RocksDBStateStoreProvider and matches the batch
+    aggregate). The staged checkpoint is content-keyed
     under /tmp; the tracker is (re)started on it every call — on an
     existing checkpoint that is a t13-style RESTART that finds no new
     files and commits nothing, which both exercises recovery and

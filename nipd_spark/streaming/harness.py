@@ -168,6 +168,30 @@ def events_stream(
     return raw
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider_class: str):
+    """Temporarily select the streaming state-store provider on the
+    session streams are actually built on (the pinned child — a query
+    captures ITS session's conf at start, so setting the caller's conf
+    would silently not apply). Used by the RocksDB twin runs that turn
+    the T8 docstrings' 'RocksDB at 100 TB' claims into measurements
+    (tests/test_streaming.py)."""
+    sess = pinned_session(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = sess.conf.get(key)
+    sess.conf.set(key, provider_class)
+    try:
+        yield sess
+    finally:
+        sess.conf.set(key, saved)
+
+
 def start_pinned(writer):
     """start() a DataStreamWriter with state partitioning pinned. The
     streaming query clones the conf of ITS DataFrame's session at

@@ -751,3 +751,13 @@ def test_l65_fusion_joins_are_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # tree nodes only (each also repeats in the details section)
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 2  # qv + stats
+
+
+def test_margin_bitext_ivf_no_cartesian(spark, sf_dir):
+    """l68b: the only pair-producing stage is the list_id equi-join —
+    no CartesianProduct anywhere; the sole nested-loop join is the
+    broadcast of the C-centroid quantizer (ALLOW-listed), and the
+    global top-20 stays TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "l68b_margin_bitext_ivf")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -71,6 +71,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "l65b_rrf_ivf": {
         "bnlj": "broadcast side = C IVF centroids (train/assign/probe)"
     },
+    "l68b_margin_bitext_ivf": {
+        "bnlj": "broadcast side = C IVF centroids (train/assign/probe); "
+        "the pair-producing stage is the list_id equi-join"
+    },
     "l29_domain_rebalance": {
         "bnlj": "broadcast side = per-source target weights (source domain)"
     },

@@ -120,10 +120,12 @@ PROBE = [
     "l67_kneser_ney_logprob",
     # l68_margin_bitext is EXCLUDED (with l3_jaccard_pairs): it is the
     # exact all-pairs anchor whose interpreted-HOF cosine is O(n²·d) by
-    # definition — its scale path is the IVF candidate set (l65b shape)
+    # definition — its scale path is l68b (IVF candidate set, probed)
     "l10d_perceptual_neardup",
     "s26_xml_source",
     "l31b_bpe_train",
+    # round-8: margin bitext on the IVF candidate set
+    "l68b_margin_bitext_ivf",
 ]
 
 

@@ -57,6 +57,9 @@ PROBE_DEEP = [
     "l65_rrf_hybrid",  # sparse+dense k-bounded fusion
     "l66_temperature_mixture",  # map-side agg to |sources| rows
     "l67_kneser_ney_logprob",  # bigram LM train + broadcast score
+    # round-8: bounded-output KN source profile (output fixed at the
+    # source domain, so the ratio measures pure input scaling)
+    "l67b_kneser_ney_source_profile",
 ]
 
 
