@@ -1251,3 +1251,78 @@ def a31_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median_qty"),
         F.max("total").alias("total_weight_cents"),
     )
+
+
+@query(
+    "a32_equidepth_histogram",
+    # Integer-exact end to end: the global row number comes from a
+    # deterministic unique ordering (price, orderkey, linenumber), the
+    # bucket index is BIGINT arithmetic, and only the per-bucket sum —
+    # an order-dependent float aggregate — is rounded (2 dp, money).
+    sql=f"""
+    WITH b AS (
+      SELECT l_extendedprice AS v, l_orderkey, l_linenumber FROM lineitem
+    ),
+    r AS (
+      SELECT v, row_number() OVER (
+               ORDER BY v ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM b
+    ),
+    n AS (SELECT count(*) AS c FROM b)
+    SELECT CAST(((rn - 1) * 8) // c AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(v) AS lo,
+           max(v) AS hi,
+           {dround('sum(v)', 2)} AS bucket_sum
+    FROM r, n
+    GROUP BY 1
+    """,
+    tags=("A9", "A13", "W1"),
+)
+def a32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of l_extendedprice in 8
+    buckets: per bucket the row count (±1 across buckets by
+    construction), value bounds (the exact quantile boundaries), and
+    mass. Equi-depth histograms are the cardinality-estimation
+    workhorse inside optimizers and the right summary for skewed
+    distributions where equi-WIDTH buckets (a13) collapse into one hot
+    bin. Bucket assignment is floor((rn−1)·8/n) over a deterministic
+    unique global ordering — exact quantiles, no interpolation
+    ambiguity cross-engine.
+
+    Plan shape for 100 TB: the global row number is the bucketed
+    two-pass rank (operators/ranks.with_global_rn) — a raw-row
+    Window.orderBy would funnel the whole table through ONE task; the
+    histogram form keeps 64-bucket parallelism with one tiny offsets
+    broadcast. Everything after is a map-side bucket key + an 8-group
+    partial aggregation.
+    """
+    from nipd_spark.operators import ranks
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    r = ranks.with_global_rn(
+        li, key="v", tiebreaks=["l_orderkey", "l_linenumber"]
+    )
+    n = li.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            (
+                (F.col("rn").cast("long") - F.lit(1))
+                * F.lit(8)
+                / F.col("c")
+            )
+            .cast("long")
+            .alias("bucket"),
+            "v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.round(F.sum("v"), 2).alias("bucket_sum"),
+        )
+    )

@@ -2581,3 +2581,85 @@ def c34_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dead") == 1, 0.0).otherwise(F.col("s")), 6
         ).alias("survival"),
     )
+
+
+@query(
+    "c35_gini_by_nation",
+    # Float discipline: per-customer revenue is rounded to 2 dp BEFORE
+    # ranking (the l62 round-before-rank rule), so both engines order
+    # identical values with the c_custkey tiebreak; the running-sum and
+    # ΣS aggregates are order-dependent float sums → dround on output.
+    sql=f"""
+    WITH r AS (
+      SELECT o_custkey, {dround('sum(o_totalprice)', 2)} AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT n_name, c_custkey, rev
+      FROM r
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    ),
+    w AS (
+      SELECT n_name, rev,
+             sum(rev) OVER (
+               PARTITION BY n_name ORDER BY rev ASC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM j
+    )
+    SELECT n_name,
+           count(*) AS n_custs,
+           {dround('sum(rev)', 2)} AS total_rev,
+           {dround(
+               '(count(*) + 1.0) / count(*)'
+               ' - 2.0 * sum(run) / (count(*) * sum(rev))', 6)} AS gini
+    FROM w GROUP BY n_name
+    """,
+    tags=("A1", "W3", "J6"),
+)
+def c35_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration census: the Gini coefficient of
+    per-customer order revenue within each nation — the standard
+    inequality measure behind "whale" concentration risk in sales
+    analytics and per-source contribution skew in corpus curation.
+    Uses the running-sum identity G = (n+1)/n − 2·Σᵢ Sᵢ / (n·Σx) with
+    x sorted ascending and Sᵢ the inclusive prefix sum — algebraically
+    equal to the textbook rank form G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n via
+    Σᵢ Sᵢ = (n+1)·Σx − Σ i·xᵢ, but computable from a prefix sum alone
+    (no explicit rank column).
+
+    Plan shape for 100 TB: revenue collapses to one row per customer
+    (map-side partial agg); the per-nation prefix sum is the grouped
+    histogram cumsum (operators/ranks.with_grouped_running_sum) — a
+    raw-row Window PARTITION BY n_name would funnel each nation's
+    entire customer base through one task (25 tasks total at any
+    scale), while the bucketed form keeps |nations| × 64 buckets of
+    parallelism. Nation is a broadcast dim; the final agg is 25 rows.
+    """
+    from nipd_spark.operators import ranks
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    j = (
+        r.join(cust, r["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", "c_custkey", "rev")
+    )
+    cum = ranks.with_grouped_running_sum(
+        j, group="n_name", key="rev", tiebreaks=["c_custkey"], val="rev",
+        out="run",
+    )
+    n = F.count(F.lit(1))
+    return cum.groupBy("n_name").agg(
+        n.alias("n_custs"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+        F.round(
+            (n + F.lit(1.0)) / n
+            - F.lit(2.0) * F.sum("run") / (n * F.sum("rev")),
+            6,
+        ).alias("gini"),
+    )

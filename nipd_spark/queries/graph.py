@@ -354,3 +354,91 @@ def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), F.col("component").asc())
         .limit(20)
     )
+
+
+@query(
+    "g4_bfs_hops",
+    sql="""
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    src AS (SELECT min(u) AS s FROM und),
+    walk(node, d) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT e.v, walk.d + 1
+      FROM walk JOIN e ON e.u = walk.node
+      WHERE walk.d < 4
+    ),
+    dist AS (SELECT node, min(d) AS hop FROM walk GROUP BY node)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           count(*) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM dist GROUP BY hop ORDER BY hop
+    """,
+    tags=("J1", "A1", "U1"),
+)
+def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the part co-purchase graph: hop-distance
+    census (node count, min/max node per hop) within 4 hops of the
+    smallest part id — the "related items within k degrees"
+    neighborhood primitive behind recommendation candidate generation
+    and graph-bounded blocking for dedup. The DuckDB twin reaches the
+    same distances through a recursive CTE whose UNION dedup bounds the
+    walk state at (node, d) pairs, so two different frontier engines
+    must agree on every hop bucket — the distance-label complement of
+    g3's component-label cross-check.
+
+    Plan shape for 100 TB: the fact-sized symmetric edge list is
+    hash-partitioned once and DISK_ONLY-checkpointed (the g2/g3
+    discipline), so each of the ≤ 4 supersteps shuffles only the
+    O(frontier) node set: frontier ⋈ edges (equi on node id) → distinct
+    → anti-join against visited. Superstep count is a constant, not
+    data-dependent; the visited/distance vector is O(nodes), never
+    edge-sized. The driver holds only the 1-row source id.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = spill_checkpoint(
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    # every edge (u, v) has u < v, so min(u) is the smallest graph node
+    src = und.agg(F.min("u").alias("s")).collect()[0].s
+    dist = spark.createDataFrame([(src, 0)], "node long, hop long")
+    frontier = dist.select("node")
+    for d in range(1, 5):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(d).cast("long"))
+        )
+        # O(nodes) label vector: materialize so superstep d+1 doesn't
+        # re-run the whole lineage (localCheckpoint, in-memory scale)
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = dist.filter(F.col("hop") == d).select("node")
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("hop")
+    )

@@ -957,3 +957,123 @@ def l68b_margin_bitext_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shape you actually run on a crawl.
     """
     return _margin_bitext_ivf(spark, sf_dir, n_lists=16, nprobe=6)
+
+
+# Query→vector designation for the MMR re-rank (same eval queries as
+# text_llm._RRF_QVECS so l65/l70/l69 measure the same retrieval task).
+_MMR_QVECS = ((1, 11), (2, 22), (3, 33), (4, 44))
+
+
+def _mmr_select(rel, sims, doc_ids, k: int, lam: float):
+    """Pure-python MMR selection over one candidate set: returns
+    [(idx, mmr_score)] of length ≤ k. Candidates MUST be pre-sorted by
+    doc_id so the strict-> argmax breaks ties to the lowest doc_id."""
+    n = len(rel)
+    selected: list = []
+    remaining = list(range(n))
+    out = []
+    for _ in range(min(k, n)):
+        best_i, best_s = None, None
+        for i in remaining:
+            if not selected:
+                s = float(rel[i])
+            else:
+                s = lam * float(rel[i]) - (1.0 - lam) * max(
+                    float(sims[i][j]) for j in selected
+                )
+            if best_s is None or s > best_s:
+                best_i, best_s = i, s
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out.append((best_i, best_s))
+    return out
+
+
+@query("l69_mmr_diversify", sql=None, tags=("L4", "L5", "O4", "D4"))
+def l69_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking [PK: Carbonell &
+    Goldstein, "The Use of MMR, Diversity-Based Reranking for
+    Reordering Documents and Producing Summaries", SIGIR 1998]: for
+    each eval query, take the exact-cosine top-20 dense candidates and
+    greedily select a diversified top-5 maximizing
+    λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s) with λ = 0.7 — the standard
+    redundancy-suppressing re-rank for RAG context assembly and
+    dedup-aware retrieval (a near-duplicate of an already-selected
+    document scores its relevance minus ~1·(1−λ) and loses). Ties
+    break to the lowest doc_id (candidates scanned in doc_id order,
+    strictly-greater argmax).
+
+    Rows-only by design: the greedy sequential argmax is an iterative
+    selection over a shrinking candidate set — not expressible as the
+    ANSI SQL the oracle harness mirrors. Correctness is pinned by a
+    from-scratch Python MMR reference on a crafted corpus with planted
+    duplicates (tests/test_operators_properties.py).
+
+    Plan shape for 100 TB: candidate generation is the k-bounded path
+    — 4 query vectors broadcast across the embeddings scan (map-side
+    cosine in codegen; the IVF tier replaces the scan at real scale,
+    cf. l65b), cut to 20 rows/query by the salted two-level top-k. The
+    MMR itself runs per query on its ≤ 20-row group via applyInPandas:
+    Python, but over k²-bounded work per query (20·20 sims), never
+    corpus-sized — the group count scales with queries, not documents,
+    so parallelism follows the query workload.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from nipd_spark.queries.text_llm import _salted_topk
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vector.l2_norm(F.col("embedding")))
+    )
+    qmap = spark.createDataFrame(
+        list(_MMR_QVECS), "query_id int, vec_id long"
+    )
+    qv = e.join(F.broadcast(qmap), "vec_id").select(
+        "query_id",
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dsc = e.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            vector.dot(F.col("qemb"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("rel"),
+    )
+    cand = _salted_topk(
+        dsc.withColumnRenamed("rel", "score"), k=20
+    ).withColumnRenamed("score", "rel")
+    # unit vectors for the pairwise candidate-candidate cosines
+    unit = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / F.col("nrm"),
+        ).alias("uvec"),
+    )
+    cv = cand.join(unit, "doc_id").select("query_id", "doc_id", "rel", "uvec")
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        V = np.stack(pdf["uvec"].to_numpy())
+        sims = V @ V.T
+        picks = _mmr_select(
+            pdf["rel"].to_numpy(), sims, pdf["doc_id"].to_numpy(), 5, 0.7
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rn": range(1, len(picks) + 1),
+                "doc_id": [int(pdf["doc_id"].iloc[i]) for i, _ in picks],
+                "mmr_score": [round(s, 6) for _, s in picks],
+            }
+        )
+
+    return cv.groupBy("query_id").applyInPandas(
+        mmr, "query_id int, rn long, doc_id long, mmr_score double"
+    )

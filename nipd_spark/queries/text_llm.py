@@ -3236,3 +3236,584 @@ def l31b_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, n long"
     )
+
+
+@query(
+    "l70_retrieval_eval",
+    # Determinism: both rankings rank 6 dp ROUNDED scores with doc_id
+    # tiebreaks (identical integer ranks cross-engine); n_hits is an
+    # exact integer; p/r are single divisions of exact integers by
+    # constants. DCG/IDCG are order-dependent 10-term float sums →
+    # rounded 6 dp each before the final (also rounded) ratio.
+    sql=f"""
+    WITH {_BM25_SCORED_CTES},
+    sp AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored
+    ),
+    sp10 AS (SELECT query_id, doc_id, rn FROM sp WHERE rn <= 10),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt({vector.duck_sq_norm('embedding')}) AS nrm
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT m.query_id, e.embedding AS qemb, e.nrm AS qnrm
+      FROM (VALUES {_RRF_QVEC_VALUES}) m(query_id, vec_id)
+      JOIN e ON e.vec_id = m.vec_id
+    ),
+    dsc AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             {dround(
+                 f"({vector.duck_dot('qv.qemb', 'e.embedding')})"
+                 " / (qv.qnrm * e.nrm)", 6)} AS score
+      FROM qv, e
+    ),
+    tr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS r
+      FROM dsc
+    ),
+    t20 AS (
+      SELECT query_id, doc_id, r, CAST(21 - r AS DOUBLE) AS rel
+      FROM tr WHERE r <= 20
+    ),
+    idcg AS (
+      SELECT query_id,
+             {dround('sum(rel / log2(r + 1.0))', 6)} AS idcg
+      FROM t20 WHERE r <= 10 GROUP BY query_id
+    ),
+    dcg AS (
+      SELECT s.query_id,
+             count(t.doc_id) AS n_hits,
+             {dround(
+                 'sum(coalesce(t.rel, 0.0) / log2(s.rn + 1.0))', 6)} AS dcg
+      FROM sp10 s
+      LEFT JOIN t20 t ON t.query_id = s.query_id AND t.doc_id = s.doc_id
+      GROUP BY s.query_id
+    )
+    SELECT d.query_id,
+           CAST(d.n_hits AS BIGINT) AS n_hits,
+           d.n_hits / 10.0 AS p_at_10,
+           d.n_hits / 20.0 AS r_at_10,
+           {dround('d.dcg / i.idcg', 6)} AS ndcg_at_10
+    FROM dcg d JOIN idcg i USING (query_id)
+    """,
+    tags=("L7", "L4", "A1", "W1"),
+)
+def l70_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation [PK: Järvelin & Kekäläinen,
+    "Cumulated gain-based evaluation of IR techniques", TOIS 2002]:
+    score the BM25 lexical ranking (the l62 system) against a graded
+    dense ground truth — each query's exact-cosine top-20 with linear
+    grades rel = 21 - rank — reporting per query: hits in the truth
+    set, precision@10, recall@10 (truth depth 20), and nDCG@10 with
+    the standard log2(pos+1) discount. This is the eval harness every
+    retrieval/RAG pipeline runs after changing a retriever: l62/l65
+    produce rankings, this measures them, closing the build→measure
+    loop inside the engine itself.
+
+    Plan shape for 100 TB: both legs reduce to k-bounded tables before
+    any metric math — the sparse leg is _bm25_scored (broadcast query
+    terms filter the token stream before the shuffle) cut to 10 rows
+    per query by the salted two-level top-k, the truth leg broadcasts
+    4 query vectors across the embeddings scan (map-side cosine inside
+    codegen) cut to 20 rows per query the same way. The metric joins
+    and DCG sums then run on ≤ 30·|queries| rows total, regardless of
+    corpus size. At real scale the truth leg's linear scan is the
+    IVF-probed tier (cf. l65 → l65b); this query is the exact anchor.
+    """
+    sparse = _salted_topk(_bm25_scored(spark, sf_dir), k=10).select(
+        "query_id", "doc_id", "rn"
+    )
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vector.l2_norm(F.col("embedding")))
+    )
+    qmap = spark.createDataFrame(
+        list(_RRF_QVECS), "query_id int, vec_id long"
+    )
+    qv = e.join(F.broadcast(qmap), "vec_id").select(
+        "query_id",
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dsc = e.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            vector.dot(F.col("qemb"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    # t20 feeds BOTH metric branches (DCG join + IDCG agg); it is
+    # ≤ 20·|queries| rows, so materialize it once rather than re-running
+    # the fact-sized dense scan per consumer (tiny table → in-memory
+    # localCheckpoint, not the DISK_ONLY spill path)
+    t20 = (
+        _salted_topk(dsc, k=20)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rn").alias("r"),
+            (F.lit(21) - F.col("rn")).cast("double").alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    idcg = (
+        t20.filter(F.col("r") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.col("rel") / F.log2(F.col("r") + F.lit(1.0))), 6
+            ).alias("idcg")
+        )
+    )
+    dcg = (
+        sparse.join(
+            t20.select("query_id", "doc_id", "rel"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("rel").alias("n_hits"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("rel"), F.lit(0.0))
+                    / F.log2(F.col("rn") + F.lit(1.0))
+                ),
+                6,
+            ).alias("dcg"),
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.lit(10.0)).alias("p_at_10"),
+        (F.col("n_hits") / F.lit(20.0)).alias("r_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )
+
+
+@query(
+    "l71_tokenizer_fertility",
+    # Integer-exact end to end: word/piece/char counts are BIGINT sums
+    # (DuckDB's HUGEINT widening cast back); the two output ratios are
+    # single divisions of exact integers — IEEE-deterministic, so they
+    # stay UNROUNDED per the float policy.
+    sql="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    ws AS (
+      SELECT lang,
+             count(*) AS n_words,
+             CAST(sum((len(word) + 3) // 4) AS BIGINT) AS n_pieces,
+             CAST(sum(len(word)) AS BIGINT) AS n_chars
+      FROM w GROUP BY lang
+    ),
+    d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT d.lang, d.n_docs, ws.n_words, ws.n_pieces,
+           ws.n_pieces / CAST(ws.n_words AS DOUBLE) AS fertility,
+           ws.n_chars / CAST(ws.n_pieces AS DOUBLE) AS chars_per_piece
+    FROM d JOIN ws USING (lang)
+    """,
+    tags=("L9", "L6", "A1"),
+)
+def l71_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per language: subword pieces per
+    whitespace word and characters per piece, under a fixed-width
+    4-char piece model (⌈len/4⌉ pieces per word — the deterministic
+    stand-in for a trained subword vocab; cf. l31b/l72 which train
+    real ones). Fertility is the standard tokenizer-efficiency metric
+    for multilingual corpus budgeting [PK: Rust et al., "How Good is
+    Your Tokenizer? On the Monolingual Performance of Multilingual
+    Language Models", ACL 2021]: a language with high fertility
+    consumes more sequence positions per word, so token budgets (l59,
+    l64, l66) allocated by raw token counts systematically under-buy
+    high-fertility languages. This query produces the per-language
+    correction table.
+
+    Plan shape for 100 TB: one narrow-projection scan of (lang, text);
+    the word explode feeds a map-side partial aggregation keyed by
+    lang (≤ a few dozen groups), so the shuffle carries only per-lang
+    partial sums. The doc-count agg is a second tiny aggregate joined
+    on lang. All arithmetic is integer JVM expressions inside codegen
+    — zero UDFs, zero windows, a single linear pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).withColumn("wl", F.length("word"))
+    ws = w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.floor((F.col("wl") + F.lit(3)) / F.lit(4)))
+        .cast("long")
+        .alias("n_pieces"),
+        F.sum("wl").cast("long").alias("n_chars"),
+    )
+    d = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return d.join(ws, "lang").select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        (F.col("n_pieces") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars") / F.col("n_pieces").cast("double")).alias(
+            "chars_per_piece"
+        ),
+    )
+
+
+def _viterbi_piece_counts(word: str, freq: int, logp: dict) -> dict:
+    """Best unigram-LM segmentation of ``word`` (pieces ≤ 4 chars, all
+    single chars guaranteed in vocab) and its piece usage × freq.
+    Deterministic tie-break: candidate piece lengths are tried 1→4 and
+    a longer piece replaces the incumbent only on a STRICTLY better
+    score, so ties keep the shortest final piece."""
+    n = len(word)
+    best = [float("-inf")] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for ln in range(1, min(4, i) + 1):
+            p = word[i - ln : i]
+            lp = logp.get(p)
+            if lp is None:
+                continue
+            sc = best[i - ln] + lp
+            if sc > best[i]:
+                best[i] = sc
+                back[i] = ln
+    counts: dict = {}
+    i = n
+    while i > 0:
+        ln = back[i]
+        p = word[i - ln : i]
+        counts[p] = counts.get(p, 0) + freq
+        i -= ln
+    return counts
+
+
+@query("l72_unigram_lm_em", sql=None, tags=("L8", "L6", "D6", "A1"))
+def l72_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of unigram-LM subword training [PK: Kudo,
+    "Subword Regularization: Improving Neural Network Translation
+    Models with Multiple Subword Candidates", ACL 2018 — the
+    SentencePiece unigram algorithm]: seed a candidate vocabulary with
+    every ≤4-char substring of the corpus (all single chars kept for
+    coverage, top-300 multi-char pieces by weighted frequency),
+    initialize P(piece) ∝ substring frequency, Viterbi-segment every
+    distinct word under that model (hard EM's E-step), and re-estimate
+    P(piece) from segmentation usage (M-step). Returns the top-30
+    pieces by re-estimated probability with usage counts and the
+    initial probability for comparison — the complement of BPE (l31,
+    l31b): BPE grows merges bottom-up, unigram-LM prunes a rich vocab
+    top-down, and real pipelines ship both.
+
+    Rows-only by design: the E-step is a per-word dynamic program over
+    a trained model — not expressible as ANSI SQL the oracle harness
+    can mirror. Correctness is pinned by a from-scratch Python EM
+    reference in tests/test_operators_properties.py (exact usage
+    counts and ranking on a crafted corpus).
+
+    Plan shape for 100 TB: the corpus collapses ONCE to a (word, freq)
+    vocabulary table (the l31b discipline), so EM cost is
+    vocabulary-sized, corpus-size-independent. Candidate pieces come
+    from a substring explode over that vocab table (map-side,
+    bounded: ≤ 4·max_len pieces per word); the selected piece model is
+    a ≤ ~350-row driver collect (bounded by the top-300 cap + alphabet
+    size) broadcast into an Arrow-batched mapInPandas over the vocab
+    table — each task segments its word batch with zero shuffle. The
+    M-step is one tiny aggregation over piece ids.
+    """
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                "transform(sequence(i, least(length(word), i + 3)), "
+                "j -> substring(word, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+    )
+    pf = subs.groupBy("piece").agg(F.sum("freq").alias("pfreq"))
+    singles = pf.filter(F.length("piece") == 1)
+    multi = (
+        pf.filter(F.length("piece") > 1)
+        .orderBy(F.col("pfreq").desc(), F.col("piece").asc())
+        .limit(300)
+    )
+    vocab = singles.union(multi)
+    # Bounded driver collect: ≤ 300 multi-char pieces + alphabet.
+    import math
+
+    rows = vocab.collect()
+    tot0 = float(sum(r.pfreq for r in rows))
+    logp = {r.piece: math.log(r.pfreq / tot0) for r in rows}
+    p_init = {r.piece: r.pfreq / tot0 for r in rows}
+    bc = spark.sparkContext.broadcast(logp)
+
+    def estep(batches):
+        for pdf in batches:
+            model = bc.value
+            acc: dict = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for p, c in _viterbi_piece_counts(
+                    word, int(freq), model
+                ).items():
+                    acc[p] = acc.get(p, 0) + c
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "cnt": list(acc.values())}
+            )
+
+    used = words.mapInPandas(estep, "piece string, cnt long")
+    msum = used.groupBy("piece").agg(F.sum("cnt").alias("n_uses"))
+    tot1 = msum.agg(F.sum("n_uses").alias("t"))
+    pinit_df = spark.createDataFrame(
+        [(k, v) for k, v in p_init.items()], "piece string, pi double"
+    )
+    return (
+        msum.crossJoin(F.broadcast(tot1))
+        .join(F.broadcast(pinit_df), "piece")
+        .select(
+            "piece",
+            "n_uses",
+            F.round(F.col("n_uses") / F.col("t").cast("double"), 6).alias(
+                "p_em"
+            ),
+            F.round(F.col("pi"), 6).alias("p_init"),
+        )
+        .orderBy(F.col("n_uses").desc(), F.col("piece").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "l73_phrase_search",
+    # Integer-exact end to end (counts, positions, ranks — no floats):
+    # phrase selection and doc ranking both carry deterministic
+    # tiebreaks, so the engines agree bit-for-bit.
+    sql="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM d WHERE len(t) >= 2
+    ),
+    ph AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS phrase, count(*) AS cnt
+      FROM bg GROUP BY w1, w2
+      ORDER BY cnt DESC, phrase ASC LIMIT 3
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) + 1)) AS pos,
+             unnest(t) AS term
+      FROM d
+    ),
+    i1 AS (
+      SELECT ph.phrase, ph.w2, tok.doc_id, tok.pos
+      FROM tok JOIN ph ON tok.term = ph.w1
+    ),
+    occ AS (
+      SELECT i1.phrase, i1.doc_id, count(*) AS n_occ
+      FROM i1 JOIN tok t2
+        ON t2.doc_id = i1.doc_id AND t2.pos = i1.pos + 1
+           AND t2.term = i1.w2
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT phrase, doc_id, n_occ,
+             row_number() OVER (PARTITION BY phrase
+               ORDER BY n_occ DESC, doc_id ASC) AS rn
+      FROM occ
+    )
+    SELECT phrase, CAST(rn AS BIGINT) AS rn, doc_id, n_occ
+    FROM rk WHERE rn <= 5
+    """,
+    tags=("L6", "L8", "J1", "O4"),
+)
+def l73_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase search: build a (term, doc,
+    position) index, self-select the corpus's top-3 bigram phrases,
+    and answer each as an adjacency join — occurrences are positions
+    p where term(p) = w₁ and term(p+1) = w₂ — returning the top-5
+    matching documents per phrase by occurrence count. This is the
+    exact-phrase primitive every search engine layers over the bag-of-
+    words index (l62's BM25 cannot distinguish "new york" from "york
+    new") [PK: Manning, Raghavan & Schütze, "Introduction to
+    Information Retrieval", ch. 2 — positional postings].
+
+    Plan shape for 100 TB: the positional index is one posexplode scan;
+    the phrase table is a 3-row broadcast, so the index stream is
+    filtered to phrase-word postings BEFORE any shuffle (the l62
+    discipline). The adjacency join is equi-keyed on (doc_id, pos+1) —
+    hash-partitionable, no position-range scan — and per-phrase doc
+    ranking uses the salted two-level top-k, so no window ever funnels
+    one phrase's full posting list through one task.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    bg = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    ph = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("phrase", F.concat_ws(" ", "w1", "w2"))
+        .orderBy(F.col("cnt").desc(), F.col("phrase").asc())
+        .limit(3)
+        .select("phrase", "w1", "w2")
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("t").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    i1 = tok.join(
+        F.broadcast(ph), tok["term"] == ph["w1"]
+    ).select("phrase", "w2", "doc_id", "pos")
+    t2 = tok.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("term").alias("term2"),
+    )
+    occ = (
+        i1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") == F.col("pos") + 1)
+            & (F.col("term2") == F.col("w2")),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    top = _salted_topk(
+        occ.select(
+            F.col("phrase").alias("query_id"),
+            "doc_id",
+            F.col("n_occ").cast("double").alias("score"),
+        ),
+        k=5,
+    )
+    return top.select(
+        F.col("query_id").alias("phrase"),
+        "rn",
+        "doc_id",
+        F.col("score").cast("long").alias("n_occ"),
+    )
+
+
+@query(
+    "l74_length_bucket_packing",
+    # Integer-exact end to end: token counts, 64-token bucket ceilings,
+    # per-batch capacities and batch counts are all BIGINT arithmetic;
+    # the efficiency ratio is one division of exact integers.
+    sql="""
+    WITH d AS (
+      SELECT least(len(string_split(text, ' ')), 512) AS w_eff
+      FROM documents
+    ),
+    b AS (
+      SELECT ((w_eff + 63) // 64) * 64 AS bucket_len, w_eff FROM d
+    ),
+    g AS (
+      SELECT bucket_len,
+             count(*) AS n_docs,
+             512 // bucket_len AS per_batch,
+             CAST(sum(w_eff) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY bucket_len
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           n_docs,
+           CAST(per_batch AS BIGINT) AS per_batch,
+           CAST((n_docs + per_batch - 1) // per_batch AS BIGINT)
+             AS n_batches,
+           sum_tokens,
+           CAST(((n_docs + per_batch - 1) // per_batch) * 512
+                - sum_tokens AS BIGINT) AS pad_waste,
+           sum_tokens / (CAST((n_docs + per_batch - 1) // per_batch
+                AS DOUBLE) * 512.0) AS efficiency
+    FROM g
+    """,
+    tags=("L9", "A1", "F3"),
+)
+def l74_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing audit: assign every document to a
+    64-token-granular length bucket (capped at a 512-token context),
+    batch each bucket at capacity ⌊512/bucket_len⌋ docs, and report per
+    bucket the batch count, padding waste (batch slots × 512 − real
+    tokens) and packing efficiency. This is the dynamic-batching
+    planner's cost model — the standard alternative to sequence
+    packing (l25) when cross-document attention contamination must be
+    avoided; the per-bucket efficiency column is exactly the number a
+    training pipeline tunes bucket granularity against.
+
+    Plan shape for 100 TB: one narrow scan computes the token count and
+    bucket key map-side (integer codegen expressions, no UDF), then a
+    partial aggregation down to ≤ 8 bucket rows; all batch math runs on
+    that tiny table. A single linear pass at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.size(F.split(F.col("text"), " ")), F.lit(512)).alias(
+            "w_eff"
+        )
+    )
+    b = d.select(
+        (F.floor((F.col("w_eff") + F.lit(63)) / F.lit(64)) * 64)
+        .cast("long")
+        .alias("bucket_len"),
+        "w_eff",
+    )
+    g = b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_eff").cast("long").alias("sum_tokens"),
+    ).withColumn(
+        "per_batch",
+        F.floor(F.lit(512) / F.col("bucket_len")).cast("long"),
+    )
+    n_batches = F.floor(
+        (F.col("n_docs") + F.col("per_batch") - 1) / F.col("per_batch")
+    ).cast("long")
+    return g.select(
+        "bucket_len",
+        "n_docs",
+        "per_batch",
+        n_batches.alias("n_batches"),
+        "sum_tokens",
+        (n_batches * 512 - F.col("sum_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+        (
+            F.col("sum_tokens")
+            / (n_batches.cast("double") * F.lit(512.0))
+        ).alias("efficiency"),
+    )

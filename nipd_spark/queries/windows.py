@@ -1182,3 +1182,96 @@ def w21_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = num + F.coalesce(F.col(f"v{k}"), F.lit(0.0)) * wk
         den = den + F.when(F.col(f"v{k}").isNull(), 0.0).otherwise(wk)
     return ev.select("user_id", "event_id", (num / den).alias("ewma"))
+
+
+@query(
+    "w22_spearman_corr",
+    # Determinism: average ranks are exact (integer min-rank + exact
+    # half-integer tie correction); corr over them is an order-dependent
+    # float aggregate → dround 6, and the top-20 orders by the ROUNDED
+    # rho with a suppkey tiebreak so both engines sort identical keys.
+    sql=f"""
+    WITH b AS (
+      SELECT l_suppkey, l_quantity AS q, l_extendedprice AS p
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_suppkey,
+             rank() OVER (PARTITION BY l_suppkey ORDER BY q)
+               + (count(*) OVER (PARTITION BY l_suppkey, q) - 1) / 2.0 AS rq,
+             rank() OVER (PARTITION BY l_suppkey ORDER BY p)
+               + (count(*) OVER (PARTITION BY l_suppkey, p) - 1) / 2.0 AS rp
+      FROM b
+    ),
+    g AS (
+      SELECT l_suppkey, count(*) AS n_lines,
+             {dround(
+                 'covar_samp(rq, rp)'
+                 ' / (stddev_samp(rq) * stddev_samp(rp))', 6)} AS rho
+      FROM r GROUP BY l_suppkey HAVING count(*) >= 20
+    )
+    SELECT l_suppkey, n_lines, rho
+    FROM g WHERE rho IS NOT NULL
+    ORDER BY rho DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+    tags=("W1", "A10", "O3"),
+)
+def w22_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per supplier between line quantity
+    and extended price (top-20 suppliers by ρ): the rank-based,
+    outlier-robust dependence measure (monotone association) that
+    Pearson corr (a10) misses — the standard screen for nonlinear
+    price–volume relationships and for feature–target monotonicity in
+    quality-score calibration. Ties receive average ranks (the
+    fractional-rank convention: min-rank + (|ties|−1)/2), then
+    ρ = Pearson corr of the two rank columns — the definition that
+    stays exact under ties, unlike the 6·Σd²/(n(n²−1)) shortcut.
+
+    Plan shape for 100 TB: the rank windows partition by l_suppkey —
+    a key whose cardinality GROWS with the data while per-group size
+    stays bounded by supplier activity, so parallelism scales and no
+    group funnels the table (the opposite of the low-card
+    l_returnflag windows this repo rewrites). corr is an algebraic
+    aggregate (map-side partials), and the final top-20 is a
+    TakeOrderedAndProject over one row per supplier.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    wq = Window.partitionBy("l_suppkey").orderBy("q")
+    wp = Window.partitionBy("l_suppkey").orderBy("p")
+    cq = Window.partitionBy("l_suppkey", "q")
+    cp = Window.partitionBy("l_suppkey", "p")
+    r = li.select(
+        "l_suppkey",
+        (
+            F.rank().over(wq)
+            + (F.count(F.lit(1)).over(cq) - F.lit(1)) / F.lit(2.0)
+        ).alias("rq"),
+        (
+            F.rank().over(wp)
+            + (F.count(F.lit(1)).over(cp) - F.lit(1)) / F.lit(2.0)
+        ).alias("rp"),
+    )
+    # corr() throws DIVIDE_BY_ZERO under ANSI mode when a rank column
+    # has zero variance (an all-tied supplier); the explicit
+    # covar/stddev form with try_divide yields NULL there — exactly
+    # DuckDB's corr() semantics — and is filtered below.
+    g = (
+        r.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp("rq", "rp"),
+                    F.stddev_samp("rq") * F.stddev_samp("rp"),
+                ),
+                6,
+            ).alias("rho"),
+        )
+        .filter((F.col("n_lines") >= 20) & F.col("rho").isNotNull())
+    )
+    return g.orderBy(F.col("rho").desc(), F.col("l_suppkey").asc()).limit(20)

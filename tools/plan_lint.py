@@ -71,6 +71,14 @@ ALLOW: dict[str, dict[str, str]] = {
     "l65b_rrf_ivf": {
         "bnlj": "broadcast side = C IVF centroids (train/assign/probe)"
     },
+    "l70_retrieval_eval": {
+        "bnlj": "broadcast side = the fixed 4-row query-vector table "
+        "(truth leg scores all embeddings against each query map-side)"
+    },
+    "l69_mmr_diversify": {
+        "bnlj": "broadcast side = the fixed 4-row query-vector table "
+        "(candidate leg; MMR itself runs on k-bounded groups)"
+    },
     "l68b_margin_bitext_ivf": {
         "bnlj": "broadcast side = C IVF centroids (train/assign/probe); "
         "the pair-producing stage is the list_id equi-join"

@@ -126,6 +126,18 @@ PROBE = [
     "l31b_bpe_train",
     # round-8: margin bitext on the IVF candidate set
     "l68b_margin_bitext_ivf",
+    # round-8 second batch: MMR re-rank, retrieval eval, fertility,
+    # unigram-LM EM, bounded BFS, Gini concentration, Spearman
+    "l69_mmr_diversify",
+    "l70_retrieval_eval",
+    "l71_tokenizer_fertility",
+    "l72_unigram_lm_em",
+    "g4_bfs_hops",
+    "c35_gini_by_nation",
+    "w22_spearman_corr",
+    "l73_phrase_search",
+    "l74_length_bucket_packing",
+    "a32_equidepth_histogram",
 ]
 
 
