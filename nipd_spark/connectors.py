@@ -86,3 +86,31 @@ def read_kafka_stream(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_read_avro(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Avro round-trip (capability-gated): Avro ships as an EXTERNAL
+    Spark module since 2.4 — present in full distributions, absent from
+    the pip pyspark jar set — so probe the provider class and raise the
+    deploy hint instead of the raw ClassNotFound. Avro is the row-
+    oriented counterpart to parquet for Kafka-adjacent interchange;
+    at 100 TB it is an ingest/export format, never the analytics
+    layout (no column pruning/pushdown), which is why only the
+    round-trip shape lives here. Asserted end-to-end by
+    tests/test_operators_properties.py::test_avro_roundtrip_semantics
+    (skip-with-reason when the module is absent, like Kafka/Delta/
+    Iceberg)."""
+    # A bare Class.forName probe is NOT sufficient here: pip-pyspark
+    # ships some avro-source classes but not the registered DataSource
+    # (lookup still fails with FAILED_TO_FIND_DATA_SOURCE) — probe the
+    # actual provider resolution instead.
+    try:
+        df.write.format("avro").mode("overwrite").save(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "Failed to find data source" in str(e):
+            raise ConnectorUnavailable(
+                "spark-avro module absent; add spark.jars.packages="
+                "org.apache.spark:spark-avro_2.13:<ver>"
+            ) from e
+        raise
+    return spark.read.format("avro").load(path)

@@ -1077,3 +1077,82 @@ def l69_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cv.groupBy("query_id").applyInPandas(
         mmr, "query_id int, rn long, doc_id long, mmr_score double"
     )
+
+
+@query("l75_ivf_incremental", sql=None, tags=("L5", "S6", "A1"))
+def l75_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the production insert path
+    [PK: Sivic & Zisserman ICCV'03 inverted-file retrieval; the
+    IVF-Flat add-without-retrain discipline documented in the FAISS
+    design papers (Johnson, Douze & Jégou, IEEE Big Data 2019)]:
+    arriving vectors are assigned to the FROZEN coarse quantizer and
+    appended to the inverted lists; the quantizer is only retrained
+    when drift says so. The query simulates one ingest cycle — train
+    on the 90% base (vec_id % 10 ≠ 0), insert the 10% arrival batch —
+    and emits the per-list maintenance report a real deployment
+    monitors: base/new occupancy (imbalance = hot lists), and the mean
+    assignment cosine of arrivals vs base (a falling new-vector cosine
+    = the batch lands far from existing centroids = retrain signal).
+
+    Rows-only by design: k-means internals. Completeness of the
+    updated index is property-pinned: probe-all search over the frozen
+    quantizer + unioned lists returns EXACTLY the brute-force kNN over
+    base ∪ arrivals (tests/test_operators_properties.py) — no vector
+    is lost by skipping the retrain.
+
+    Plan shape for 100 TB: training is the l5b bounded-iteration
+    k-means on the base (broadcast C centroids, equi-keyed partials);
+    the arrival batch's assignment is one map-side broadcast-C argmax
+    over ONLY the new vectors — cost proportional to the ingest batch,
+    not the index — and the occupancy/drift report is a C-row
+    aggregate. Appending assignments is a parquet append to the l56
+    persisted index layout; nothing fact-sized reshuffles.
+    """
+    from nipd_spark.operators import ivf
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    new = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    cen = ivf.train_centroids(base, n_lists=8, iters=2).cache()
+
+    def _assign_cos(part: DataFrame) -> DataFrame:
+        scored = part.crossJoin(F.broadcast(cen)).select(
+            "vec_id",
+            "list_id",
+            ivf._centroid_cos().alias("ccos"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct("list_id", "ccos"),
+                F.struct(F.col("ccos"), -F.col("list_id")),
+            ).alias("a")
+        ).select("vec_id", F.col("a.list_id").alias("list_id"),
+                 F.col("a.ccos").alias("ccos"))
+
+    ab = _assign_cos(base)
+    an = _assign_cos(new)
+    sb = ab.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.round(F.avg("ccos"), 6).alias("base_cos"),
+    )
+    sn = an.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.round(F.avg("ccos"), 6).alias("new_cos"),
+    )
+    return (
+        sb.join(sn, "list_id", "left")
+        .fillna(0, subset=["n_new"])
+        .select(
+            "list_id",
+            "n_base",
+            "n_new",
+            F.round(
+                F.col("n_new") / F.col("n_base").cast("double"), 6
+            ).alias("growth"),
+            "base_cos",
+            "new_cos",
+            F.round(F.col("new_cos") - F.col("base_cos"), 6).alias(
+                "drift"
+            ),
+        )
+    )

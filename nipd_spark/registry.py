@@ -52,20 +52,21 @@ _QUERY_MODULES = (
 # remaining never-checked names (the rows-only sketch/ANN set, the
 # scalar/aggregate tail, and the two r8-stretch additions l67b/l68b)
 # all appear below, so CORRECTNESS_r08 attests every registered query
-# at least once. Layout: the 10 round-8 additions first (MMR re-rank,
-# phrase search, length-bucket packing, equi-depth histogram,
+# at least once. Layout: the 11 round-8 additions first (MMR re-rank,
+# incremental IVF maintenance, phrase search, length-bucket packing, equi-depth histogram,
 # retrieval eval, tokenizer fertility, unigram-LM EM, BFS hops, Gini
 # concentration, Spearman), then the 36 never-checked names, then 4
 # re-checks of queries whose IMPLEMENTATION changed after the r7
 # window ran (l4/l4b/l38: GEMM blocks now staged via parquet, not the
 # driver — l38 is re-checked via the never-checked block above, and
 # l14 rides the same operator; l31b: BPE symbol escaping; l10d: byte-true oracle; s26: XML
-# whitespace round-trip; t20: stale-lock recovery). 10 + 36 + 4 = 50.
+# whitespace round-trip; t20: stale-lock recovery). 11 + 36 + 3 = 50.
 # The full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01)
 # still gates every query every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-8 additions
     "l69_mmr_diversify",
+    "l75_ivf_incremental",
     "l73_phrase_search",
     "l74_length_bucket_packing",
     "a32_equidepth_histogram",
@@ -115,11 +116,11 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # post-r7-window implementation changes (driver re-verification):
     # l4 attests the GEMM parquet-staging rewrite (l4b/l14 share the
     # operator and stay green in the full sweeps), l10d its byte-true
-    # oracle, s26 the whitespace-exact XML read, t20 the lock recovery
+    # oracle, s26 the whitespace-exact XML read (t20's lock fix is
+    # result-neutral and pinned by test_chk_lock_stale_holder_reclaim)
     "l4_knn_bruteforce",
     "l10d_perceptual_neardup",
     "s26_xml_source",
-    "t20_state_store_reader",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -757,3 +757,150 @@ def test_bpe_train_matches_reference(spark, docs):
     finally:
         tmod.load = orig_load
     assert sorted(got) == sorted(want), (got, want)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_equidepth_histogram_matches_python_reference(spark, vals):
+    """a32's bucket assignment floor((rn-1)·8/n) over a deterministic
+    unique ordering == a plain-python sorted-list reference, including
+    heavy ties (values drawn from a tiny range) and n < 8 (empty
+    buckets simply absent)."""
+    import nipd_spark.queries.aggregates as amod
+
+    rows = [(float(v), i, 1) for i, v in enumerate(vals)]
+    li = spark.createDataFrame(
+        rows, "l_extendedprice double, l_orderkey long, l_linenumber int"
+    )
+    # reference: sort by (v, orderkey), bucket = (i*8)//n
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    n = len(vals)
+    want: dict = {}
+    for pos, i in enumerate(order):
+        b = (pos * 8) // n
+        c, lo, hi, s = want.get(b, (0, float("inf"), float("-inf"), 0.0))
+        want[b] = (
+            c + 1, min(lo, float(vals[i])), max(hi, float(vals[i])),
+            s + float(vals[i]),
+        )
+    want = {b: (c, lo, hi, round(s, 2)) for b, (c, lo, hi, s) in want.items()}
+
+    orig_load = amod.load
+    amod.load = lambda _s, _d, _t: li
+    try:
+        got = {
+            r.bucket: (r.n_rows, r.lo, r.hi, r.bucket_sum)
+            for r in amod.a32_equidepth_histogram(spark, "ignored").collect()
+        }
+    finally:
+        amod.load = orig_load
+    assert got == want
+
+
+@given(
+    lens=st.lists(
+        st.integers(min_value=1, max_value=700), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_length_bucket_packing_matches_python_reference(spark, lens):
+    """l74's per-bucket batch math == a from-scratch reference over
+    random document lengths, including the 512-token cap boundary."""
+    import math
+
+    import nipd_spark.queries.text_llm as tmod
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * w)) for i, w in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    want: dict = {}
+    for w in lens:
+        we = min(w, 512)
+        bl = math.ceil(we / 64) * 64
+        c, s = want.get(bl, (0, 0))
+        want[bl] = (c + 1, s + we)
+    ref = {}
+    for bl, (nd, st_) in want.items():
+        pb = 512 // bl
+        nb = math.ceil(nd / pb)
+        ref[bl] = (nd, pb, nb, st_, nb * 512 - st_, st_ / (nb * 512.0))
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            r.bucket_len: (
+                r.n_docs, r.per_batch, r.n_batches, r.sum_tokens,
+                r.pad_waste, r.efficiency,
+            )
+            for r in tmod.l74_length_bucket_packing(
+                spark, "ignored"
+            ).collect()
+        }
+    finally:
+        tmod.load = orig_load
+    assert got == ref
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_bfs_hops_matches_python_reference_random_graphs(spark, baskets):
+    """g4 against plain-python BFS on random small co-purchase graphs
+    (self-loop baskets dropped, multi-edges collapsed) — distances,
+    counts and extrema must agree for every hop bucket."""
+    from collections import deque
+
+    import nipd_spark.queries.graph as gmod
+
+    edges = {(min(u, v), max(u, v)) for u, v in baskets if u != v}
+    if not edges:
+        return  # no graph → query has no source; semantics undefined
+    rows = []
+    for ok, (u, v) in enumerate(sorted(edges)):
+        rows += [(ok, u), (ok, v)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(adj)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    want: dict = {}
+    for node, d in dist.items():
+        c, lo, hi = want.get(d, (0, node, node))
+        want[d] = (c + 1, min(lo, node), max(hi, node))
+
+    orig_load = gmod.load
+    gmod.load = lambda _s, _d, _t: li
+    try:
+        got = {
+            r.hop: (r.n_nodes, r.min_node, r.max_node)
+            for r in gmod.g4_bfs_hops(spark, "ignored").collect()
+        }
+    finally:
+        gmod.load = orig_load
+    assert got == want

@@ -2753,3 +2753,83 @@ def test_length_bucket_packing_math(spark):
     assert got[128] == (5, 4, 2, 500, 524, 500 / 1024.0)
     # w=600 capped at 512 → bucket 512, per_batch 1, 2 docs → 2 batches
     assert got[512] == (2, 1, 2, 1024, 0, 1.0)
+
+
+def test_avro_roundtrip_semantics(spark, tmp_path):
+    """Capability-probed Avro end-to-end: when the spark-avro module is
+    on the classpath, a write→read round-trip must preserve rows and
+    schema (modulo Avro's nullable-union normalization). Absent the
+    module the test SKIPS with the precise missing capability — the
+    Kafka/Delta/Iceberg discipline (CLAUDE.md: capability-probe and
+    skip-with-reason)."""
+    from nipd_spark import connectors
+
+    df = spark.range(10).selectExpr(
+        "id", "cast(id as string) AS s", "id * 1.5 AS v"
+    )
+    try:
+        back = connectors.write_read_avro(
+            spark, df, str(tmp_path / "avro_rt")
+        )
+    except connectors.ConnectorUnavailable as e:
+        import pytest
+
+        pytest.skip(str(e))
+    got = sorted((r.id, r.s, r.v) for r in back.collect())
+    want = sorted((r.id, r.s, r.v) for r in df.collect())
+    assert got == want
+
+
+def test_ivf_incremental_index_is_complete(spark, sf_dir):
+    """l75's central claim: after inserting arrivals under the FROZEN
+    quantizer, probe-all search over the unioned inverted lists equals
+    brute-force exact kNN over base ∪ arrivals — skipping the retrain
+    loses recall, never vectors. Also sanity-checks the maintenance
+    report (occupancies sum to the corpus, growth ratios finite)."""
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import ivf, vector
+    from nipd_spark.queries.similarity import l75_ivf_incremental
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(400)
+    )
+    base = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    new = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    cen = ivf.train_centroids(base, n_lists=8, iters=2).cache()
+    assigned = ivf.assign(base, cen).union(ivf.assign(new, cen))
+    queries = e.filter(F.col("vec_id") < 15)
+    got = {
+        (r.q_id, r.rn): r.neighbor_id
+        for r in ivf.search(
+            e, queries, cen, assigned, k=5, nprobe=8
+        ).collect()
+    }
+    # brute-force reference with the same (cos desc, id asc) tie rule
+    import numpy as np
+
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    want = {}
+    for q in queries.collect():
+        qv = np.array(q.embedding, dtype=np.float64)
+        cos = Vn @ (qv / np.linalg.norm(qv))
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q.vec_id),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:5]
+        for rn, i in enumerate(order, 1):
+            want[(q.vec_id, rn)] = ids[i]
+    assert got == want
+
+    # the maintenance report accounts for every vector exactly once
+    rep = l75_ivf_incremental(spark, sf_dir).collect()
+    from nipd_spark.catalog import load as _ld
+
+    n_total = _ld(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_base + r.n_new for r in rep) == n_total
+    assert all(r.growth >= 0 for r in rep)

@@ -58,6 +58,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "l56_ivf_persisted": {
         "bnlj": "broadcast side = persisted C-centroid index"
     },
+    "l75_ivf_incremental": {
+        "bnlj": "broadcast side = C frozen IVF centroids (train + "
+        "arrival-batch assignment)"
+    },
     "l14b_ivf_neardup": {
         "bnlj": "broadcast side = C IVF centroids (train/assign/probe)"
     },

@@ -138,6 +138,7 @@ PROBE = [
     "l73_phrase_search",
     "l74_length_bucket_packing",
     "a32_equidepth_histogram",
+    "l75_ivf_incremental",
 ]
 
 
