@@ -106,6 +106,15 @@ def _stage_block_loaders(side: DataFrame, n_total: int, rows_cap: int):
     same soft contract max_broadcast_mb always had. Callers must
     eagerly materialize each block's candidates (spill_checkpoint)
     before invoking cleanup, which deletes the staging directory.
+
+    FS contract: the staging dir must be visible to BOTH the Spark
+    write path and the pyarrow block readers — true for any local-mode
+    /tmp and for shared mounts; on a cluster whose default FS is
+    remote (HDFS/S3) point NIPD_SPARK_GEMM_STAGE_DIR at a shared
+    mount. The contract is ENFORCED, not assumed: after staging, the
+    parquet footers reachable from the loaders are counted and any
+    mismatch with n_total raises — a split-brain staging dir fails
+    loudly instead of silently returning empty candidates.
     """
     spark = side.sparkSession
     if n_total <= rows_cap:
@@ -123,7 +132,10 @@ def _stage_block_loaders(side: DataFrame, n_total: int, rows_cap: int):
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="nipd_gemm_blocks_")
+    d = tempfile.mkdtemp(
+        prefix="nipd_gemm_blocks_",
+        dir=os.environ.get("NIPD_SPARK_GEMM_STAGE_DIR"),
+    )
     n_blocks = max(2, -(-n_total // rows_cap))
     (
         side.repartitionByRange(n_blocks, "vec_id")
@@ -138,6 +150,26 @@ def _stage_block_loaders(side: DataFrame, n_total: int, rows_cap: int):
         (e for e in os.listdir(d) if e.startswith("block_id=")),
         key=lambda e: int(e.split("=", 1)[1]),
     )
+    # Enforce the FS contract (docstring): the rows visible through the
+    # loaders' path must be EXACTLY the staged side. A cluster whose
+    # default FS differs from this mount would otherwise list zero
+    # blocks and emit silently-empty candidates. Footer metadata only —
+    # no data read.
+    import pyarrow.dataset as pads
+
+    staged = sum(
+        pads.dataset(os.path.join(d, e), format="parquet").count_rows()
+        for e in dirs
+    )
+    if staged != n_total:
+        shutil.rmtree(d, ignore_errors=True)
+        raise RuntimeError(
+            f"GEMM staging split-brain: wrote {n_total} rows but the "
+            f"local staging path {d} exposes {staged}. The Spark write "
+            "resolved against a different filesystem than this mount — "
+            "set NIPD_SPARK_GEMM_STAGE_DIR to a driver+executor-shared "
+            "directory."
+        )
     loaders = [_pq_loader(os.path.join(d, e)) for e in dirs]
     return loaders, lambda: shutil.rmtree(d, ignore_errors=True)
 

@@ -417,8 +417,10 @@ def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = spill_checkpoint(
         und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    # every edge (u, v) has u < v, so min(u) is the smallest graph node
-    src = und.agg(F.min("u").alias("s")).collect()[0].s
+    # smallest graph node, read from the ALREADY-MATERIALIZED checkpoint
+    # (min over und would rebuild the whole distinct pair join — the
+    # dominant stage — a second time; sym ⊇ und gives the same min)
+    src = sym.agg(F.min("u").alias("s")).collect()[0].s
     dist = spark.createDataFrame([(src, 0)], "node long, hop long")
     frontier = dist.select("node")
     for d in range(1, 5):

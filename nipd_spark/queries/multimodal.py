@@ -158,11 +158,20 @@ def l10c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     n_frames = F.ceil(F.col("n_chars") / 16.0).cast("long")
-    frames = docs.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
-    ).filter(F.col("frame_idx") % 4 == 0)
+    # Guard the explode: an EMPTY payload has zero frames. Without the
+    # filter, sequence(0, -1) auto-steps DOWNWARD to [0, -1] — a
+    # phantom frame 0 (plus a negative index) the oracle's range(0, 0)
+    # never emits, silently diverging the gate on any corpus with an
+    # empty document.
+    frames = (
+        docs.filter(n_frames > 0)
+        .select(
+            "doc_id",
+            payload.alias("payload"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % 4 == 0)
+    )
     return frames.select(
         "doc_id",
         "frame_idx",

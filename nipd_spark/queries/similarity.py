@@ -860,10 +860,10 @@ def _margin_bitext_ivf(
         .select(
             "vec_id",
             "list_id",
-            (
-                vector.dot(F.col("embedding"), F.col("centroid"))
-                / vector.l2_norm(F.col("embedding"))
-            ).alias("ccos"),
+            # the operator's own probe expression — reusing it keeps
+            # l68b's probes bit-aligned with ivf.candidates/assign if
+            # probe tie-breaking or centroid normalization ever changes
+            ivf._centroid_cos().alias("ccos"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= nprobe)
@@ -959,12 +959,14 @@ def l68b_margin_bitext_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _margin_bitext_ivf(spark, sf_dir, n_lists=16, nprobe=6)
 
 
-# Query→vector designation for the MMR re-rank (same eval queries as
-# text_llm._RRF_QVECS so l65/l70/l69 measure the same retrieval task).
-_MMR_QVECS = ((1, 11), (2, 22), (3, 33), (4, 44))
+# Query→vector designation for the MMR re-rank: IMPORTED from the RRF
+# family so l65/l70/l69 provably measure the same retrieval task (a
+# copied tuple would silently diverge if the designations rotate).
+# Re-exported under a local name because tests monkeypatch it.
+from nipd_spark.queries.text_llm import _RRF_QVECS as _MMR_QVECS
 
 
-def _mmr_select(rel, sims, doc_ids, k: int, lam: float):
+def _mmr_select(rel, sims, k: int, lam: float):
     """Pure-python MMR selection over one candidate set: returns
     [(idx, mmr_score)] of length ≤ k. Candidates MUST be pre-sorted by
     doc_id so the strict-> argmax breaks ties to the lowest doc_id."""
@@ -1062,9 +1064,7 @@ def l69_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         V = np.stack(pdf["uvec"].to_numpy())
         sims = V @ V.T
-        picks = _mmr_select(
-            pdf["rel"].to_numpy(), sims, pdf["doc_id"].to_numpy(), 5, 0.7
-        )
+        picks = _mmr_select(pdf["rel"].to_numpy(), sims, 5, 0.7)
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
@@ -1139,15 +1139,22 @@ def l75_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new"),
         F.round(F.avg("ccos"), 6).alias("new_cos"),
     )
+    # FULL outer: a frozen-quantizer batch can land in a list with zero
+    # base members (the strongest retrain signal this report exists to
+    # surface) — a left join would silently drop exactly those rows.
+    # try_divide keeps growth NULL-safe when n_base = 0.
     return (
-        sb.join(sn, "list_id", "left")
-        .fillna(0, subset=["n_new"])
+        sb.join(sn, "list_id", "full")
+        .fillna(0, subset=["n_base", "n_new"])
         .select(
             "list_id",
             "n_base",
             "n_new",
             F.round(
-                F.col("n_new") / F.col("n_base").cast("double"), 6
+                F.try_divide(
+                    F.col("n_new"), F.col("n_base").cast("double")
+                ),
+                6,
             ).alias("growth"),
             "base_cos",
             "new_cos",

@@ -1342,10 +1342,12 @@ def _chk_lock_try_acquire(lock: str) -> bool:
 
 def _chk_lock_holder_stale(lock: str) -> bool:
     """True when the lock's recorded holder pid is verifiably dead, or
-    the lock dir is older than _LOCK_STALE_SEC (pid file missing /
-    unreadable / pid recycled). Waiters reclaim stale locks with
-    rmtree instead of waiting out the full 60 s and permanently
-    degrading to pid-private checkpoints."""
+    the lock dir is older than _LOCK_STALE_SEC AND the holder cannot be
+    verified (pid file missing / unreadable / pid recycled). A holder
+    that os.kill(pid, 0) proves ALIVE is never stale — a legitimate
+    replay can outlive any age threshold under load (full-sweep
+    contention), and condemning a live holder would start a second
+    concurrent replay against the same shared checkpoint."""
     import os
     import time
 
@@ -1365,8 +1367,28 @@ def _chk_lock_holder_stale(lock: str) -> bool:
         except ProcessLookupError:
             return True  # holder died without releasing
         except PermissionError:
-            pass  # alive, owned by someone else
+            return False  # alive, owned by someone else
+        return False  # verifiably alive — never condemn by age
+    # our own pid on a lock we failed to acquire: a crashed earlier
+    # attempt in THIS process (or a recycled pid) — only age condemns
     return age > _LOCK_STALE_SEC
+
+
+def _chk_lock_reclaim(lock: str) -> None:
+    """Reclaim a condemned lock ATOMICALLY: rename it aside first, then
+    delete the renamed dir. Exactly one racing waiter's rename succeeds
+    — a bare check-then-rmtree could delete a DIFFERENT waiter's
+    freshly acquired lock (stale check → other waiter reclaims+wins
+    mkdir → our rmtree kills its new lock → two owners)."""
+    import os
+    import shutil
+
+    grave = f"{lock}.reap{os.getpid()}"
+    try:
+        os.rename(lock, grave)
+    except OSError:
+        return  # another waiter reclaimed first (or holder released)
+    shutil.rmtree(grave, ignore_errors=True)
 
 
 def _chk_lock_release(lock: str) -> None:
@@ -1454,7 +1476,7 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             acquired = True
             break
         if _chk_lock_holder_stale(lock):
-            _chk_lock_release(lock)  # reclaim; next loop re-races mkdir
+            _chk_lock_reclaim(lock)  # atomic rename-aside; re-race mkdir
             continue
         time.sleep(0.5)
     if not acquired:

@@ -2195,11 +2195,31 @@ def test_chk_lock_stale_holder_reclaim(tmp_path):
     sl._chk_lock_release(lock)
     assert sl._chk_lock_try_acquire(lock)  # reclaimed and re-acquired
 
+    # a VERIFIABLY-ALIVE holder is never stale, however old the lock:
+    # condemning a live holder would start a second concurrent replay
+    # against the same shared checkpoint (r8 review finding)
+    alive = subprocess.Popen(["sleep", "30"])
+    try:
+        with open(os.path.join(lock, "pid"), "w") as fh:
+            fh.write(str(alive.pid))
+        old = 1.0  # epoch — far older than _LOCK_STALE_SEC
+        os.utime(lock, (old, old))
+        assert not sl._chk_lock_holder_stale(lock)
+    finally:
+        alive.kill()
+        alive.wait()
+
     # unstamped but ancient lock dir: stale by mtime
     os.remove(os.path.join(lock, "pid"))
-    old = 1.0  # epoch — definitely older than _LOCK_STALE_SEC
     os.utime(lock, (old, old))
     assert sl._chk_lock_holder_stale(lock)
+
+    # reclaim is rename-aside atomic: one reclaim wins, a second is a
+    # no-op, and the reclaimed path is immediately re-acquirable
+    sl._chk_lock_reclaim(lock)
+    assert not os.path.exists(lock)
+    sl._chk_lock_reclaim(lock)  # double-reclaim must not raise
+    assert sl._chk_lock_try_acquire(lock)
     sl._chk_lock_release(lock)
     assert not os.path.exists(lock)
 
@@ -2832,4 +2852,30 @@ def test_ivf_incremental_index_is_complete(spark, sf_dir):
 
     n_total = _ld(spark, sf_dir, "embeddings").count()
     assert sum(r.n_base + r.n_new for r in rep) == n_total
-    assert all(r.growth >= 0 for r in rep)
+    # growth is NULL for an arrival-only list (n_base = 0, try_divide)
+    assert all(r.growth is None or r.growth >= 0 for r in rep)
+
+
+def test_frame_sample_empty_doc_has_no_frames(spark):
+    """l10c on an empty document must emit ZERO frames (Spark's
+    sequence(0, -1) auto-steps downward to [0, -1] without the n>0
+    guard — a phantom frame the DuckDB twin's range(0, 0) never
+    produces; r8 review finding)."""
+    docs = spark.createDataFrame(
+        [(0, "", 0), (1, "0123456789abcdef0123", 20)],
+        "doc_id long, text string, n_chars long",
+    )
+    import nipd_spark.queries.multimodal as mmod
+
+    orig_load = mmod.load
+    mmod.load = lambda _s, _d, _t: docs
+    try:
+        rows = mmod.l10c_frame_sample(spark, "ignored").collect()
+    finally:
+        mmod.load = orig_load
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert 0 not in by_doc  # empty payload → no frames at all
+    # 20 chars → 2 frames (0, 1); only every 4th kept → frame 0
+    assert by_doc[1] == [0]
