@@ -1539,3 +1539,86 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.groupState.mx").alias("max_value"),
         F.col("value.groupState.np").alias("n_purchase"),
     )
+
+
+@query(
+    "t21_chained_windows",
+    # Integer-exact end to end (counts + cents sums). Append mode emits
+    # an OUTER hour window only once the watermark passes its end; the
+    # final watermark after a drained replay is max(ts) − 10 min, so
+    # both engines trim to hour windows ending ≥ 2 h before max(ts) —
+    # the t11 discipline: the comparison region is watermark-decided,
+    # never a property of where stream shutdown froze the watermark.
+    sql=f"""
+    WITH ev AS (
+      SELECT {ts_us()} AS ts, event_type, value FROM events
+    ),
+    lim AS (SELECT max(ts) - INTERVAL 2 HOUR AS cut FROM ev),
+    q AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_start,
+             event_type,
+             count(*) AS n1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM ev GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT time_bucket(INTERVAL '1 hour', q_start) AS window_start,
+             event_type,
+             count(*) AS n_quarters,
+             CAST(sum(n1) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM q GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_quarters, n_events, total_cents
+    FROM h, lim
+    WHERE window_start + INTERVAL 1 HOUR <= lim.cut
+    """,
+    tags=("T1", "T4", "S7", "S8"),
+)
+def t21_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (SPARK-40925,
+    Spark 3.4+): a 15-minute tumbling aggregation re-aggregated into
+    1-hour windows — `F.window` over the inner window column — the
+    pre-aggregation rollup shape every metrics pipeline wants (fine
+    windows for freshness, coarse for storage) that previously required
+    two jobs with an intermediate sink. Two watermark-governed state
+    stores live in ONE StreamExecution; append mode is mandatory for
+    multiple stateful operators, so emission is watermark-driven and
+    the comparison region is trimmed to decidedly-closed hour windows
+    on both engines (see sql note; the t11 boundary discipline).
+
+    Scale: the outer operator's input is the INNER AGGREGATE stream —
+    4 rows per event_type per hour regardless of event volume — so the
+    second state store is aggregate-sized. Cents quantization keeps
+    both levels' sums int64-exact (order-free), the same discipline as
+    t18/s24.
+    """
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    cents = F.round(F.col("value") * 100).cast("long")
+    q = s.groupBy(F.window("ts", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum(cents).alias("cents")
+    )
+    h = (
+        q.groupBy(F.window(F.col("window"), "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_quarters"),
+            F.sum("n1").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_quarters",
+            "n_events",
+            "total_cents",
+        )
+    )
+    res = run_to_completion(h, "append")
+    cut = (
+        load(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("cut"))
+    )
+    return res.crossJoin(F.broadcast(cut)).filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("cut")
+    ).drop("cut")

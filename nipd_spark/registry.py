@@ -52,24 +52,26 @@ _QUERY_MODULES = (
 # remaining never-checked names (the rows-only sketch/ANN set, the
 # scalar/aggregate tail, and the two r8-stretch additions l67b/l68b)
 # all appear below, so CORRECTNESS_r08 attests every registered query
-# at least once. Layout: the 11 round-8 additions first (MMR re-rank,
-# incremental IVF maintenance, phrase search, length-bucket packing, equi-depth histogram,
-# retrieval eval, tokenizer fertility, unigram-LM EM, BFS hops, Gini
-# concentration, Spearman), then the 36 never-checked names, then 3
-# re-checks of queries whose IMPLEMENTATION changed after the r7
-# window ran: l4 (GEMM blocks now staged via parquet, not the driver —
-# l38 re-checks via the never-checked block above, l4b/l14 ride the
-# same operator and stay green in the full sweeps), l10d (byte-true
-# oracle), s26 (whitespace-exact XML read). Two post-r7 changes are
-# deliberately NOT re-checked here: l31b's backslash-escaping fix is
-# latent on the fixtures' clean alphabets (r7's attestation remains
-# representative; pinned by test_bpe_merge_expr_escapes_backslashes)
-# and t20's lock recovery is result-neutral (pinned by
-# test_chk_lock_stale_holder_reclaim). 11 + 36 + 3 = 50.
-# The full-sweep ritual (tools/diffcheck.py at sf0.001 AND sf0.01)
-# still gates every query every round regardless.
+# at least once. Layout: the 12 round-8 additions first (chained-window
+# streaming, MMR re-rank, incremental IVF maintenance, phrase search,
+# length-bucket packing, equi-depth histogram, retrieval eval,
+# tokenizer fertility, unigram-LM EM, BFS hops, Gini concentration,
+# Spearman), then the 36 never-checked names, then 2 re-checks: l10d
+# and s26, whose ORACLES changed after the r7 window ran (byte-true
+# hashing; whitespace-exact XML read), so their r7 attestations
+# compared against superseded SQL. Post-r7 changes deliberately NOT
+# re-checked, with why: the l4-family GEMM staging rewrite is pinned
+# bit-exact against the sequential rescore by its property tests and
+# green in all full sweeps (l38 re-checks it via the never-checked
+# block anyway); l31b's backslash-escaping fix is latent on the
+# fixtures' clean alphabets (pinned by
+# test_bpe_merge_expr_escapes_backslashes); t20's lock recovery is
+# result-neutral (pinned by test_chk_lock_stale_holder_reclaim).
+# 12 + 36 + 2 = 50. The full-sweep ritual (tools/diffcheck.py at
+# sf0.001 AND sf0.01) still gates every query every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-8 additions
+    "t21_chained_windows",
     "l69_mmr_diversify",
     "l75_ivf_incremental",
     "l73_phrase_search",
@@ -123,7 +125,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # operator and stay green in the full sweeps), l10d its byte-true
     # oracle, s26 the whitespace-exact XML read (t20's lock fix is
     # result-neutral and pinned by test_chk_lock_stale_holder_reclaim)
-    "l4_knn_bruteforce",
     "l10d_perceptual_neardup",
     "s26_xml_source",
 )

@@ -2879,3 +2879,50 @@ def test_frame_sample_empty_doc_has_no_frames(spark):
     assert 0 not in by_doc  # empty payload → no frames at all
     # 20 chars → 2 frames (0, 1); only every 4th kept → frame 0
     assert by_doc[1] == [0]
+
+
+def test_chained_windows_consistent_rollup(spark, sf_dir):
+    """t21's two stateful levels must be mutually consistent: each hour
+    window aggregates 1-4 quarter windows, per-hour event counts are
+    positive, and the hourly totals re-derive from the batch table over
+    the same trimmed region (the full value-level check is the DuckDB
+    oracle; this pins the stream-side rollup invariants)."""
+    from pyspark.sql import functions as F
+
+    from nipd_spark.queries.streaming_live import t21_chained_windows
+
+    rows = t21_chained_windows(spark, sf_dir).collect()
+    assert rows, "trimmed region empty — fixture span shrank?"
+    for r in rows:
+        assert 1 <= r.n_quarters <= 4, r
+        assert r.n_events >= r.n_quarters, r
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")
+    ).head().c
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_cents)
+        for r in (
+            ev.groupBy(
+                F.window("ts", "1 hour").start.alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
+            .filter(
+                F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+                <= F.lit(cut)
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_cents)
+        for r in rows
+    }
+    assert got == batch

@@ -60,6 +60,17 @@ PROBE_DEEP = [
     # round-8: bounded-output KN source profile (output fixed at the
     # source domain, so the ratio measures pure input scaling)
     "l67b_kneser_ney_source_profile",
+    # round-8 second batch, linear-path (exact-pair/dense-scan families
+    # stay at the 16x tier per the exclusion note above; l69/l70's
+    # dense legs are the l65 leg already measured here)
+    "l71_tokenizer_fertility",  # explode + lang-keyed partial agg
+    "l73_phrase_search",  # broadcast-filtered postings + adjacency join
+    "l74_length_bucket_packing",  # map-side bucket key + 8-group agg
+    "a32_equidepth_histogram",  # bucketed two-pass global rank
+    "c35_gini_by_nation",  # per-customer collapse + grouped cumsum
+    "w22_spearman_corr",  # supplier-partitioned rank windows + corr
+    "g4_bfs_hops",  # 4 frontier supersteps over checkpointed edges
+    "l75_ivf_incremental",  # k-means train + broadcast-C batch assign
 ]
 
 
