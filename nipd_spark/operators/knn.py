@@ -163,11 +163,23 @@ def _stage_block_loaders(side: DataFrame, n_total: int, rows_cap: int):
     )
     if staged != n_total:
         shutil.rmtree(d, ignore_errors=True)
+        # the staged copy lives on whatever FS the Spark write resolved
+        # against — delete it THERE too, or every retry leaks a full
+        # copy of the dense side on the remote filesystem
+        try:
+            jvm = spark._jvm  # noqa: SLF001
+            jpath = jvm.org.apache.hadoop.fs.Path(d)
+            jpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            ).delete(jpath, True)
+        except Exception:
+            pass  # best effort; the error below names the path
         raise RuntimeError(
             f"GEMM staging split-brain: wrote {n_total} rows but the "
             f"local staging path {d} exposes {staged}. The Spark write "
-            "resolved against a different filesystem than this mount — "
-            "set NIPD_SPARK_GEMM_STAGE_DIR to a driver+executor-shared "
+            "resolved against a different filesystem than this mount "
+            f"(best-effort cleanup of {d} on that FS attempted) — set "
+            "NIPD_SPARK_GEMM_STAGE_DIR to a driver+executor-shared "
             "directory."
         )
     loaders = [_pq_loader(os.path.join(d, e)) for e in dirs]

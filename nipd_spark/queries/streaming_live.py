@@ -1340,54 +1340,106 @@ def _chk_lock_try_acquire(lock: str) -> bool:
     return True
 
 
+def _lock_holder_pid(lock: str):
+    """The lock's stamped holder pid, or None (unstamped/unreadable)."""
+    import os
+
+    try:
+        with open(os.path.join(lock, "pid")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _pid_is_lock_holder(pid: int, lock_mtime: float) -> bool:
+    """True when ``pid`` is alive AND plausibly the process that created
+    the lock: a live pid whose /proc entry appeared AFTER the lock was
+    stamped is a RECYCLED pid (the real holder died; some unrelated
+    process now wears its number) and must not shield the lock from
+    age-based reclaim — the pre-r8 failure mode where a recycled-to-
+    alive pid made a crashed holder's lock permanently unreclaimable."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive, another user — cannot stat /proc; trust it
+    try:
+        # /proc/<pid> ctime ≈ process start (Linux); 2 s slack for the
+        # gap between process start and its mkdir+stamp
+        return os.stat(f"/proc/{pid}").st_ctime <= lock_mtime + 2.0
+    except OSError:
+        return True  # no /proc (non-Linux): err on never-condemn-alive
+
+
 def _chk_lock_holder_stale(lock: str) -> bool:
-    """True when the lock's recorded holder pid is verifiably dead, or
-    the lock dir is older than _LOCK_STALE_SEC AND the holder cannot be
-    verified (pid file missing / unreadable / pid recycled). A holder
-    that os.kill(pid, 0) proves ALIVE is never stale — a legitimate
-    replay can outlive any age threshold under load (full-sweep
-    contention), and condemning a live holder would start a second
-    concurrent replay against the same shared checkpoint."""
+    """True when the lock's recorded holder is verifiably dead, or the
+    lock is older than _LOCK_STALE_SEC and the holder cannot be
+    verified as the genuine creator (pid file missing/unreadable, or a
+    RECYCLED pid — alive but started after the lock was stamped). A
+    genuinely-alive holder is never stale: a legitimate replay can
+    outlive any age threshold under load, and condemning a live holder
+    would start a second concurrent replay on the shared checkpoint."""
     import os
     import time
 
     try:
-        age = time.time() - os.path.getmtime(lock)
+        mtime = os.path.getmtime(lock)
     except OSError:
         return False  # lock vanished — next mkdir attempt just wins
-    try:
-        with open(os.path.join(lock, "pid")) as fh:
-            pid = int(fh.read().strip())
-    except (OSError, ValueError):
-        # holder hasn't stamped (yet, or ever): only age can condemn it
+    age = time.time() - mtime
+    pid = _lock_holder_pid(lock)
+    if pid is None or pid == os.getpid():
+        # unstamped, or our own pid on a lock we failed to acquire (a
+        # crashed earlier attempt in THIS process): only age condemns
         return age > _LOCK_STALE_SEC
-    if pid != os.getpid():
+    if not _pid_is_lock_holder(pid, mtime):
+        # dead → reclaim now; recycled-alive → reclaim once aged out
         try:
             os.kill(pid, 0)
         except ProcessLookupError:
-            return True  # holder died without releasing
-        except PermissionError:
-            return False  # alive, owned by someone else
-        return False  # verifiably alive — never condemn by age
-    # our own pid on a lock we failed to acquire: a crashed earlier
-    # attempt in THIS process (or a recycled pid) — only age condemns
-    return age > _LOCK_STALE_SEC
+            return True
+        return age > _LOCK_STALE_SEC
+    return False  # verified genuine live holder — never condemn
 
 
 def _chk_lock_reclaim(lock: str) -> None:
-    """Reclaim a condemned lock ATOMICALLY: rename it aside first, then
-    delete the renamed dir. Exactly one racing waiter's rename succeeds
-    — a bare check-then-rmtree could delete a DIFFERENT waiter's
-    freshly acquired lock (stale check → other waiter reclaims+wins
-    mkdir → our rmtree kills its new lock → two owners)."""
+    """Reclaim a condemned lock with rename-aside + VERIFY + restore:
+
+    1. re-read the condemned holder's pid (the capture);
+    2. atomically rename the lock to a per-attempt-unique grave —
+       exactly one racing waiter's rename succeeds;
+    3. verify the grave still carries the captured pid. A mismatch
+       means the rename grabbed a DIFFERENT waiter's freshly acquired
+       lock (condemn → other waiter reclaims and wins mkdir → our
+       rename lands on its new lock), so rename it straight back.
+
+    A bare rename-then-delete closes the delete race but not this
+    steal race; the verify step does. Residual: restoring can itself
+    collide with a third waiter's brand-new mkdir in the microseconds
+    we hold the grave — then the stolen lock is deleted and its owner
+    degrades to the pid-private checkpoint path (safe, just slower);
+    the shared checkpoint never gains a second concurrent writer
+    through THIS path because the restored/deleted dir is the one its
+    owner's release targets."""
     import os
     import shutil
+    import uuid
 
-    grave = f"{lock}.reap{os.getpid()}"
+    condemned = _lock_holder_pid(lock)
+    grave = f"{lock}.reap{os.getpid()}_{uuid.uuid4().hex[:8]}"
     try:
         os.rename(lock, grave)
     except OSError:
         return  # another waiter reclaimed first (or holder released)
+    if condemned is not None and _lock_holder_pid(grave) != condemned:
+        try:
+            os.rename(grave, lock)  # stole a fresh lock — put it back
+            return
+        except OSError:
+            pass  # lock path re-taken meanwhile: fall through, delete
     shutil.rmtree(grave, ignore_errors=True)
 
 
@@ -1476,8 +1528,9 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             acquired = True
             break
         if _chk_lock_holder_stale(lock):
-            _chk_lock_reclaim(lock)  # atomic rename-aside; re-race mkdir
-            continue
+            _chk_lock_reclaim(lock)  # rename-aside + verify; re-race
+            time.sleep(0.05)  # a failing reclaim must not spin the
+            continue          # bounded wait down in milliseconds
         time.sleep(0.5)
     if not acquired:
         chk = f"{chk}_{os.getpid()}"

@@ -2195,16 +2195,34 @@ def test_chk_lock_stale_holder_reclaim(tmp_path):
     sl._chk_lock_release(lock)
     assert sl._chk_lock_try_acquire(lock)  # reclaimed and re-acquired
 
-    # a VERIFIABLY-ALIVE holder is never stale, however old the lock:
+    # a GENUINE live holder is never stale, however old the lock —
     # condemning a live holder would start a second concurrent replay
-    # against the same shared checkpoint (r8 review finding)
+    # on the shared checkpoint. Genuine = alive AND started before the
+    # lock was stamped; pid 1 (init, started at boot) models a holder
+    # older than any lock mtime we can set.
+    import time as _time
+
+    with open(os.path.join(lock, "pid"), "w") as fh:
+        fh.write("1")
+    old = _time.time() - 10 * sl._LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    assert not sl._chk_lock_holder_stale(lock)
+
+    # a RECYCLED pid — alive but started AFTER the lock was stamped —
+    # must not shield an aged-out lock (the r8 review finding: a
+    # recycled-to-alive pid made a crashed holder's lock permanently
+    # unreclaimable)
     alive = subprocess.Popen(["sleep", "30"])
     try:
         with open(os.path.join(lock, "pid"), "w") as fh:
             fh.write(str(alive.pid))
-        old = 1.0  # epoch — far older than _LOCK_STALE_SEC
-        os.utime(lock, (old, old))
+        os.utime(lock, (1.0, 1.0))  # epoch: stamped before proc start
+        assert sl._chk_lock_holder_stale(lock)
+        # but a YOUNG lock with that same live pid is not condemnable
+        now = _time.time()
+        os.utime(lock, (now, now))
         assert not sl._chk_lock_holder_stale(lock)
+        os.utime(lock, (1.0, 1.0))
     finally:
         alive.kill()
         alive.wait()

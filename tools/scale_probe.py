@@ -139,6 +139,9 @@ PROBE = [
     "l74_length_bucket_packing",
     "a32_equidepth_histogram",
     "l75_ivf_incremental",
+    "t21_chained_windows",  # first LIVE streaming query in the probe:
+    # the ratio includes replay machinery, but pins the claim that the
+    # outer state store's input is aggregate-sized
 ]
 
 
