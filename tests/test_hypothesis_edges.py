@@ -904,3 +904,124 @@ def test_bfs_hops_matches_python_reference_random_graphs(spark, baskets):
     finally:
         gmod.load = orig_load
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),   # supplier
+            st.integers(min_value=0, max_value=5),   # q (heavy ties)
+            st.integers(min_value=-3, max_value=3),  # p (heavy ties)
+        ),
+        min_size=40,
+        max_size=80,
+    )
+)
+@settings(**_SETTINGS)
+def test_spearman_matches_python_reference(spark, rows):
+    """w22 against a from-scratch average-rank Spearman on randomized
+    heavily-tied micro-tables: the fractional-rank + Pearson pipeline
+    must match the textbook computation to 6 dp, and zero-variance
+    groups must be absent (NULL ρ filtered)."""
+    import math
+
+    import nipd_spark.queries.windows as wmod
+
+    li = spark.createDataFrame(
+        [(s, float(q), float(p)) for s, q, p in rows],
+        "l_suppkey long, l_quantity double, l_extendedprice double",
+    )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            # min-rank + (ties-1)/2 == average of ranks i+1..j
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                r[order[k]] = avg
+            i = j
+        return r
+
+    def pearson(x, y):
+        n = len(x)
+        mx, my = sum(x) / n, sum(y) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(x, y)) / (n - 1)
+        sx = math.sqrt(sum((a - mx) ** 2 for a in x) / (n - 1))
+        sy = math.sqrt(sum((b - my) ** 2 for b in y) / (n - 1))
+        if sx == 0 or sy == 0:
+            return None
+        return cov / (sx * sy)
+
+    want = {}
+    by_s: dict = {}
+    for s, q, p in rows:
+        by_s.setdefault(s, []).append((float(q), float(p)))
+    for s, pts in by_s.items():
+        if len(pts) < 20:
+            continue
+        rho = pearson(
+            avg_ranks([q for q, _ in pts]), avg_ranks([p for _, p in pts])
+        )
+        if rho is not None:
+            want[s] = (len(pts), round(rho, 6))
+
+    orig_load = wmod.load
+    wmod.load = lambda _s, _d, _t: li
+    try:
+        got = {
+            r.l_suppkey: (r.n_lines, r.rho)
+            for r in wmod.w22_spearman_corr(spark, "ignored").collect()
+        }
+    finally:
+        wmod.load = orig_load
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert abs(got[s][1] - want[s][1]) <= 1e-6, (s, got[s], want[s])
+
+
+@given(
+    revs=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=2, max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_gini_running_sum_identity_matches_rank_form(spark, revs):
+    """c35's running-sum Gini == the textbook rank form
+    2·Σi·xᵢ/(n·Σx) − (n+1)/n on randomized single-nation revenue
+    vectors (integer revenues → both forms exact to 6 dp), including
+    heavy ties and the all-equal (G = 0) corner."""
+    import nipd_spark.queries.composites as cmod
+
+    orders = [(i, i, float(v)) for i, v in enumerate(revs)]
+    o = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    c = spark.createDataFrame(
+        [(i, 0) for i in range(len(revs))],
+        "c_custkey long, c_nationkey long",
+    )
+    n = spark.createDataFrame([(0, "X")], "n_nationkey long, n_name string")
+    tables = {"orders": o, "customer": c, "nation": n}
+
+    xs = sorted(float(v) for v in revs)
+    nn, sx = len(xs), sum(xs)
+    want = round(
+        2 * sum((i + 1) * x for i, x in enumerate(xs)) / (nn * sx)
+        - (nn + 1) / nn,
+        6,
+    )
+
+    orig_load = cmod.load
+    cmod.load = lambda _s, _d, t: tables[t]
+    try:
+        rows = cmod.c35_gini_by_nation(spark, "ignored").collect()
+    finally:
+        cmod.load = orig_load
+    assert len(rows) == 1 and rows[0].n_custs == nn
+    assert abs(rows[0].gini - want) <= 1e-6, (rows[0].gini, want)
