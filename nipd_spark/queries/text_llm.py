@@ -3817,3 +3817,80 @@ def l74_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_batches.cast("double") * F.lit(512.0))
         ).alias("efficiency"),
     )
+
+
+@query(
+    "l76_zipf_fit",
+    # Determinism: term counts and ranks are integer-exact (count desc,
+    # token asc ties); ln() of identical integers is bit-identical; the
+    # regression aggregates are order-dependent float sums → dround 6
+    # (the f12 regr-family discipline).
+    sql=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+               ORDER BY c DESC, token ASC) AS rn
+      FROM tf
+    ),
+    top AS (
+      SELECT source,
+             ln(CAST(rn AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM rk WHERE rn <= 100
+    )
+    SELECT source,
+           count(*) AS n_terms,
+           {dround('regr_slope(y, x)', 6)} AS slope,
+           {dround('regr_r2(y, x)', 6)} AS r2
+    FROM top GROUP BY source
+    """,
+    tags=("L9", "L6", "A10", "W1"),
+)
+def l76_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source: OLS slope and R² of
+    ln(freq) vs ln(rank) over each source's top-100 terms [PK: Zipf
+    1949; Piantadosi, "Zipf's word frequency law in natural language",
+    Psychon Bull Rev 2014]. Natural text sits near slope −1 with high
+    R²; machine-generated spam, boilerplate floods and template farms
+    bend the curve — this is the distribution-level corpus-quality
+    diagnostic that per-document filters (l50 gopher rules, l43
+    perplexity) cannot see, and the standard first plot on any new
+    crawl source before mixing it (l66/l29 consume the verdict).
+
+    Plan shape for 100 TB: tokenize/explode feeds a map-side partial
+    (source, token) count — the only fact-sized shuffle; the per-source
+    rank window runs over the PRE-AGGREGATED term table (the c2/dq9
+    lint-allowed shape — input is vocabulary-sized, not corpus-sized),
+    is cut to 100 rows per source immediately, and the regression is a
+    tiny algebraic aggregate over ≤ 100·|sources| rows.
+    """
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select(
+            "source",
+            F.log(F.col("rn").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    return top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )

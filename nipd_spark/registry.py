@@ -52,26 +52,30 @@ _QUERY_MODULES = (
 # remaining never-checked names (the rows-only sketch/ANN set, the
 # scalar/aggregate tail, and the two r8-stretch additions l67b/l68b)
 # all appear below, so CORRECTNESS_r08 attests every registered query
-# at least once. Layout: the 12 round-8 additions first (chained-window
+# at least once. Layout: the 13 round-8 additions first (chained-window
 # streaming, MMR re-rank, incremental IVF maintenance, phrase search,
 # length-bucket packing, equi-depth histogram, retrieval eval,
 # tokenizer fertility, unigram-LM EM, BFS hops, Gini concentration,
-# Spearman), then the 36 never-checked names, then 2 re-checks: l10d
-# and s26, whose ORACLES changed after the r7 window ran (byte-true
-# hashing; whitespace-exact XML read), so their r7 attestations
-# compared against superseded SQL. Post-r7 changes deliberately NOT
-# re-checked, with why: the l4-family GEMM staging rewrite is pinned
+# Spearman, Zipf fit), then the 36 never-checked names, then 1
+# re-check: l10d, whose ORACLE changed after the r7 window ran
+# (byte-true hashing), so its r7 attestation compared against
+# superseded SQL. Post-r7 changes deliberately NOT re-checked, with
+# why: s26's whitespace-exact read (also an oracle change) is pinned
+# by test_xml_source_roundtrips_special_characters and green in this
+# round's three full sweeps — it yielded its window slot to the l76
+# addition; the l4-family GEMM staging rewrite is pinned
 # bit-exact against the sequential rescore by its property tests and
 # green in all full sweeps (l38 re-checks it via the never-checked
 # block anyway); l31b's backslash-escaping fix is latent on the
 # fixtures' clean alphabets (pinned by
 # test_bpe_merge_expr_escapes_backslashes); t20's lock recovery is
 # result-neutral (pinned by test_chk_lock_stale_holder_reclaim).
-# 12 + 36 + 2 = 50. The full-sweep ritual (tools/diffcheck.py at
+# 13 + 36 + 1 = 50. The full-sweep ritual (tools/diffcheck.py at
 # sf0.001 AND sf0.01) still gates every query every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
     # round-8 additions
     "t21_chained_windows",
+    "l76_zipf_fit",
     "l69_mmr_diversify",
     "l75_ivf_incremental",
     "l73_phrase_search",
@@ -126,7 +130,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # oracle, s26 the whitespace-exact XML read (t20's lock fix is
     # result-neutral and pinned by test_chk_lock_stale_holder_reclaim)
     "l10d_perceptual_neardup",
-    "s26_xml_source",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

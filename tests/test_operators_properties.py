@@ -2944,3 +2944,63 @@ def test_chained_windows_consistent_rollup(spark, sf_dir):
         for r in rows
     }
     assert got == batch
+
+
+def test_zipf_fit_matches_ols_reference(spark):
+    """l76 against a from-scratch OLS on a crafted two-source corpus:
+    slope/R²/n_terms match the hand regression to 6 dp, and the
+    near-power-law source fits close to slope −1 with higher R² than
+    the flat source."""
+    import math
+
+    # source A: token t_i appears round(600/i) times (Zipfian);
+    # source B: 30 tokens with slowly varying counts (flat-ish)
+    words_a, words_b = [], []
+    for i in range(1, 21):
+        words_a += [f"a{i}"] * round(600 / i)
+    for i in range(1, 31):
+        words_b += [f"b{i}"] * (40 - i)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words_a), "A"), (1, " ".join(words_b), "B")],
+        "doc_id long, text string, source string",
+    )
+
+    def ref(counts):
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        xs = [math.log(i + 1) for i in range(len(ranked))]
+        ys = [math.log(c) for _, c in ranked]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        slope = sxy / sxx
+        r2 = (sxy * sxy) / (sxx * syy)
+        return n, round(slope, 6), round(r2, 6)
+
+    from collections import Counter
+
+    want = {
+        "A": ref(Counter(words_a)),
+        "B": ref(Counter(words_b)),
+    }
+
+    import nipd_spark.queries.text_llm as tmod
+
+    orig_load = tmod.load
+    tmod.load = lambda _s, _d, _t: docs
+    try:
+        got = {
+            r.source: (r.n_terms, r.slope, r.r2)
+            for r in tmod.l76_zipf_fit(spark, "ignored").collect()
+        }
+    finally:
+        tmod.load = orig_load
+    assert set(got) == {"A", "B"}
+    for s in want:
+        assert got[s][0] == want[s][0], s
+        assert abs(got[s][1] - want[s][1]) <= 1e-6, (s, got[s], want[s])
+        assert abs(got[s][2] - want[s][2]) <= 1e-6, (s, got[s], want[s])
+    # the Zipfian source is near −1 and fits better than the flat one
+    assert -1.15 < got["A"][1] < -0.85
+    assert got["A"][2] > got["B"][2]

@@ -139,6 +139,8 @@ PROBE = [
     "l74_length_bucket_packing",
     "a32_equidepth_histogram",
     "l75_ivf_incremental",
+    "l76_zipf_fit",  # (source, token) partial agg + per-source rank
+    # over the vocabulary-sized term table
     "t21_chained_windows",  # first LIVE streaming query in the probe:
     # the ratio includes replay machinery, but pins the claim that the
     # outer state store's input is aggregate-sized
