@@ -39,38 +39,132 @@ HEADLINE = [
 ]
 
 
+TIER16_DIR = "/tmp/nipd_scale16"
+TIER16_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _ensure_scale16() -> str | None:
+    """Materialize the 16× key-shifted replica of sf0.1 (reused across
+    runs; ~280 MB, one-off ~1 min). None on any failure — the 16× tier
+    is additive, never allowed to sink the headline run."""
+    import subprocess
+
+    if all(
+        os.path.exists(f"{TIER16_DIR}/{t}.parquet") for t in TIER16_TABLES
+    ):
+        return TIER16_DIR
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "gen_scale.py",
+                ),
+                "16",
+                TIER16_DIR,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=600,
+        )
+        return TIER16_DIR
+    except Exception:
+        return None
+
+
+# 16× exclusions: l4 is the exact O(n²) GEMM correctness ANCHOR — its
+# cost is quadratic by definition (32k² = 1B pair dot products at 16×,
+# and its DuckDB twin is far worse), and its scale path is the IVF/LSH
+# candidate-set tier (CLAUDE.md; SCALE.md). Benching the anchor at 16×
+# would measure the quadratic wall both repos deliberately route
+# around, not engine efficiency.
+TIER16_SKIP = {"knn_cosine"}
+
+
+def _bench_specs(spark, specs, sf_dir, n_runs, skip=frozenset()):
+    """Best-warm execution per headline query (1 cold + n_runs-1 warm)."""
+    timings: dict[str, float] = {}
+    build = 0.0
+    for name, key in HEADLINE:
+        spec = specs.get(name)
+        if spec is None or key in skip:
+            continue
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)  # prepared plan, built once
+        build += time.time() - t0
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df.toPandas()
+            runs.append(time.time() - t0)
+        timings[key] = round(min(runs[1:]), 4)
+    return timings, build
+
+
+def _bench_duck(specs, sf_dir, n_runs, skip=frozenset()):
+    """DuckDB oracle twins on the same parquet dir — the warm-best
+    baseline methodology of BASELINE.md, re-measured at this tier so
+    the ratio is work-vs-work, not Spark's ~0.04 s local-mode action
+    floor vs sub-ms DuckDB dispatch."""
+    from nipd_spark.testing import make_duck
+
+    con = make_duck(sf_dir)
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE:
+        spec = specs.get(name)
+        if spec is None or not spec.sql or key in skip:
+            continue
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            con.execute(spec.sql).fetch_arrow_table()
+            runs.append(time.time() - t0)
+        timings[key] = round(min(runs[1:]), 4)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("nipd-bench")
     specs = registry.all_specs()
-    timings: dict[str, float] = {}
-    build_total = 0.0
-    for name, key in HEADLINE:
-        spec = specs.get(name)
-        if spec is None:
-            continue
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)  # prepared plan, built once
-        build_total += time.time() - t0
-        runs = []
-        for _ in range(8):  # 1 cold + 7 warm; report best warm
-            t0 = time.time()
-            df.toPandas()
-            runs.append(time.time() - t0)
-        timings[key] = round(min(runs[1:]), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_warm_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "plan_build_total_sec": round(build_total, 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    timings, build_total = _bench_specs(spark, specs, sf_dir, n_runs=8)
+    out = {
+        "metric": "headline_warm_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "plan_build_total_sec": round(build_total, 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # 16× tier (VERDICT r8 item 6): at sf0.1 several headline queries
+    # are floor-bound — Spark's fixed per-action cost (~0.04 s on this
+    # host) dwarfs ~6 ms of work, so their ratio measures scheduling
+    # constants that amortize at any real scale. 16× makes work
+    # dominate; DuckDB twins re-measured on the same replica.
+    if os.environ.get("NIPD_BENCH_TIER16", "1") != "0":
+        t16 = _ensure_scale16()
+        if t16 is not None:
+            try:
+                q16, _ = _bench_specs(spark, specs, t16, n_runs=4, skip=TIER16_SKIP)
+                d16 = _bench_duck(specs, t16, n_runs=4, skip=TIER16_SKIP)
+                out["tier16x"] = {
+                    "sf_dir": t16,
+                    "copies_of_sf0.1": 16,
+                    "value": round(sum(q16.values()), 4),
+                    "queries": q16,
+                    "skipped": sorted(TIER16_SKIP),
+                    "duckdb_value": round(sum(d16.values()), 4),
+                    "duckdb_queries": d16,
+                }
+            except Exception as e:  # additive tier: never sink headline
+                out["tier16x_error"] = str(e).splitlines()[0][:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -296,6 +296,58 @@ def with_grouped_running_sum(
     return res.drop(BUCKET, "__lsum", "__lmin", "__offset", "__minprev", *groups)
 
 
+def with_grouped_avg_rank(
+    df: DataFrame,
+    group: str | list[str],
+    key: str,
+    out: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append the per-group FRACTIONAL (average) rank of ``key`` —
+    identical to the tie-averaged rank
+
+        rank().over(Window.partitionBy(group).orderBy(key))
+        + (count(*).over(Window.partitionBy(group, key)) - 1) / 2.0
+
+    — but with no per-group single-task funnel. The partitioned-Window
+    form ranks RAW rows, so a fixed-cardinality group key sees its
+    whole 100 TB share in one task. Here ranks come from counts alone:
+    avg_rank(v) = #{key < v} + (#{key = v} + 1)/2, so the plan is a
+    (group, key) count aggregation (ties collapse to one row), a
+    bucketed per-group exclusive prefix over DISTINCT keys
+    (with_grouped_running_sum — parallelism |groups| × n_buckets even
+    when keys are continuous and distinct ≈ raw), and an equi-join of
+    the (group, key) → rank map back onto the rows.
+
+    Exactness: counts are integers and the rank is integer + exact
+    half-integer — bit-identical to the Window form, no float drift.
+    Contract: non-null ``key`` and group columns (the map joins back
+    by equality; NULL keys would drop). Numeric ``key`` (the bucketing
+    contract of this module).
+    """
+    groups = [group] if isinstance(group, str) else list(group)
+    cnt = df.groupBy(*groups, key).agg(F.count(F.lit(1)).alias("__ct"))
+    cum = with_grouped_running_sum(
+        cnt,
+        group=groups,
+        key=key,
+        tiebreaks=[],
+        val="__ct",
+        n_buckets=n_buckets,
+        out="__cum",
+    )
+    rank_map = cum.select(
+        *groups,
+        key,
+        (
+            F.col("__cum")
+            - F.col("__ct")
+            + (F.col("__ct") + F.lit(1)) / F.lit(2.0)
+        ).alias(out),
+    )
+    return df.join(rank_map, [*groups, key])
+
+
 def ntile_from_rn(k: int, rn: Column, n: Column) -> Column:
     """Spark/ANSI ntile(k) reconstructed from a global row_number and
     the total count: the first n%k tiles take ceil(n/k) rows, the rest

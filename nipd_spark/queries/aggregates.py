@@ -450,14 +450,40 @@ def a1b_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A15_PCTS = (50, 90, 99)  # target percentiles, integer keys
+
+
+def _a15_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, q_pct, p_est) sketch estimates — shared by a15
+    (rows-only surface) and a15b (oracled rank-error certificate)."""
+    ev = load(spark, sf_dir, "events")
+    qs = [p / 100.0 for p in _A15_PCTS]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("pa")
+    )
+    # flat (event_type, q_pct, p_est) rows: the driver's rows-only
+    # canonicalizer sorts the pandas frame, and an array column is
+    # unhashable there — scalar doubles sort fine (r8 driver lesson).
+    return agg.select(
+        "event_type", F.posexplode("pa").alias("qi", "p_est")
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(p) for p in _A15_PCTS]), F.col("qi") + 1
+        ).alias("q_pct"),
+        "p_est",
+    )
+
+
 @query("a15_approx_percentile", sql=None, tags=("A9", "A4"))
 def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the KLL/GK-style sketch behind
-    ``approx_percentile`` (rows-only: sketch outputs aren't cross-engine
-    hashable, same status as the HLL tier a4). accuracy=10000 bounds
-    rank error at n/10000 — tests/test_operators_properties.py asserts
-    the empirical CDF at each estimate stays within that band of the
-    target quantile.
+    ``approx_percentile``, one flat (event_type, q_pct, p_est) row per
+    group × quantile (rows-only: sketch outputs aren't cross-engine
+    hashable, same status as the HLL tier a4; the oracled rank-error
+    certificate is a15b). accuracy=10000 bounds rank error at n/10000 —
+    tests/test_operators_properties.py asserts the empirical CDF at
+    each estimate stays within that band of the target quantile.
 
     Scale note: this is the 100 TB replacement for a9's exact
     percentiles — the sketch is a bounded-size mergeable partial
@@ -465,10 +491,61 @@ def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an O(sketch) merge tree, while exact percentile_cont needs a
     per-group sort of everything.
     """
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p_est")
+    return _a15_estimates(spark, sf_dir)
+
+
+@query(
+    "a15b_approx_percentile_certificate",
+    # Certificate oracle (a17 precedent): the sketch's GK guarantee —
+    # every estimate's rank interval intersects [q·n ± n/accuracy] —
+    # is checked Spark-side against EXACT per-group counts; the oracle
+    # enumerates the expected (group × percentile, TRUE) matrix, so a
+    # hash match proves the bound held for every cell at this SF.
+    sql=f"""
+    SELECT event_type, q_pct, TRUE AS within_band
+    FROM (SELECT DISTINCT event_type FROM events)
+    CROSS JOIN (VALUES {", ".join(f"({p})" for p in _A15_PCTS)}) t(q_pct)
+    ORDER BY event_type, q_pct
+    """,
+    tags=("A9", "A4"),
+)
+def a15b_approx_percentile_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-error certificate for a15's approx-percentile sketch: for
+    each (event_type, q_pct) estimate, recompute the EXACT rank
+    interval the estimate occupies — [#{value < p_est}+1, #{value <=
+    p_est}] — and assert it intersects the GK-guaranteed band
+    q·n ± (n/accuracy + 1) [PK: Greenwald & Khanna, SIGMOD'01,
+    "Space-efficient online computation of quantile summaries"]. The
+    +1 slack absorbs the discrete-rank convention gap between
+    floor/ceil target-rank definitions; the guarantee itself holds for
+    ANY merge order, so the certificate is deterministic even though
+    task scheduling can perturb the estimate in the last ulp.
+
+    Plan shape for 100 TB: the estimates table is |groups|×3 rows —
+    broadcast it back onto the fact scan; the verification is then one
+    partial-aggregated groupBy over the same single scan the sketch
+    itself needs. No sort, no second shuffle of raw rows.
+    """
+    est = _a15_estimates(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    j = ev.join(F.broadcast(est), "event_type")
+    band = j.groupBy("event_type", "q_pct").agg(
+        F.sum((F.col("value") < F.col("p_est")).cast("long")).alias("n_lt"),
+        F.sum((F.col("value") <= F.col("p_est")).cast("long")).alias("n_le"),
+        F.count(F.lit(1)).alias("n"),
     )
+    target = F.col("q_pct") / F.lit(100.0) * F.col("n")
+    err = F.col("n") / F.lit(10000.0) + F.lit(1.0)
+    return band.select(
+        "event_type",
+        "q_pct",
+        (
+            (F.col("n_lt") + F.lit(1) <= target + err)
+            & (F.col("n_le") >= target - err)
+        ).alias("within_band"),
+    ).orderBy("event_type", "q_pct")
 
 
 @query(
@@ -1309,13 +1386,13 @@ def a32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.crossJoin(F.broadcast(n))
         .select(
-            (
-                (F.col("rn").cast("long") - F.lit(1))
-                * F.lit(8)
-                / F.col("c")
-            )
-            .cast("long")
-            .alias("bucket"),
+            # integer DIV, matching the oracle's '//' exactly: the
+            # double-division spelling is safe at fixture scale but
+            # silently diverges once (rn-1)*8 exceeds 2^53 — at the
+            # 100 TB posture this docstring claims, that's real rows
+            F.expr("((CAST(rn AS BIGINT) - 1) * 8) DIV c").alias(
+                "bucket"
+            ),
             "v",
         )
         .groupBy("bucket")

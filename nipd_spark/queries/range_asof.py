@@ -445,3 +445,77 @@ def j20_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_days"),
     )
+
+
+@query(
+    "j21_asof_sql_surface",
+    # DuckDB's NATIVE ASOF JOIN is the oracle — an independent engine's
+    # implementation of the same SQL surface. All outputs are exact
+    # integers (counts, summed/maxed microsecond gaps): no float
+    # discipline needed; sum(BIGINT) is cast back from DuckDB's HUGEINT.
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           count(*) AS n_matched,
+           CAST(sum(epoch_us(p.ts) - epoch_us(c.cts)) AS BIGINT)
+             AS sum_gap_us,
+           max(epoch_us(p.ts) - epoch_us(c.cts)) AS max_gap_us
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts
+    GROUP BY p.user_id
+    """,
+    tags=("J9", "S5"),
+)
+def j21_asof_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASOF JOIN *SQL keyword* (nipd_spark/sqlext.py): the whole
+    query — as-of pairing AND the aggregation around it — is submitted
+    as ONE SQL string in the Snowflake MATCH_CONDITION syntax [PK] and
+    rewritten onto the union+window operator, closing the r8 verdict's
+    "DataFrame-API-only as-of" gap. The oracle is DuckDB's native ASOF
+    JOIN, so a hash match certifies the rewrite end-to-end against an
+    independent engine's implementation of the same surface.
+
+    Semantics: per user, each purchase matched to the latest click at
+    or before it (inner — unmatched purchases dropped), then grouped
+    per user into exact-integer gap statistics. (user_id, ts) is
+    duplicate-free in the corpus, so the match is unique.
+
+    Plan shape for 100 TB: the rewrite is driver-side TEXT work; the
+    spliced plan is j9's union+window shape (one shuffle on user_id +
+    one in-partition sort, no pair materialization) feeding a partial
+    aggregation — identical physical cost to the DataFrame spelling,
+    with Catalyst optimizing across the splice (the aggregate's column
+    pruning reaches through the temp view into the window).
+    """
+    from nipd_spark.sqlext import asof_sql
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    ).createOrReplaceTempView("j21_clicks")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    ).createOrReplaceTempView("j21_purchases")
+    return asof_sql(
+        spark,
+        """
+        SELECT p.user_id,
+               count(*) AS n_matched,
+               sum(unix_micros(p.ts) - unix_micros(c.cts)) AS sum_gap_us,
+               max(unix_micros(p.ts) - unix_micros(c.cts)) AS max_gap_us
+        FROM j21_purchases p
+        ASOF JOIN j21_clicks c
+        MATCH_CONDITION (p.ts >= c.cts)
+        ON p.user_id = c.user_id
+        GROUP BY p.user_id
+        """,
+    )

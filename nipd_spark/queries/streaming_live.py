@@ -1374,47 +1374,71 @@ def _pid_is_lock_holder(pid: int, lock_mtime: float) -> bool:
         return True  # no /proc (non-Linux): err on never-condemn-alive
 
 
-def _chk_lock_holder_stale(lock: str) -> bool:
-    """True when the lock's recorded holder is verifiably dead, or the
-    lock is older than _LOCK_STALE_SEC and the holder cannot be
-    verified as the genuine creator (pid file missing/unreadable, or a
-    RECYCLED pid — alive but started after the lock was stamped). A
-    genuinely-alive holder is never stale: a legitimate replay can
-    outlive any age threshold under load, and condemning a live holder
-    would start a second concurrent replay on the shared checkpoint."""
+def _chk_lock_condemn(lock: str) -> tuple[int | None, float] | None:
+    """Condemnation evidence — (holder_pid_or_None, lock_mtime) — when
+    the lock is stale AT THIS INSTANT, else None. Stale means: the
+    recorded holder is verifiably dead, or the lock is older than
+    _LOCK_STALE_SEC and the holder cannot be verified as the genuine
+    creator (pid file missing/unreadable, or a RECYCLED pid — alive
+    but started after the lock was stamped). A genuinely-alive holder
+    is never stale: a legitimate replay can outlive any age threshold
+    under load, and condemning a live holder would start a second
+    concurrent replay on the shared checkpoint.
+
+    The evidence is captured HERE, at condemnation time, and passed to
+    _chk_lock_reclaim — re-reading it later re-opens the steal race:
+    if another waiter reclaims and mkdir-acquires a fresh lock between
+    this check and a late read, the late read captures the FRESH
+    holder's pid, the reclaim verify trivially passes, and a live lock
+    is deleted (two concurrent writers on the shared checkpoint)."""
     import os
     import time
 
     try:
         mtime = os.path.getmtime(lock)
     except OSError:
-        return False  # lock vanished — next mkdir attempt just wins
+        return None  # lock vanished — next mkdir attempt just wins
     age = time.time() - mtime
     pid = _lock_holder_pid(lock)
+    evidence = (pid, mtime)
     if pid is None or pid == os.getpid():
         # unstamped, or our own pid on a lock we failed to acquire (a
         # crashed earlier attempt in THIS process): only age condemns
-        return age > _LOCK_STALE_SEC
+        return evidence if age > _LOCK_STALE_SEC else None
     if not _pid_is_lock_holder(pid, mtime):
         # dead → reclaim now; recycled-alive → reclaim once aged out
         try:
             os.kill(pid, 0)
         except ProcessLookupError:
-            return True
-        return age > _LOCK_STALE_SEC
-    return False  # verified genuine live holder — never condemn
+            return evidence
+        return evidence if age > _LOCK_STALE_SEC else None
+    return None  # verified genuine live holder — never condemn
 
 
-def _chk_lock_reclaim(lock: str) -> None:
-    """Reclaim a condemned lock with rename-aside + VERIFY + restore:
+def _chk_lock_holder_stale(lock: str) -> bool:
+    """Boolean view of _chk_lock_condemn (tests / callers that only
+    need the verdict, not the evidence)."""
+    return _chk_lock_condemn(lock) is not None
 
-    1. re-read the condemned holder's pid (the capture);
-    2. atomically rename the lock to a per-attempt-unique grave —
+
+def _chk_lock_reclaim(
+    lock: str, condemned: tuple[int | None, float]
+) -> None:
+    """Reclaim a condemned lock with rename-aside + VERIFY + restore.
+
+    ``condemned`` is the (pid, mtime) evidence _chk_lock_condemn
+    captured at condemnation time — never re-read here (see its
+    docstring for the race a late capture re-opens).
+
+    1. atomically rename the lock to a per-attempt-unique grave —
        exactly one racing waiter's rename succeeds;
-    3. verify the grave still carries the captured pid. A mismatch
-       means the rename grabbed a DIFFERENT waiter's freshly acquired
-       lock (condemn → other waiter reclaims and wins mkdir → our
-       rename lands on its new lock), so rename it straight back.
+    2. verify the grave still carries the condemned incarnation: same
+       stamped pid AND same directory mtime (rename preserves the
+       dir's own mtime, and every fresh lock gets a fresh mtime). A
+       mismatch means the rename grabbed a DIFFERENT waiter's freshly
+       acquired lock (condemn → other waiter reclaims and wins mkdir
+       → our rename lands on its new lock), so rename it straight
+       back.
 
     A bare rename-then-delete closes the delete race but not this
     steal race; the verify step does. Residual: restoring can itself
@@ -1428,13 +1452,22 @@ def _chk_lock_reclaim(lock: str) -> None:
     import shutil
     import uuid
 
-    condemned = _lock_holder_pid(lock)
+    pid, mtime = condemned
     grave = f"{lock}.reap{os.getpid()}_{uuid.uuid4().hex[:8]}"
     try:
         os.rename(lock, grave)
     except OSError:
         return  # another waiter reclaimed first (or holder released)
-    if condemned is not None and _lock_holder_pid(grave) != condemned:
+    try:
+        grave_mtime: float | None = os.path.getmtime(grave)
+    except OSError:
+        grave_mtime = None  # grave itself raced away — nothing to do
+    same_incarnation = (
+        grave_mtime is not None
+        and abs(grave_mtime - mtime) < 1e-6
+        and _lock_holder_pid(grave) == pid
+    )
+    if not same_incarnation:
         try:
             os.rename(grave, lock)  # stole a fresh lock — put it back
             return
@@ -1527,8 +1560,9 @@ def t20_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _chk_lock_try_acquire(lock):
             acquired = True
             break
-        if _chk_lock_holder_stale(lock):
-            _chk_lock_reclaim(lock)  # rename-aside + verify; re-race
+        condemned = _chk_lock_condemn(lock)
+        if condemned is not None:
+            _chk_lock_reclaim(lock, condemned)  # rename-aside+verify
             time.sleep(0.05)  # a failing reclaim must not spin the
             continue          # bounded wait down in milliseconds
         time.sleep(0.5)

@@ -1228,34 +1228,33 @@ def w22_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ρ = Pearson corr of the two rank columns — the definition that
     stays exact under ties, unlike the 6·Σd²/(n(n²−1)) shortcut.
 
-    Plan shape for 100 TB: the rank windows partition by l_suppkey —
-    a key whose cardinality GROWS with the data while per-group size
-    stays bounded by supplier activity, so parallelism scales and no
-    group funnels the table (the opposite of the low-card
-    l_returnflag windows this repo rewrites). corr is an algebraic
-    aggregate (map-side partials), and the final top-20 is a
-    TakeOrderedAndProject over one row per supplier.
+    Plan shape for 100 TB: ranks come from the grouped-histogram rank
+    path (operators/ranks.with_grouped_avg_rank, the c35 idiom), NOT
+    per-supplier rank windows over raw rows — a raw-row window caps
+    each supplier at ONE task, which funnels when the key cardinality
+    is fixed while data grows 100× (the r8 SCALE.md finding: 16.2× at
+    100×). Here avg_rank(v) = #{<v} + (#{=v}+1)/2, so the plan is two
+    (suppkey, value) count aggregations (map-side partials), bucketed
+    per-group prefix sums over DISTINCT values with |groups|×64-way
+    parallelism, and two equi-joins of the tiny rank maps back onto
+    the rows — every stage key-parallel. corr is an algebraic
+    aggregate, and the final top-20 is a TakeOrderedAndProject over
+    one row per supplier. Ranks stay exact half-integers, bit-equal
+    to the Window form.
     """
+    from nipd_spark.operators.ranks import with_grouped_avg_rank
+
     li = load(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.col("l_quantity").alias("q"),
         F.col("l_extendedprice").alias("p"),
     )
-    wq = Window.partitionBy("l_suppkey").orderBy("q")
-    wp = Window.partitionBy("l_suppkey").orderBy("p")
-    cq = Window.partitionBy("l_suppkey", "q")
-    cp = Window.partitionBy("l_suppkey", "p")
-    r = li.select(
+    r = with_grouped_avg_rank(
+        with_grouped_avg_rank(li, "l_suppkey", "q", out="rq"),
         "l_suppkey",
-        (
-            F.rank().over(wq)
-            + (F.count(F.lit(1)).over(cq) - F.lit(1)) / F.lit(2.0)
-        ).alias("rq"),
-        (
-            F.rank().over(wp)
-            + (F.count(F.lit(1)).over(cp) - F.lit(1)) / F.lit(2.0)
-        ).alias("rp"),
-    )
+        "p",
+        out="rp",
+    ).select("l_suppkey", "rq", "rp")
     # corr() throws DIVIDE_BY_ZERO under ANSI mode when a rank column
     # has zero variance (an all-tied supplier); the explicit
     # covar/stddev form with try_divide yields NULL there — exactly

@@ -46,90 +46,77 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 8): the driver hash-checks the FIRST 50
-# queries() entries per round. Cumulative driver coverage after r7 is
-# 296/332 names; this round's front list CLOSES the rotation — the 36
-# remaining never-checked names (the rows-only sketch/ANN set, the
-# scalar/aggregate tail, and the two r8-stretch additions l67b/l68b)
-# all appear below, so CORRECTNESS_r08 attests every registered query
-# at least once. Layout: the 13 round-8 additions first (chained-window
-# streaming, MMR re-rank, incremental IVF maintenance, phrase search,
-# length-bucket packing, equi-depth histogram, retrieval eval,
-# tokenizer fertility, unigram-LM EM, BFS hops, Gini concentration,
-# Spearman, Zipf fit), then the 36 never-checked names, then 1
-# re-check: l10d, whose ORACLE changed after the r7 window ran
-# (byte-true hashing), so its r7 attestation compared against
-# superseded SQL. Post-r7 changes deliberately NOT re-checked, with
-# why: s26's whitespace-exact read (also an oracle change) is pinned
-# by test_xml_source_roundtrips_special_characters and green in this
-# round's three full sweeps — it yielded its window slot to the l76
-# addition; the l4-family GEMM staging rewrite is pinned
-# bit-exact against the sequential rescore by its property tests and
-# green in all full sweeps (l38 re-checks it via the never-checked
-# block anyway); l31b's backslash-escaping fix is latent on the
-# fixtures' clean alphabets (pinned by
-# test_bpe_merge_expr_escapes_backslashes); t20's lock recovery is
-# result-neutral (pinned by test_chk_lock_stale_holder_reclaim).
-# 13 + 36 + 1 = 50. The full-sweep ritual (tools/diffcheck.py at
-# sf0.001 AND sf0.01) still gates every query every round regardless.
+# Verification rotation (round 9): the driver hash-checks the FIRST 50
+# queries() entries per round. The rotation CLOSED in r8 (every name
+# has a driver row), but the r8 VERDICT found 6 queries whose ONLY
+# driver rows are errors — a15 (r8: the old array output crashed the
+# driver's rows-only canonicalizer; now flattened) and a12/a13/a14/
+# a1b/w2 (r02 error rows, fixed by r03, never re-windowed) — so this
+# round's front is: (1) the round-9 additions, (2) those 6 queries so
+# every name gains a PASSING attestation (a14 makes UDAF the 92nd
+# driver-green §2 ID), (3) re-checks of queries whose implementation
+# changed since their last green row — w22 (ranking ported onto the
+# grouped-histogram path), a32 (integer-DIV bucket key), t20 (lock
+# reclaim evidence capture; result-neutral but one window slot is
+# cheap), and (4) padding with the LONGEST-unattested names (all
+# r01 attestations, alphabetical). The full-sweep ritual
+# (tools/diffcheck.py at sf0.001 AND sf0.01) still gates every query
+# every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # round-8 additions
-    "t21_chained_windows",
-    "l76_zipf_fit",
-    "l69_mmr_diversify",
-    "l75_ivf_incremental",
-    "l73_phrase_search",
-    "l74_length_bucket_packing",
-    "a32_equidepth_histogram",
-    "l70_retrieval_eval",
-    "l71_tokenizer_fertility",
-    "l72_unigram_lm_em",
-    "g4_bfs_hops",
-    "c35_gini_by_nation",
-    "w22_spearman_corr",
-    # never driver-checked until this round (closes the rotation)
-    "l10b_multimodal_roundtrip",
-    "f13_bitwise_family",
-    "f18_null_scalar_family",
-    "l32_weighted_sample",
-    "l33_corpus_shuffle",
-    "l34_grouped_split",
-    "l36_chunk_documents",
-    "l39_content_defined_chunks",
-    "l41_lexical_diversity",
-    "l42_stopword_discovery",
-    "l45_blocklist_filter",
-    "l47_balanced_shards",
-    "l53_source_similarity",
-    "l57_semantic_decontaminate",
-    "l60_unimax_allocation",
-    "l67b_kneser_ney_source_profile",
-    "l30_fuzzy_blocked_match",
-    "l49_repeated_spans",
-    "l35_ann_pq",
-    "l37_ann_ivfpq",
-    "l38_hard_negatives",
-    "l51_jl_projection",
-    "l52_pca_spectrum",
-    "l56_ivf_persisted",
-    "l68b_margin_bitext_ivf",
+    # (1) round-9 additions
+    "a15b_approx_percentile_certificate",
+    "j21_asof_sql_surface",
+    # (2) never-clean-attested (r8 VERDICT item 2)
     "a15_approx_percentile",
-    "a18_hll_rollup",
-    "a25_hll_set_algebra",
-    "a27_share_of_parent",
-    "a28_grouping_function",
-    "a30_tdigest_quantiles",
-    "o5_range_partition_sort",
-    "p8_not_in_nulls",
-    "p9_collated_match",
-    "dq3_freshness_completeness",
-    "dq6_orphan_trend",
-    # post-r7-window implementation changes (driver re-verification):
-    # l4 attests the GEMM parquet-staging rewrite (l4b/l14 share the
-    # operator and stay green in the full sweeps), l10d its byte-true
-    # oracle, s26 the whitespace-exact XML read (t20's lock fix is
-    # result-neutral and pinned by test_chk_lock_stale_holder_reclaim)
-    "l10d_perceptual_neardup",
+    "a12_conditional_agg",
+    "a13_histogram",
+    "a14_udaf_geomean",
+    "a1b_salted_agg",
+    "w2_lag_lead",
+    # (3) changed since last green attestation
+    "w22_spearman_corr",
+    "a32_equidepth_histogram",
+    "t20_state_store_reader",
+    # (4) longest-unattested padding (last green row: r01)
+    "j1_inner_equi",
+    "j2_left_outer",
+    "j2b_right_outer",
+    "j3_full_outer",
+    "j4_left_semi",
+    "j5_left_anti",
+    "j6_broadcast_star",
+    "j7_cross",
+    "j10_theta_band",
+    "j11_self_pairs",
+    "o1_multikey_sort",
+    "o3_global_topk",
+    "o4_pergroup_topk",
+    "p1_project_compute",
+    "p2_filter_compare",
+    "p3_between",
+    "p4_in_list",
+    "p5_null_handling",
+    "p6_like_regex",
+    "p7_distinct",
+    "q1_pricing_summary",
+    "q2b_min_cost_part",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -2171,7 +2171,7 @@ def test_bpe_merge_expr_escapes_backslashes(spark):
     assert out2 == [[bs, bs, "a"], [bs + "nx"], ["\n", "x"], ["'", bs, "'"]]
 
 
-def test_chk_lock_stale_holder_reclaim(tmp_path):
+def test_chk_lock_stale_holder_reclaim(tmp_path, monkeypatch):
     """t20's checkpoint lock: a crashed holder (dead pid) or an ancient
     lock dir must be reclaimable; a live holder must not be (ADVICE
     r7 — the old lock had no staleness recovery, so one crash stalled
@@ -2198,13 +2198,22 @@ def test_chk_lock_stale_holder_reclaim(tmp_path):
     # a GENUINE live holder is never stale, however old the lock —
     # condemning a live holder would start a second concurrent replay
     # on the shared checkpoint. Genuine = alive AND started before the
-    # lock was stamped; pid 1 (init, started at boot) models a holder
-    # older than any lock mtime we can set.
+    # lock was stamped; pid 1 (init) is the longest-lived pid in this
+    # pid namespace. The lock mtime must land AFTER /proc/1's start
+    # (else pid 1 looks RECYCLED) yet be older than the staleness
+    # threshold — a fixed epoch offset breaks on a freshly booted
+    # container (r9: 9-minute uptime made `now - 10*stale` predate
+    # init), so derive both from /proc/1's actual start time.
     import time as _time
 
     with open(os.path.join(lock, "pid"), "w") as fh:
         fh.write("1")
-    old = _time.time() - 10 * sl._LOCK_STALE_SEC
+    now = _time.time()
+    old = os.stat("/proc/1").st_ctime + 3.0  # after init start
+    assert old < now, "sub-3s container uptime"
+    monkeypatch.setattr(
+        sl, "_LOCK_STALE_SEC", max((now - old) / 2, 0.5)
+    )
     os.utime(lock, (old, old))
     assert not sl._chk_lock_holder_stale(lock)
 
@@ -2234,12 +2243,53 @@ def test_chk_lock_stale_holder_reclaim(tmp_path):
 
     # reclaim is rename-aside atomic: one reclaim wins, a second is a
     # no-op, and the reclaimed path is immediately re-acquirable
-    sl._chk_lock_reclaim(lock)
+    condemned = sl._chk_lock_condemn(lock)
+    assert condemned is not None
+    sl._chk_lock_reclaim(lock, condemned)
     assert not os.path.exists(lock)
-    sl._chk_lock_reclaim(lock)  # double-reclaim must not raise
+    sl._chk_lock_reclaim(lock, condemned)  # double-reclaim: no raise
     assert sl._chk_lock_try_acquire(lock)
     sl._chk_lock_release(lock)
     assert not os.path.exists(lock)
+
+
+def test_chk_lock_reclaim_spares_fresh_incarnation(tmp_path):
+    """The r8 ADVICE steal race: evidence captured at condemnation
+    time must protect a FRESH lock acquired between the staleness
+    check and the reclaim's rename — the reclaim must notice the
+    incarnation changed (pid or mtime differs) and rename the stolen
+    lock straight back instead of deleting a live holder's lock."""
+    import os
+    import subprocess
+    import time as _time
+
+    from nipd_spark.queries import streaming_live as sl
+
+    lock = str(tmp_path / "chk.lock")
+
+    # incarnation 1: a stale (dead-holder) lock; capture its evidence
+    assert sl._chk_lock_try_acquire(lock)
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(os.path.join(lock, "pid"), "w") as fh:
+        fh.write(str(p.pid))
+    old = _time.time() - 10 * sl._LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    condemned = sl._chk_lock_condemn(lock)
+    assert condemned is not None
+
+    # another waiter reclaims and re-acquires FIRST (fresh incarnation
+    # stamped with OUR live pid and a fresh mtime)
+    sl._chk_lock_reclaim(lock, condemned)
+    assert sl._chk_lock_try_acquire(lock)
+
+    # our (now outdated) condemnation must NOT take the fresh lock
+    sl._chk_lock_reclaim(lock, condemned)
+    assert os.path.exists(lock), "live fresh lock was deleted"
+    assert sl._lock_holder_pid(lock) == os.getpid()
+    # and the fresh incarnation itself is still judged healthy
+    assert not sl._chk_lock_holder_stale(lock)
+    sl._chk_lock_release(lock)
 
 
 def test_l10d_oracle_byte_true_on_non_ascii(spark):
@@ -3004,3 +3054,90 @@ def test_zipf_fit_matches_ols_reference(spark):
     # the Zipfian source is near −1 and fits better than the flat one
     assert -1.15 < got["A"][1] < -0.85
     assert got["A"][2] > got["B"][2]
+
+
+def test_asof_sql_rewrite_variants(spark):
+    """sqlext.asof_sql: the SQL-text ASOF surface must agree with a
+    from-scratch python as-of reference in all four grammar corners —
+    backward/forward, inner/LEFT, same/different key names — and must
+    pass non-ASOF SQL through untouched."""
+    from nipd_spark.sqlext import asof_sql
+
+    quotes = [
+        # key, ts, px
+        (1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0),
+        (2, 15, 5.0), (2, 25, 6.0),
+    ]
+    trades = [
+        # tkey, tts, qty
+        (1, 5, 100), (1, 20, 200), (1, 35, 300),
+        (2, 14, 400), (2, 25, 500), (3, 50, 600),
+    ]
+    spark.createDataFrame(
+        quotes, "key int, ts int, px double"
+    ).createOrReplaceTempView("sx_quotes")
+    spark.createDataFrame(
+        trades, "tkey int, tts int, qty int"
+    ).createOrReplaceTempView("sx_trades")
+
+    def ref(direction, outer):
+        out = []
+        for tkey, tts, qty in trades:
+            cand = [
+                (ts, px)
+                for k, ts, px in quotes
+                if k == tkey
+                and (ts <= tts if direction == "backward" else ts >= tts)
+            ]
+            if cand:
+                ts, px = (max if direction == "backward" else min)(cand)
+                out.append((tkey, tts, qty, px))
+            elif outer:
+                out.append((tkey, tts, qty, None))
+        return sorted(out, key=lambda r: (r[0], r[1]))
+
+    # backward inner, different key names on each side
+    got = sorted(
+        tuple(r)
+        for r in asof_sql(
+            spark,
+            """
+            SELECT t.tkey, t.tts, t.qty, q.px
+            FROM sx_trades t ASOF JOIN sx_quotes q
+            MATCH_CONDITION (t.tts >= q.ts)
+            ON t.tkey = q.key
+            """,
+        ).collect()
+    )
+    assert got == ref("backward", outer=False)
+
+    # forward, LEFT outer, MATCH_CONDITION written right-side-first
+    got = sorted(
+        tuple(r)
+        for r in asof_sql(
+            spark,
+            """
+            SELECT t.tkey, t.tts, t.qty, q.px
+            FROM sx_trades t ASOF LEFT JOIN sx_quotes q
+            MATCH_CONDITION (q.ts >= t.tts)
+            ON q.key = t.tkey
+            """,
+        ).collect()
+    )
+    assert got == ref("forward", outer=True)
+
+    # aggregation composes around the splice
+    row = asof_sql(
+        spark,
+        """
+        SELECT count(*) AS n, sum(t.qty) AS tot
+        FROM sx_trades t ASOF JOIN sx_quotes q
+        MATCH_CONDITION (t.tts >= q.ts)
+        ON t.tkey = q.key
+        """,
+    ).collect()[0]
+    want = ref("backward", outer=False)
+    assert (row.n, row.tot) == (len(want), sum(r[2] for r in want))
+
+    # non-ASOF SQL passes straight through
+    assert asof_sql(spark, "SELECT 1 AS one").collect()[0].one == 1

@@ -326,6 +326,57 @@ def test_state_store_reader_restart_stable(spark, sf_dir):
     assert first  # non-empty state
 
 
+def test_t20_concurrent_processes_contend_on_lock(tmp_path, sf_dir):
+    """Two concurrent t20 invocations in SEPARATE processes (the
+    process-pool shape VERDICT r8 item 7 asked for): both must finish
+    and produce identical state reads. This drives the checkpoint
+    lock's acquire/contend/fallback protocol end-to-end — one process
+    wins the mkdir lock and replays the shared checkpoint, the other
+    either waits it out or degrades to the pid-private checkpoint —
+    whereas the unit tests only pin the helper functions."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    outs = [str(tmp_path / f"t20_{i}") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "integration/spark_job.py",
+                "--sf-dir",
+                sf_dir,
+                "--query",
+                "t20_state_store_reader",
+                "--out",
+                out,
+                "--coalesce",
+                "1",
+            ],
+            cwd="/root/repo",
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for out in outs
+    ]
+    errs = []
+    for p in procs:
+        _, se = p.communicate(timeout=600)
+        if p.returncode != 0:
+            errs.append(se[-2000:])
+    assert not errs, errs
+    frames = [
+        pd.read_parquet(o)
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        for o in outs
+    ]
+    assert len(frames[0]) > 0
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
 def test_t19_boundary_corpus_matches_oracle(spark, tmp_path):
     """The advisor's flake scenario, made a permanent fixture: a crafted
     events table where (a) a session's gap-closing event lands INSIDE
