@@ -296,15 +296,17 @@ def with_grouped_running_sum(
     return res.drop(BUCKET, "__lsum", "__lmin", "__offset", "__minprev", *groups)
 
 
-def with_grouped_avg_rank(
+def grouped_avg_rank_map(
     df: DataFrame,
     group: str | list[str],
     key: str,
     out: str,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Append the per-group FRACTIONAL (average) rank of ``key`` —
-    identical to the tie-averaged rank
+    """The per-group FRACTIONAL (average) rank of ``key`` as a
+    (group…, key, out) MAP over DISTINCT keys — one row per distinct
+    (group, key), joinable back onto the rows. Identical values to the
+    tie-averaged rank
 
         rank().over(Window.partitionBy(group).orderBy(key))
         + (count(*).over(Window.partitionBy(group, key)) - 1) / 2.0
@@ -313,11 +315,16 @@ def with_grouped_avg_rank(
     form ranks RAW rows, so a fixed-cardinality group key sees its
     whole 100 TB share in one task. Here ranks come from counts alone:
     avg_rank(v) = #{key < v} + (#{key = v} + 1)/2, so the plan is a
-    (group, key) count aggregation (ties collapse to one row), a
+    (group, key) count aggregation (ties collapse to one row) and a
     bucketed per-group exclusive prefix over DISTINCT keys
     (with_grouped_running_sum — parallelism |groups| × n_buckets even
-    when keys are continuous and distinct ≈ raw), and an equi-join of
-    the (group, key) → rank map back onto the rows.
+    when keys are continuous and distinct ≈ raw).
+
+    Returned as a map (not appended in place) so a caller ranking
+    SEVERAL columns builds every map against the ORIGINAL relation and
+    joins them all at the end — appending in place would make each
+    later map's count aggregation recompute the earlier joins' whole
+    lineage (measured: 5× slower at 100× for w22's two-column rank).
 
     Exactness: counts are integers and the rank is integer + exact
     half-integer — bit-identical to the Window form, no float drift.
@@ -336,7 +343,7 @@ def with_grouped_avg_rank(
         n_buckets=n_buckets,
         out="__cum",
     )
-    rank_map = cum.select(
+    return cum.select(
         *groups,
         key,
         (
@@ -345,7 +352,23 @@ def with_grouped_avg_rank(
             + (F.col("__ct") + F.lit(1)) / F.lit(2.0)
         ).alias(out),
     )
-    return df.join(rank_map, [*groups, key])
+
+
+def with_grouped_avg_rank(
+    df: DataFrame,
+    group: str | list[str],
+    key: str,
+    out: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append grouped_avg_rank_map's rank in place (single-column
+    convenience; for multi-column ranking build the maps separately
+    and join — see grouped_avg_rank_map's lineage note)."""
+    groups = [group] if isinstance(group, str) else list(group)
+    return df.join(
+        grouped_avg_rank_map(df, groups, key, out, n_buckets),
+        [*groups, key],
+    )
 
 
 def ntile_from_rn(k: int, rn: Column, n: Column) -> Column:

@@ -1228,33 +1228,44 @@ def w22_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ρ = Pearson corr of the two rank columns — the definition that
     stays exact under ties, unlike the 6·Σd²/(n(n²−1)) shortcut.
 
-    Plan shape for 100 TB: ranks come from the grouped-histogram rank
-    path (operators/ranks.with_grouped_avg_rank, the c35 idiom), NOT
-    per-supplier rank windows over raw rows — a raw-row window caps
-    each supplier at ONE task, which funnels when the key cardinality
-    is fixed while data grows 100× (the r8 SCALE.md finding: 16.2× at
-    100×). Here avg_rank(v) = #{<v} + (#{=v}+1)/2, so the plan is two
-    (suppkey, value) count aggregations (map-side partials), bucketed
-    per-group prefix sums over DISTINCT values with |groups|×64-way
-    parallelism, and two equi-joins of the tiny rank maps back onto
-    the rows — every stage key-parallel. corr is an algebraic
-    aggregate, and the final top-20 is a TakeOrderedAndProject over
-    one row per supplier. Ranks stay exact half-integers, bit-equal
-    to the Window form.
+    Plan shape for 100 TB: the rank windows partition by l_suppkey, a
+    key whose cardinality GROWS with the data while per-group size
+    stays bounded by supplier activity — measured on the key-shifted
+    100× replica: 100 000 distinct suppliers × ~600 rows each, so
+    parallelism scales and no group funnels the table. (The r8
+    SCALE.md note claiming the replica holds supplier cardinality
+    fixed was wrong — gen_scale.py shifts l_suppkey per copy; the
+    16.2× time for 100× data is sublinear sort/shuffle cost on fixed
+    cores, not a funnel.) The r9 experiment that ported these ranks
+    onto the grouped-histogram path measured 4–5× SLOWER here at
+    every scale, because a high-cardinality group key makes the
+    (group, value) count table fact-sized and its machinery pure
+    overhead — that path wins only when the group key is genuinely
+    fixed-cardinality and the count table collapses, which is w23's
+    query (operators/ranks.grouped_avg_rank_map). corr is an
+    algebraic aggregate (map-side partials), and the final top-20 is
+    a TakeOrderedAndProject over one row per supplier.
     """
-    from nipd_spark.operators.ranks import with_grouped_avg_rank
-
     li = load(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.col("l_quantity").alias("q"),
         F.col("l_extendedprice").alias("p"),
     )
-    r = with_grouped_avg_rank(
-        with_grouped_avg_rank(li, "l_suppkey", "q", out="rq"),
+    wq = Window.partitionBy("l_suppkey").orderBy("q")
+    wp = Window.partitionBy("l_suppkey").orderBy("p")
+    cq = Window.partitionBy("l_suppkey", "q")
+    cp = Window.partitionBy("l_suppkey", "p")
+    r = li.select(
         "l_suppkey",
-        "p",
-        out="rp",
-    ).select("l_suppkey", "rq", "rp")
+        (
+            F.rank().over(wq)
+            + (F.count(F.lit(1)).over(cq) - F.lit(1)) / F.lit(2.0)
+        ).alias("rq"),
+        (
+            F.rank().over(wp)
+            + (F.count(F.lit(1)).over(cp) - F.lit(1)) / F.lit(2.0)
+        ).alias("rp"),
+    )
     # corr() throws DIVIDE_BY_ZERO under ANSI mode when a rank column
     # has zero variance (an all-tied supplier); the explicit
     # covar/stddev form with try_divide yields NULL there — exactly
@@ -1274,3 +1285,83 @@ def w22_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_lines") >= 20) & F.col("rho").isNotNull())
     )
     return g.orderBy(F.col("rho").desc(), F.col("l_suppkey").asc()).limit(20)
+
+
+@query(
+    "w23_spearman_lowcard",
+    # Determinism: identical policy to w22 — exact average ranks,
+    # dround 6 on the order-dependent corr.
+    sql=f"""
+    WITH b AS (
+      SELECT l_returnflag AS flag, l_quantity AS q, l_extendedprice AS p
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag,
+             rank() OVER (PARTITION BY flag ORDER BY q)
+               + (count(*) OVER (PARTITION BY flag, q) - 1) / 2.0 AS rq,
+             rank() OVER (PARTITION BY flag ORDER BY p)
+               + (count(*) OVER (PARTITION BY flag, p) - 1) / 2.0 AS rp
+      FROM b
+    )
+    SELECT flag, count(*) AS n_lines,
+           {dround(
+               'covar_samp(rq, rp)'
+               ' / (stddev_samp(rq) * stddev_samp(rp))', 6)} AS rho
+    FROM r GROUP BY flag
+    ORDER BY flag
+    """,
+    tags=("W1", "A10"),
+)
+def w23_spearman_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per RETURN FLAG — the fixed-
+    cardinality-group variant of w22. With 3 groups forever (a flag
+    domain, not an entity key), w22's per-group rank windows would
+    funnel ~33% of a 100 TB table through ONE task each; this query
+    instead takes its average ranks from the grouped-histogram rank
+    map (operators/ranks.grouped_avg_rank_map, the c35 idiom):
+    avg_rank(v) = #{<v} + (#{=v}+1)/2 needs only per-(group, value)
+    counts and a bucketed per-group exclusive prefix over DISTINCT
+    values.
+
+    Plan shape for 100 TB: the (flag, value) count aggregation
+    collapses the fact table to |flags| × |distinct values| rows
+    (value domains are fixed: ~50 quantities, ~O(100k) prices — they
+    do NOT grow with row count), so the prefix machinery runs over a
+    bounded table with |flags|×64-bucket parallelism and the rank
+    maps join back as small broadcast-scale relations. Every stage is
+    key-parallel; nothing sees a per-flag funnel. Ranks stay exact
+    half-integers, bit-equal to the Window form (property-pinned);
+    corr is an algebraic map-side-partial aggregate over raw rows.
+    """
+    from nipd_spark.operators.ranks import grouped_avg_rank_map
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    # both maps derive from the ORIGINAL relation (building the second
+    # map over the first join's output would recompute that join's
+    # lineage inside the count agg — measured 5x slower)
+    rq_map = grouped_avg_rank_map(li, "flag", "q", out="rq")
+    rp_map = grouped_avg_rank_map(li, "flag", "p", out="rp")
+    r = (
+        li.join(F.broadcast(rq_map), ["flag", "q"])
+        .join(F.broadcast(rp_map), ["flag", "p"])
+        .select("flag", "rq", "rp")
+    )
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp("rq", "rp"),
+                    F.stddev_samp("rq") * F.stddev_samp("rp"),
+                ),
+                6,
+            ).alias("rho"),
+        )
+        .orderBy("flag")
+    )

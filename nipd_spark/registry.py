@@ -52,20 +52,26 @@ _QUERY_MODULES = (
 # driver rows are errors — a15 (r8: the old array output crashed the
 # driver's rows-only canonicalizer; now flattened) and a12/a13/a14/
 # a1b/w2 (r02 error rows, fixed by r03, never re-windowed) — so this
-# round's front is: (1) the round-9 additions, (2) those 6 queries so
-# every name gains a PASSING attestation (a14 makes UDAF the 92nd
-# driver-green §2 ID), (3) re-checks of queries whose implementation
-# changed since their last green row — w22 (ranking ported onto the
-# grouped-histogram path), a32 (integer-DIV bucket key), t20 (lock
-# reclaim evidence capture; result-neutral but one window slot is
-# cheap), and (4) padding with the LONGEST-unattested names (all
-# r01 attestations, alphabetical). The full-sweep ritual
+# round's front is: (1) the round-9 additions (a15b sketch-bound
+# certificate, j21 ASOF-SQL surface, w23 fixed-cardinality Spearman),
+# (2) those 6 queries so every name gains a PASSING attestation (a14
+# makes UDAF the 92nd driver-green §2 ID), (3) re-checks of queries
+# whose implementation changed since their last green row — a32
+# (integer-DIV bucket key), t20 (lock reclaim evidence capture;
+# result-neutral but one window slot is cheap), and w22 (its body was
+# ported to the histogram rank path, measured 4-5× slower because
+# l_suppkey's cardinality GROWS with data, and reverted to the
+# window form — the final code matches its r8-green attestation, so
+# this slot is belt-and-braces after the churn), and (4) padding with
+# the LONGEST-unattested names (all r01 attestations, alphabetical).
+# The full-sweep ritual
 # (tools/diffcheck.py at sf0.001 AND sf0.01) still gates every query
 # every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
     # (1) round-9 additions
     "a15b_approx_percentile_certificate",
     "j21_asof_sql_surface",
+    "w23_spearman_lowcard",
     # (2) never-clean-attested (r8 VERDICT item 2)
     "a15_approx_percentile",
     "a12_conditional_agg",
@@ -116,7 +122,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "q17_small_quantity",
     "q18_large_orders",
     "q19_discounted_revenue",
-    "q20_potential_promotion",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

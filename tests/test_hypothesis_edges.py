@@ -352,6 +352,40 @@ def test_ranks_match_window_forms(spark, vals, k):
     assert got == want
 
 
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(-3, 3)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_grouped_avg_rank_map_matches_python_reference(spark, rows):
+    """grouped_avg_rank_map == the from-scratch tie-averaged rank on
+    randomized micro-tables: heavy ties (7-value domain), all-equal
+    groups (single-bucket degenerate), singleton groups. Exact
+    equality — ranks are integer + half-integer, never approximate."""
+    from nipd_spark.operators.ranks import grouped_avg_rank_map
+
+    data = [(g, float(v), i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g: string, v: double, rid: long")
+
+    want = {}
+    for g in {g for g, _, _ in data}:
+        vs = sorted(v for gg, v, _ in data if gg == g)
+        for v in set(vs):
+            lt = sum(1 for x in vs if x < v)
+            eq = vs.count(v)
+            want[(g, v)] = lt + (eq + 1) / 2.0
+    got = {
+        (r.g, r.v): r.ar
+        for r in grouped_avg_rank_map(
+            df, "g", "v", out="ar", n_buckets=4
+        ).collect()
+    }
+    assert got == want
+
+
 def test_hwe_chi2_matches_numpy_reference(spark, sf_dir):
     """c31's post-aggregation chi-square arithmetic equals an
     independent numpy computation of the textbook formula (not just the

@@ -3141,3 +3141,55 @@ def test_asof_sql_rewrite_variants(spark):
 
     # non-ASOF SQL passes straight through
     assert asof_sql(spark, "SELECT 1 AS one").collect()[0].one == 1
+
+
+def test_grouped_avg_rank_map_matches_window_form(spark):
+    """operators/ranks.grouped_avg_rank_map must be BIT-equal to the
+    tie-averaged rank window (rank() + (ties-1)/2) it replaces — counts
+    are integers and the rank an exact half-integer, so == not almost-
+    equal. Randomized values from a small pool force heavy ties;
+    multiple groups exercise the per-group bucketing."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nipd_spark.operators.ranks import (
+        grouped_avg_rank_map,
+        with_grouped_avg_rank,
+    )
+
+    rng = random.Random(97)
+    pool = [1.0, 2.5, 3.0, 7.5, 7.5, 11.0, 42.0, -3.25]
+    rows = [
+        (rng.choice("ABC"), rng.choice(pool), i) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, rid int")
+
+    w_rank = Window.partitionBy("g").orderBy("v")
+    w_tie = Window.partitionBy("g", "v")
+    want = {
+        (r.g, r.rid): r.ar
+        for r in df.select(
+            "g",
+            "rid",
+            (
+                F.rank().over(w_rank)
+                + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+            ).alias("ar"),
+        ).collect()
+    }
+    got = {
+        (r.g, r.rid): r.ar
+        for r in with_grouped_avg_rank(df, "g", "v", out="ar").collect()
+    }
+    assert got == want  # exact, including half-integer ties
+
+    # the map form: one row per distinct (group, value), same values
+    m = grouped_avg_rank_map(df, "g", "v", out="ar")
+    mp = {(r.g, r.v): r.ar for r in m.collect()}
+    assert len(mp) == len({(g, v) for g, v, _ in rows})
+    by_pair = {}
+    for (g, rid), ar in want.items():
+        v = next(vv for gg, vv, ii in rows if gg == g and ii == rid)
+        by_pair[(g, v)] = ar
+    assert mp == by_pair

@@ -144,6 +144,11 @@ PROBE = [
     "t21_chained_windows",  # first LIVE streaming query in the probe:
     # the ratio includes replay machinery, but pins the claim that the
     # outer state store's input is aggregate-sized
+    # round-9 additions
+    "j21_asof_sql_surface",  # ASOF-SQL rewrite -> union+window + agg
+    "w23_spearman_lowcard",  # fixed-cardinality Spearman on rank maps
+    "a15_approx_percentile",  # GK sketch partial agg (flat rows)
+    "a15b_approx_percentile_certificate",  # sketch + exact-count verify
 ]
 
 

@@ -69,6 +69,10 @@ PROBE_DEEP = [
     "a32_equidepth_histogram",  # bucketed two-pass global rank
     "c35_gini_by_nation",  # per-customer collapse + grouped cumsum
     "w22_spearman_corr",  # supplier-partitioned rank windows + corr
+    # (l_suppkey cardinality GROWS 100x in the replica — measured — so
+    # the window form is the right plan; the fixed-cardinality variant
+    # is w23 on the grouped-histogram rank maps)
+    "w23_spearman_lowcard",
     "g4_bfs_hops",  # 4 frontier supersteps over checkpointed edges
     "l75_ivf_incremental",  # k-means train + broadcast-C batch assign
 ]
