@@ -629,3 +629,97 @@ def dq9_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_eval"),
         F.count(F.when(anom, 1)).alias("n_anomalies"),
     )
+
+
+@query(
+    "dq10_ks_two_sample",
+    # Determinism: the ECDFs are exact-integer running counts divided
+    # once by exact totals — identical expression shapes per pooled
+    # value, so the per-row |F1-F2| is bit-equal cross-engine; the max
+    # over identical sets is order-independent. d_stat is dround-6ed
+    # anyway (belt and braces), the reject flag compares the SAME
+    # doubles both sides compute.
+    sql=f"""
+    WITH s AS (
+      SELECT value,
+             count(*) FILTER (event_type = 'click') AS c1,
+             count(*) FILTER (event_type = 'purchase') AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ),
+    n AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM s
+    ),
+    e AS (
+      SELECT sum(c1) OVER (ORDER BY value) AS r1,
+             sum(c2) OVER (ORDER BY value) AS r2
+      FROM s
+    )
+    SELECT n1, n2,
+           {dround("max(abs(CAST(r1 AS DOUBLE)/n1 - CAST(r2 AS DOUBLE)/n2))", 6)}
+             AS d_stat,
+           max(abs(CAST(r1 AS DOUBLE)/n1 - CAST(r2 AS DOUBLE)/n2))
+             > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2))
+             AS reject_05
+    FROM e CROSS JOIN n
+    GROUP BY n1, n2
+    """,
+    tags=("A10", "W3", "O1"),
+)
+def dq10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the value
+    distributions of click and purchase events: D = sup |F₁(x)−F₂(x)|
+    over the pooled support, plus the α=0.05 large-sample rejection
+    c(α)·√((n₁+n₂)/(n₁n₂)), c(0.05)=1.358 [PK: Smirnov 1948; the
+    classic distribution-free drift test]. Completes the drift family:
+    dq4's chi² needs BINNED categories and is blind to within-bin
+    shape; KS compares the full continuous ECDFs — the standard gate
+    for "did this feature's distribution move between corpus
+    versions/slices" before a training freeze.
+
+    Plan shape for 100 TB: the fact table collapses FIRST to one row
+    per distinct pooled value (a keyed partial-agg shuffle), then the
+    two ECDFs come from bucketed global running sums over that
+    collapsed table (operators/ranks.with_global_running_sum — 64-way
+    parallel two-pass prefix, NO single-partition window; the a32
+    idiom), and the sup is a plain max aggregate. Nothing raw-row ever
+    funnels. The running counts are exact integers; each ECDF value is
+    one double division, so cross-engine equality is per-row exact.
+    """
+    from nipd_spark.operators.ranks import with_global_running_sum
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+    )
+    s = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "c2"
+        ),
+    )
+    s = with_global_running_sum(
+        s, key="value", tiebreaks=[], val="c1", out="r1"
+    )
+    s = with_global_running_sum(
+        s, key="value", tiebreaks=[], val="c2", out="r2"
+    )
+    n = s.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    e = s.crossJoin(F.broadcast(n))
+    gap = F.abs(
+        F.col("r1").cast("double") / F.col("n1")
+        - F.col("r2").cast("double") / F.col("n2")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2"))
+    )
+    return e.groupBy("n1", "n2").agg(
+        F.round(F.max(gap), 6).alias("d_stat"),
+        (F.max(gap) > F.max(crit)).alias("reject_05"),
+    )

@@ -3193,3 +3193,55 @@ def test_grouped_avg_rank_map_matches_window_form(spark):
         v = next(vv for gg, vv, ii in rows if gg == g and ii == rid)
         by_pair[(g, v)] = ar
     assert mp == by_pair
+
+
+def test_ks_two_sample_matches_python_reference(spark):
+    """dq10 against a from-scratch ECDF sup-difference on a crafted
+    corpus with ties within and across samples, plus the two boundary
+    behaviours: identical samples give D=0 (never reject) and disjoint
+    supports give D=1 (reject at any reasonable n)."""
+    import random
+
+    import nipd_spark.queries.quality as qmod
+
+    def ks_ref(a, b):
+        pooled = sorted(set(a) | set(b))
+        n1, n2 = len(a), len(b)
+        d = 0.0
+        for x in pooled:
+            f1 = sum(1 for v in a if v <= x) / n1
+            f2 = sum(1 for v in b if v <= x) / n2
+            d = max(d, abs(f1 - f2))
+        return d
+
+    rng = random.Random(41)
+    cases = [
+        # heavy ties, overlapping supports
+        (
+            [rng.choice([1.0, 2.0, 2.0, 3.5, 9.0]) for _ in range(120)],
+            [rng.choice([2.0, 3.5, 3.5, 8.0, 9.0]) for _ in range(80)],
+        ),
+        # identical samples -> D = 0
+        ([1.0, 2.0, 3.0] * 10, [1.0, 2.0, 3.0] * 7),
+        # disjoint supports -> D = 1
+        ([float(i) for i in range(30)], [float(i + 100) for i in range(25)]),
+    ]
+    orig_load = qmod.load
+    try:
+        for a, b in cases:
+            rows = [("click", v, i) for i, v in enumerate(a)] + [
+                ("purchase", v, i + len(a)) for i, v in enumerate(b)
+            ]
+            ev = spark.createDataFrame(
+                rows, "event_type string, value double, event_id long"
+            )
+            qmod.load = lambda _s, _d, _t, _ev=ev: _ev
+            row = qmod.dq10_ks_two_sample(spark, "ignored").collect()[0]
+            want_d = ks_ref(a, b)
+            assert (row.n1, row.n2) == (len(a), len(b))
+            assert abs(row.d_stat - want_d) <= 1e-6, (row.d_stat, want_d)
+            n1, n2 = len(a), len(b)
+            want_reject = want_d > 1.358 * ((n1 + n2) / (n1 * n2)) ** 0.5
+            assert row.reject_05 == want_reject
+    finally:
+        qmod.load = orig_load

@@ -149,6 +149,7 @@ PROBE = [
     "w23_spearman_lowcard",  # fixed-cardinality Spearman on rank maps
     "a15_approx_percentile",  # GK sketch partial agg (flat rows)
     "a15b_approx_percentile_certificate",  # sketch + exact-count verify
+    "dq10_ks_two_sample",  # distinct-value collapse + bucketed ECDF prefix
 ]
 
 

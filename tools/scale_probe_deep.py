@@ -73,6 +73,7 @@ PROBE_DEEP = [
     # the window form is the right plan; the fixed-cardinality variant
     # is w23 on the grouped-histogram rank maps)
     "w23_spearman_lowcard",
+    "dq10_ks_two_sample",
     "g4_bfs_hops",  # 4 frontier supersteps over checkpointed edges
     "l75_ivf_incremental",  # k-means train + broadcast-C batch assign
 ]
