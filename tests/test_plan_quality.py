@@ -92,7 +92,17 @@ def test_w8_zscore_is_group_agg_not_window(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["a24_weighted_median", "a31_weighted_median", "w7_pct_rank_cume"],
+    [
+        "a24_weighted_median",
+        "a31_weighted_median",
+        "w7_pct_rank_cume",
+        # r9: fixed-cardinality Spearman — ranks must come from the
+        # grouped-histogram rank maps, never a per-flag raw-row window
+        "w23_spearman_lowcard",
+        # r9: KS drift — ECDFs from the bucketed global running sum
+        # over the distinct-value collapse, never a raw-row window
+        "dq10_ks_two_sample",
+    ],
 )
 def test_no_low_cardinality_raw_window(spark, sf_dir, name):
     """Weighted medians / distribution ranks must come from the
@@ -838,3 +848,16 @@ def test_l74_single_pass_no_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Exchange" in plan  # exactly the one bucket agg shuffle
     assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
+
+
+def test_j21_asof_sql_splice_shape(spark, sf_dir):
+    """The ASOF-SQL rewrite (j21) must produce the same physical shape
+    the DataFrame as-of (j9) pins: one key-partitioned window carrying
+    the match (never a range cross product), hash aggregation around
+    the splice, and no nested-loop join anywhere."""
+    plan = _plan(spark, sf_dir, "j21_asof_sql_surface")
+    assert "windowspecdefinition" in plan           # union+window as-of
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan                  # the GROUP BY rides Catalyst
+    assert ", [], [" not in plan                    # window is key-partitioned
