@@ -9,6 +9,7 @@ Layout:
     session.py    SparkSession factory (UTC / ANSI / Arrow / AQE discipline)
     catalog.py    test-corpus table loading + temp-view registration
     registry.py   query registry powering __spark_entry__.queries()/oracle_sql()
+    sqlext.py     SQL-text extensions (ASOF JOIN keyword → as-of operator)
     queries/      one module per SURVEY.md §2 operator family
     operators/    reusable custom operators (range join, as-of, minhash, knn …)
     streaming/    structured-streaming harness + stateful exemplars

@@ -999,20 +999,20 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
     from nipd_spark.catalog import load
     import pyspark.sql.functions as F
 
-    est = {
-        r.event_type: r.p_est
-        for r in a15_approx_percentile(spark, sf_dir).collect()
-    }
+    # r9 flat schema: one (event_type, q_pct, p_est) row per quantile
+    # (the old array column crashed the driver's rows-only canonicalizer)
+    rows = a15_approx_percentile(spark, sf_dir).collect()
+    assert {r.q_pct for r in rows} == {50, 90, 99}
     ev = load(spark, sf_dir, "events").select("event_type", "value").toPandas()
-    for etype, (p50, p90, p99) in est.items():
-        vals = ev[ev.event_type == etype].value
+    for r in rows:
+        vals = ev[ev.event_type == r.event_type].value
         n = len(vals)
-        for target, v in [(0.5, p50), (0.9, p90), (0.99, p99)]:
-            cdf_below = (vals < v).mean()   # strictly-below rank
-            cdf_at = (vals <= v).mean()     # rank including ties
-            tol = 1.0 / 10000 + 1.0 / n + 1e-9
-            assert cdf_below - tol <= target <= cdf_at + tol, (
-                etype, target, v, cdf_below, cdf_at)
+        target, v = r.q_pct / 100.0, r.p_est
+        cdf_below = (vals < v).mean()   # strictly-below rank
+        cdf_at = (vals <= v).mean()     # rank including ties
+        tol = 1.0 / 10000 + 1.0 / n + 1e-9
+        assert cdf_below - tol <= target <= cdf_at + tol, (
+            r.event_type, target, v, cdf_below, cdf_at)
 
 
 def test_hll_rollup_estimate_error_bound(spark, sf_dir):
