@@ -1709,3 +1709,169 @@ def t21_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.crossJoin(F.broadcast(cut)).filter(
         F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("cut")
     ).drop("cut")
+
+
+@query(
+    "t22_stream_drift_monitor",
+    # The replay drains the source, so the streaming per-(window, bin)
+    # counts equal the batch twin's exactly; the PSI assembly is the
+    # same tiny-table arithmetic on both sides. ln() is libm on both
+    # engines (ulp-level divergence possible), so psi is dround-6ed
+    # and the drift flag compares the ROUNDED value — identical on
+    # both sides by construction.
+    sql=f"""
+    WITH rng AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    b AS (
+      SELECT time_bucket(INTERVAL '1 hour', {ts_us()}) AS window_start,
+             CASE WHEN hi <= lo THEN 0
+                  ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10))
+                             AS INT), 9) END AS bin
+      FROM events, rng
+    ),
+    ref AS (
+      SELECT bin, count(*) AS rn FROM b GROUP BY bin
+    ),
+    rtot AS (SELECT CAST(sum(rn) AS DOUBLE) AS rt FROM ref),
+    w AS (
+      SELECT window_start, bin, count(*) AS n FROM b GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT window_start, t.bin
+      FROM (SELECT DISTINCT window_start FROM w)
+      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) t(bin)
+    ),
+    dense AS (
+      SELECT s.window_start, s.bin, COALESCE(w.n, 0) AS n
+      FROM spine s LEFT JOIN w
+        ON s.window_start = w.window_start AND s.bin = w.bin
+    ),
+    tot AS (
+      SELECT window_start, CAST(sum(n) AS DOUBLE) AS nw
+      FROM dense GROUP BY 1
+    ),
+    terms AS (
+      SELECT d.window_start, t.nw,
+             greatest(d.n / t.nw, 1e-6) AS p,
+             greatest(COALESCE(r.rn, 0) / rt.rt, 1e-6) AS q
+      FROM dense d
+      JOIN tot t ON d.window_start = t.window_start
+      LEFT JOIN ref r ON d.bin = r.bin
+      CROSS JOIN rtot rt
+    )
+    SELECT window_start,
+           CAST(nw AS BIGINT) AS n_events,
+           {dround("sum((p - q) * ln(p / q))", 6)} AS psi,
+           {dround("sum((p - q) * ln(p / q))", 6)} > 0.2 AS drifted
+    FROM terms
+    GROUP BY window_start, nw
+    """,
+    tags=("T1", "T4", "A13", "A10"),
+)
+def t22_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: each tumbling 1 h window's
+    value distribution is scored against the frozen full-corpus
+    reference with the Population Stability Index over 10 equal-width
+    bins — PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with ε=1e-6 share clamping, and
+    the industry 0.2 alert threshold [PK: PSI, standard credit-risk /
+    ML-monitoring practice; e.g. Siddiqi, "Credit Risk Scorecards"].
+    The ML-ops twin of dq10's batch KS test: the statistic a
+    production feature monitor computes per micro-batch window to
+    catch serving/training skew as it happens.
+
+    The STREAM does the unbounded-state work: a broadcast stream-
+    static join pins the frozen bin edges onto the event stream, and
+    a watermarked tumbling-window groupBy maintains the per-(window,
+    bin) counts — the stateful aggregation that actually scales with
+    traffic. The PSI assembly then runs on the drained result, a
+    |windows|×10 table: dense spine (cross join with spark.range(10)),
+    per-window totals, broadcast reference shares, one ln-term sum.
+
+    Plan shape for 100 TB/day: per-event cost is one broadcast join +
+    one window-keyed partial agg (map-side combine); streaming state
+    is |open windows|×10 rows regardless of traffic; the finishing
+    math never touches raw rows. The reference histogram is one batch
+    scan at freeze time.
+    """
+    ev_static = load(spark, sf_dir, "events")
+    rng = ev_static.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+
+    def bin_col():
+        step = (F.col("hi") - F.col("lo")) / F.lit(10)
+        idx = F.least(
+            F.floor((F.col("value") - F.col("lo")) / step).cast("int"),
+            F.lit(9),
+        )
+        return F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(idx)
+
+    ref = (
+        ev_static.join(F.broadcast(rng))
+        .select(bin_col().alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+
+    binned = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .join(F.broadcast(rng))
+        .select("ts", bin_col().alias("bin"))
+    )
+    counts = binned.groupBy(F.window("ts", "1 hour"), "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_completion(
+        counts.select(
+            F.col("window.start").alias("window_start"), "bin", "n"
+        ),
+        "complete",
+    )
+    # |windows|×10 rows at most: localCheckpoint both severs the
+    # memory-sink lineage (the spine below self-joins this relation —
+    # Catalyst rejects the conflicting references otherwise) and
+    # freezes the drained result against later sink reuse
+    out = out.localCheckpoint(eager=True)
+
+    spark2 = out.sparkSession
+    spine = (
+        out.select("window_start")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark2.range(10).select(F.col("id").cast("int").alias("bin")))
+        )
+    )
+    dense = spine.join(out, ["window_start", "bin"], "left").fillna(
+        {"n": 0}
+    )
+    tot = dense.groupBy("window_start").agg(
+        F.sum("n").cast("double").alias("nw")
+    )
+    rtot = ref.agg(F.sum("rn").cast("double").alias("rt"))
+    terms = (
+        dense.join(tot, "window_start")
+        .join(F.broadcast(ref), "bin", "left")
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "window_start",
+            "nw",
+            F.greatest(F.col("n") / F.col("nw"), F.lit(1e-6)).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("rn"), F.lit(0)) / F.col("rt"),
+                F.lit(1e-6),
+            ).alias("q"),
+        )
+    )
+    psi = F.round(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+        6,
+    )
+    return terms.groupBy("window_start", "nw").agg(
+        psi.alias("psi"),
+        (psi > F.lit(0.2)).alias("drifted"),
+    ).select(
+        "window_start",
+        F.col("nw").cast("long").alias("n_events"),
+        "psi",
+        "drifted",
+    )

@@ -588,3 +588,52 @@ def test_rocksdb_state_source_reads_store_back(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_t22_psi_matches_python_reference(spark, sf_dir):
+    """t22's streaming PSI against a from-scratch pandas/math
+    recomputation of the same definition (10 equal-width bins over the
+    global range, hourly windows, eps=1e-6 clamping) — an independent
+    reference, not the DuckDB oracle's SQL."""
+    import math
+
+    import pandas as pd
+
+    from nipd_spark.queries.streaming_live import t22_stream_drift_monitor
+
+    got = {
+        r.window_start: (r.n_events, r.psi, r.drifted)
+        for r in t22_stream_drift_monitor(spark, sf_dir).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts", "value"]]
+    ts = pd.to_datetime(ev.ts)
+    lo, hi = ev.value.min(), ev.value.max()
+    step = (hi - lo) / 10
+    bins = (
+        ((ev.value - lo) / step).apply(math.floor).clip(upper=9)
+        if hi > lo
+        else pd.Series(0, index=ev.index)
+    )
+    ref_share = [
+        max((bins == b).sum() / len(ev), 1e-6) for b in range(10)
+    ]
+    hours = ts.dt.floor("h")
+    want = {}
+    for h, idx in ev.groupby(hours).groups.items():
+        wb = bins.loc[idx]
+        nw = len(wb)
+        psi = 0.0
+        for b in range(10):
+            p = max((wb == b).sum() / nw, 1e-6)
+            q = ref_share[b]
+            psi += (p - q) * math.log(p / q)
+        psi = round(psi, 6)
+        want[h.to_pydatetime()] = (nw, psi, psi > 0.2)
+
+    assert len(got) == len(want)
+    for h, (nw, psi, drifted) in want.items():
+        g = got[h]
+        assert g[0] == nw, (h, g, nw)
+        assert abs(g[1] - psi) <= 2e-6, (h, g[1], psi)
+        assert g[2] == drifted

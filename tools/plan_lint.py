@@ -90,6 +90,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "l29_domain_rebalance": {
         "bnlj": "broadcast side = per-source target weights (source domain)"
     },
+    "t22_stream_drift_monitor": {
+        "bnlj": "broadcast side = the FIXED 10-row bin spine densifying "
+        "the drained |windows|×10 PSI table (the 1-row range/total "
+        "frames are scalar-auto-allowed; the stream side's bin join is "
+        "the scalar range broadcast)"
+    },
     "j18_interval_overlap": {
         "bnlj": "broadcast side = the bounded interval dimension "
         "(pre-banded j8 form is the fact-x-fact path)"

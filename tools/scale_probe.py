@@ -150,6 +150,7 @@ PROBE = [
     "a15_approx_percentile",  # GK sketch partial agg (flat rows)
     "a15b_approx_percentile_certificate",  # sketch + exact-count verify
     "dq10_ks_two_sample",  # distinct-value collapse + bucketed ECDF prefix
+    "t22_stream_drift_monitor",  # streaming windowed-bin counts + tiny PSI assembly
 ]
 
 
