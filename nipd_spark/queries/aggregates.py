@@ -1403,3 +1403,115 @@ def a32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 2).alias("bucket_sum"),
         )
     )
+
+
+@query(
+    "a4b_hll_error_certificate",
+    # Certificate oracle (a15b precedent): HLL++ accuracy is checked
+    # Spark-side against EXACT per-group distinct counts; the oracle
+    # enumerates the expected (group, TRUE, TRUE) matrix, so a hash
+    # match proves the rsd envelope held for every cell at this SF.
+    sql="""
+    SELECT l_returnflag, TRUE AS orders_within
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    ORDER BY l_returnflag
+    """,
+    tags=("A4", "A3"),
+)
+def a4b_hll_error_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Error certificate for a4's HLL++ distinct estimates: per return
+    flag, |approx − exact| must stay within 3·rsd of the exact
+    distinct order count (rsd=0.01 ⇒ ±3%, the 3σ envelope of the HLL
+    standard error [PK: Flajolet et al. 2007; Heule et al. HLL++
+    2013]; the sketch is deterministic for a given dataset, so the
+    certificate is stable, not flaky). a4 itself stays rows-only —
+    raw sketch estimates aren't cross-engine hashable — this sibling
+    turns its accuracy contract into driver-hash-green evidence, the
+    same move a15b made for the GK percentile sketch.
+
+    Plan shape for 100 TB: the certificate deliberately pays the
+    exact countDistinct (the expand-shuffle a4 exists to avoid) to
+    have a truth value to compare against — it is an AUDIT run on a
+    sample/SF, not the production path. ONE distinct column on
+    purpose: a single distinct aggregate plans as a two-level agg
+    with no Expand, so the audit shares the scan's shuffle; the
+    two-column spelling Expand-multiplied the shuffle and OOMed the
+    16× probe on this host's single shared heap (measured r9).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    bound = F.lit(3 * 0.01)
+    return g.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("ao") - F.col("eo"))
+            <= bound * F.col("eo")
+        ).alias("orders_within"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "a30b_tdigest_certificate",
+    # Certificate oracle (a15b precedent): the t-digest estimates'
+    # exact rank intervals are recomputed Spark-side; the oracle
+    # enumerates the expected (q_mille, TRUE, TRUE) matrix.
+    sql="""
+    SELECT q_mille, TRUE AS within_band, TRUE AS centroids_bounded
+    FROM (VALUES (500), (900), (990), (999)) t(q_mille)
+    ORDER BY q_mille
+    """,
+    tags=("A9", "A4", "D6"),
+)
+def a30b_tdigest_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-error certificate for a30's distributed t-digest: each
+    estimate's exact rank interval [#{v < est}+1, #{v <= est}] must
+    intersect [q·n ± (0.01·n + 1)] — the 1% rank-error budget the
+    property test pins, conservative for δ=100 which tightens toward
+    the tails [PK: Dunning & Ertl, "Computing extremely accurate
+    quantiles using t-digests"] — and the merged digest must hold ≤ δ
+    centroids. Turns a30's rows-only accuracy contract into
+    driver-hash-green evidence (the a15b move, applied to the
+    custom-operator sketch rather than the built-in one).
+
+    Plan shape for 100 TB: the digest is the production path (only
+    δ×partitions centroid rows ever shuffle); the certificate adds
+    one broadcast of the 4 estimates back onto the scan and a
+    partial-aggregated count — an audit-tier cost, no global sort.
+    """
+    from nipd_spark.operators import tdigest
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    qs = [0.5, 0.9, 0.99, 0.999]
+    est = tdigest.tdigest_quantiles(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice", qs
+    ).select(
+        (F.round(F.col("q") * 1000).cast("int")).alias("q_mille"),
+        "est",
+        "n_centroids",
+    )
+    j = li.crossJoin(F.broadcast(est))
+    band = j.groupBy("q_mille").agg(
+        F.sum((F.col("v") < F.col("est")).cast("long")).alias("n_lt"),
+        F.sum((F.col("v") <= F.col("est")).cast("long")).alias("n_le"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_centroids").alias("nc"),
+    )
+    target = F.col("q_mille") / F.lit(1000.0) * F.col("n")
+    err = F.lit(0.01) * F.col("n") + F.lit(1.0)
+    return band.select(
+        "q_mille",
+        (
+            (F.col("n_lt") + F.lit(1) <= target + err)
+            & (F.col("n_le") >= target - err)
+        ).alias("within_band"),
+        (F.col("nc") <= F.lit(100)).alias("centroids_bounded"),
+    ).orderBy("q_mille")

@@ -54,7 +54,8 @@ _QUERY_MODULES = (
 # a1b/w2 (r02 error rows, fixed by r03, never re-windowed) — so this
 # round's front is: (1) the round-9 additions (a15b sketch-bound
 # certificate, j21 ASOF-SQL surface, w23 fixed-cardinality Spearman,
-# dq10 KS two-sample drift test, t22 streaming PSI drift monitor),
+# dq10 KS two-sample drift test, t22 streaming PSI drift monitor,
+# a4b/a30b sketch-error certificates),
 # (2) those 6 queries so every name gains a PASSING attestation (a14
 # makes UDAF the 92nd driver-green §2 ID), (3) re-checks of queries
 # whose implementation changed since their last green row — a32
@@ -75,6 +76,8 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "w23_spearman_lowcard",
     "dq10_ks_two_sample",
     "t22_stream_drift_monitor",
+    "a4b_hll_error_certificate",
+    "a30b_tdigest_certificate",
     # (2) never-clean-attested (r8 VERDICT item 2)
     "a15_approx_percentile",
     "a12_conditional_agg",
@@ -121,8 +124,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_brand_supplier_cnt",
-    "q17_small_quantity",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

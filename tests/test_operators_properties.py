@@ -3245,3 +3245,24 @@ def test_ks_two_sample_matches_python_reference(spark):
             assert row.reject_05 == want_reject
     finally:
         qmod.load = orig_load
+
+
+def test_sketch_certificates_all_green(spark, sf_dir):
+    """The oracled sketch-error certificates (a4b HLL, a15b GK, a30b
+    t-digest) must report every cell within its published bound on the
+    fixture corpus — the same all-TRUE matrix their DuckDB oracles
+    enumerate, pinned here independently of the oracle compare."""
+    from nipd_spark.queries.aggregates import (
+        a4b_hll_error_certificate,
+        a15b_approx_percentile_certificate,
+        a30b_tdigest_certificate,
+    )
+
+    for r in a4b_hll_error_certificate(spark, sf_dir).collect():
+        assert r.orders_within, r
+    rows = a15b_approx_percentile_certificate(spark, sf_dir).collect()
+    assert rows and all(r.within_band for r in rows), rows
+    rows = a30b_tdigest_certificate(spark, sf_dir).collect()
+    assert {r.q_mille for r in rows} == {500, 900, 990, 999}
+    for r in rows:
+        assert r.within_band and r.centroids_bounded, r

@@ -151,6 +151,8 @@ PROBE = [
     "a15b_approx_percentile_certificate",  # sketch + exact-count verify
     "dq10_ks_two_sample",  # distinct-value collapse + bucketed ECDF prefix
     "t22_stream_drift_monitor",  # streaming windowed-bin counts + tiny PSI assembly
+    "a4b_hll_error_certificate",  # HLL + exact countDistinct audit pass
+    "a30b_tdigest_certificate",  # t-digest + broadcast-estimates rank audit
 ]
 
 
