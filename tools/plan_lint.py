@@ -90,6 +90,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "l29_domain_rebalance": {
         "bnlj": "broadcast side = per-source target weights (source domain)"
     },
+    "a30b_tdigest_certificate": {
+        "bnlj": "broadcast side = the 4-row quantile-estimates table "
+        "joined back onto the scan for the exact-rank audit"
+    },
     "t22_stream_drift_monitor": {
         "bnlj": "broadcast side = the FIXED 10-row bin spine densifying "
         "the drained |windows|×10 PSI table (the 1-row range/total "
