@@ -519,3 +519,80 @@ def j21_asof_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.user_id
         """,
     )
+
+
+@query(
+    "j21b_asof_sql_left_forward",
+    # DuckDB's native forward ASOF LEFT JOIN (l.ts <= r.ts picks the
+    # EARLIEST right row at or after) as the oracle — the outer +
+    # forward grammar corners of the SQL surface, driver-checked.
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           count(*) AS n_clicks,
+           count(p.purchase_id) AS n_matched,
+           CAST(sum(epoch_us(p.pts) - epoch_us(c.cts)) AS BIGINT)
+             AS sum_wait_us,
+           max(epoch_us(p.pts) - epoch_us(c.cts)) AS max_wait_us
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.cts <= p.pts
+    GROUP BY c.user_id
+    """,
+    tags=("J9", "J2", "S5"),
+)
+def j21b_asof_sql_left_forward(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OUTER + FORWARD corners of the ASOF SQL surface (j21 covers
+    inner + backward): per user, each click matched to the EARLIEST
+    purchase at or after it, clicks with no later purchase kept with
+    NULLs (ASOF LEFT JOIN), aggregated to exact-integer wait-time
+    statistics — the time-to-conversion query every funnel analysis
+    runs. Oracle: DuckDB's native forward ASOF LEFT JOIN, so both
+    grammar corners are certified against an independent engine
+    through the same one-string SQL path.
+
+    Plan shape for 100 TB: identical to j21 — the rewrite is driver-
+    side text; the spliced plan is the union+window as-of in FORWARD
+    form (first(ignorenulls) over current..unboundedFollowing; same
+    one shuffle + one sort) feeding a partial aggregation.
+    """
+    from nipd_spark.sqlext import asof_sql
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    ).createOrReplaceTempView("j21b_clicks")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    ).createOrReplaceTempView("j21b_purchases")
+    return asof_sql(
+        spark,
+        """
+        SELECT c.user_id,
+               count(*) AS n_clicks,
+               count(p.purchase_id) AS n_matched,
+               sum(unix_micros(p.pts) - unix_micros(c.cts))
+                 AS sum_wait_us,
+               max(unix_micros(p.pts) - unix_micros(c.cts))
+                 AS max_wait_us
+        FROM j21b_clicks c
+        ASOF LEFT JOIN j21b_purchases p
+        MATCH_CONDITION (c.cts <= p.pts)
+        ON c.user_id = p.user_id
+        GROUP BY c.user_id
+        """,
+    )

@@ -73,6 +73,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # (1) round-9 additions
     "a15b_approx_percentile_certificate",
     "j21_asof_sql_surface",
+    "j21b_asof_sql_left_forward",
     "w23_spearman_lowcard",
     "dq10_ks_two_sample",
     "t22_stream_drift_monitor",
@@ -123,7 +124,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "q11_important_stock",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -146,6 +146,7 @@ PROBE = [
     # outer state store's input is aggregate-sized
     # round-9 additions
     "j21_asof_sql_surface",  # ASOF-SQL rewrite -> union+window + agg
+    "j21b_asof_sql_left_forward",  # the outer+forward corners, same shape
     "w23_spearman_lowcard",  # fixed-cardinality Spearman on rank maps
     "a15_approx_percentile",  # GK sketch partial agg (flat rows)
     "a15b_approx_percentile_certificate",  # sketch + exact-count verify
