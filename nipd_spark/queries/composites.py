@@ -2663,3 +2663,211 @@ def c35_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# Abramowitz–Stegun 7.1.26 complement: 1 − erf(x) ≈ poly(t)·e^(−x²),
+# t = 1/(1+0.3275911·x), |err| ≤ 1.5e-7 — spelled as the SAME Horner
+# chain in Spark and DuckDB so the only cross-engine divergence is the
+# last ulp of exp(), absorbed by the 6-dp round both sides apply.
+_AS_P = (1.061405429, -1.453152027, 1.421413741, -0.284496736, 0.254829592)
+
+
+def _p_two_sided_sql(z: str) -> str:
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    a1, a2, a3, a4, a5 = _AS_P
+    poly = (
+        f"((((({a1} * {t} + {a2}) * {t} + {a3}) * {t} "
+        f"+ {a4}) * {t} + {a5}) * {t})"
+    )
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+def _p_two_sided_col(z):
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    a1, a2, a3, a4, a5 = _AS_P
+    poly = (
+        (
+            (
+                (F.lit(a1) * t + F.lit(a2)) * t + F.lit(a3)
+            ) * t + F.lit(a4)
+        ) * t + F.lit(a5)
+    ) * t
+    return poly * F.exp(-(x * x))
+
+
+@query(
+    "c37_bh_fdr_screen",
+    # Determinism: z is dround-6ed FIRST (identical values both
+    # engines), the two-sided p comes from the same explicit A-S
+    # polynomial on that rounded z and is dround-6ed again (absorbing
+    # exp()'s last-ulp libm divergence), and the BH rank orders the
+    # ROUNDED p with (event_type, day) tiebreaks — every comparison
+    # downstream operates on cross-engine-identical doubles.
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT event_type, day, n,
+             {dround("(n - avg(n) OVER (PARTITION BY event_type))"
+                     " / stddev_samp(n) OVER (PARTITION BY event_type)", 6)}
+               AS z
+      FROM daily
+    ),
+    p AS (
+      SELECT event_type, day, n, z,
+             {dround(_p_two_sided_sql("z"), 6)} AS p
+      FROM z WHERE z IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p, event_type, day) AS rn,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    thr AS (
+      SELECT max(p) AS p_star FROM r WHERE p <= rn * 0.05 / m
+    )
+    SELECT event_type, day, n, z, p,
+           p <= COALESCE(p_star, -1.0) AS discovery
+    FROM r CROSS JOIN thr
+    """,
+    tags=("A10", "W8", "O1"),
+)
+def c37_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the c2 z-score screen —
+    the multiple-testing finisher every genomics screen runs before
+    calling positives [PK: Benjamini & Hochberg 1995, JRSS-B]: m
+    two-sided p-values (normal tail via the Abramowitz–Stegun 7.1.26
+    erf polynomial — neither engine ships erf, so both evaluate the
+    SAME explicit Horner chain), ranked ascending; the step-up rule
+    keeps every p ≤ p⁽ᵏ*⁾ where k* is the largest k with
+    p⁽ᵏ⁾ ≤ k·α/m (α = 0.05). Without this, screening ~180
+    (type, day) cells at α=0.05 expects ~9 false positives; BH bounds
+    the expected FALSE-DISCOVERY RATE at 5% instead.
+
+    Plan shape for 100 TB: the fact table collapses to the bounded
+    (type, day) test matrix first (one keyed partial agg); the BH rank
+    runs over that AGGREGATED table via the bucketed two-pass rank
+    (operators/ranks.with_global_rn — no single-partition sort even
+    if the test matrix grows to millions of hypotheses, the genomics
+    regime); the threshold is one broadcast scalar back onto the
+    matrix. Nothing raw-row ever passes through a global window.
+    """
+    from nipd_spark.operators import ranks
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.window("ts", "1 day")["start"].alias("day")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("event_type")
+    z6 = F.round(
+        (F.col("n") - F.avg("n").over(wp)) / F.stddev_samp("n").over(wp),
+        6,
+    )
+    p = daily.select(
+        "event_type", "day", "n", z6.alias("z")
+    ).filter(F.col("z").isNotNull())
+    p = p.withColumn(
+        "p", F.round(_p_two_sided_col(F.col("z")), 6)
+    )
+    # the test matrix is BOUNDED (|types| × |days|) and consumed four
+    # times below (rank, m, threshold, final select) — checkpoint it
+    # once so the fact scan + z-window run exactly once and every
+    # consumer reads the tiny materialized table
+    p = p.localCheckpoint(eager=True)
+    r = ranks.with_global_rn(
+        p, key="p", tiebreaks=["event_type", "day"], out="rn"
+    )
+    m = p.agg(F.count(F.lit(1)).alias("m"))
+    r = r.crossJoin(F.broadcast(m))
+    thr = (
+        r.filter(F.col("p") <= F.col("rn") * F.lit(0.05) / F.col("m"))
+        .agg(F.max("p").alias("p_star"))
+    )
+    return (
+        r.crossJoin(F.broadcast(thr))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "z",
+            "p",
+            (
+                F.col("p") <= F.coalesce(F.col("p_star"), F.lit(-1.0))
+            ).alias("discovery"),
+        )
+    )
+
+
+@query(
+    "c38_theil_by_nation",
+    # Float discipline: per-customer revenue rounded to 2 dp (the c35
+    # input contract); μ and the ln-term sum are order-dependent →
+    # dround 6 on output; x > 0 always (order totals are positive).
+    sql=f"""
+    WITH r AS (
+      SELECT o_custkey, {dround('sum(o_totalprice)', 2)} AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT n_name, rev
+      FROM r
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    ),
+    mu AS (
+      SELECT n_name, avg(rev) AS mu, count(*) AS n_custs FROM j GROUP BY 1
+    )
+    SELECT j.n_name,
+           max(mu.n_custs) AS n_custs,
+           {dround("avg((j.rev / mu.mu) * ln(j.rev / mu.mu))", 6)}
+             AS theil_t
+    FROM j JOIN mu ON j.n_name = mu.n_name
+    GROUP BY j.n_name
+    """,
+    tags=("A1", "A2", "J6"),
+)
+def c38_theil_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue within each
+    nation — T = (1/n)·Σ (x/μ)·ln(x/μ) [PK: Theil 1967] — the
+    entropy-based complement to c35's Gini: unlike Gini it is
+    EXACTLY DECOMPOSABLE into within-group + between-group terms, the
+    property corpus-curation uses to attribute concentration to
+    sources vs documents-within-source. T = 0 ⇔ perfect equality;
+    ln(n) is the winner-takes-all ceiling.
+
+    Plan shape for 100 TB: revenue collapses to one row per customer
+    (map-side partial agg); the per-nation mean is a 25-row aggregate
+    broadcast back; the ln-term is one more partial-aggregated pass.
+    Two key-parallel aggregations + one broadcast join — no windows,
+    no funnels, nothing quadratic.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    j = (
+        r.join(cust, r.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "rev")
+    )
+    mu = j.groupBy("n_name").agg(
+        F.avg("rev").alias("mu"), F.count(F.lit(1)).alias("n_custs")
+    )
+    t = (F.col("rev") / F.col("mu")) * F.log(F.col("rev") / F.col("mu"))
+    return (
+        j.join(F.broadcast(mu), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.max("n_custs").alias("n_custs"),
+            F.round(F.avg(t), 6).alias("theil_t"),
+        )
+    )

@@ -79,6 +79,8 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "t22_stream_drift_monitor",
     "a4b_hll_error_certificate",
     "a30b_tdigest_certificate",
+    "c37_bh_fdr_screen",
+    "c38_theil_by_nation",
     # (2) never-clean-attested (r8 VERDICT item 2)
     "a15_approx_percentile",
     "a12_conditional_agg",
@@ -122,8 +124,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -3266,3 +3266,91 @@ def test_sketch_certificates_all_green(spark, sf_dir):
     assert {r.q_mille for r in rows} == {500, 900, 990, 999}
     for r in rows:
         assert r.within_band and r.centroids_bounded, r
+
+
+def test_bh_fdr_matches_python_reference(spark, sf_dir):
+    """c37 against from-scratch math: (1) the A-S erf polynomial must
+    track math.erfc to its published 1.5e-7 bound across the z range,
+    and (2) the discovery flags must equal an independent python BH
+    step-up recomputation from the query's own p-values."""
+    import math
+
+    from nipd_spark.queries.composites import (
+        _p_two_sided_col,
+        c37_bh_fdr_screen,
+    )
+
+    # (1) approximation accuracy on a dense z grid
+    zs = [i / 10.0 for i in range(0, 60)]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        round(r.z, 1): r.p
+        for r in df.select("z", _p_two_sided_col(F.col("z")).alias("p")).collect()
+    }
+    for z in zs:
+        want = math.erfc(z / math.sqrt(2.0))
+        assert abs(got[round(z, 1)] - want) <= 1.6e-7, (z, got[round(z, 1)], want)
+
+    # (2) BH step-up on the fixture output
+    rows = c37_bh_fdr_screen(spark, sf_dir).collect()
+    assert rows
+    ps = sorted(
+        (r.p, r.event_type, r.day) for r in rows
+    )
+    m = len(ps)
+    alpha = 0.05
+    kstar = 0
+    for k, (p, *_key) in enumerate(ps, start=1):
+        if p <= k * alpha / m:
+            kstar = k
+    thr = ps[kstar - 1][0] if kstar else -1.0
+    want_flags = {
+        (r.event_type, r.day): r.p <= thr for r in rows
+    }
+    got_flags = {(r.event_type, r.day): r.discovery for r in rows}
+    assert got_flags == want_flags
+    # sanity: at least one tail cell and not everything discovered
+    assert 0 < sum(got_flags.values()) < m or sum(got_flags.values()) == 0
+
+
+def test_theil_matches_reference_and_bounds(spark):
+    """c38 against the textbook Theil T on a crafted corpus: an
+    all-equal nation scores exactly 0, a winner-takes-all nation
+    approaches ln(n), and every value matches the from-scratch sum."""
+    import math
+
+    import nipd_spark.queries.composites as cmod
+
+    orders, custs, nations = [], [], [(0, "EQUAL"), (1, "SKEWED")]
+    ok = 0
+    for ck, (nk, rev) in enumerate(
+        [(0, 100.0)] * 4 + [(1, 1.0), (1, 1.0), (1, 1.0), (1, 397.0)]
+    ):
+        custs.append((ck, nk))
+        orders.append((ok, ck, rev))
+        ok += 1
+    o = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    c = spark.createDataFrame(custs, "c_custkey long, c_nationkey long")
+    n = spark.createDataFrame(nations, "n_nationkey long, n_name string")
+    tables = {"orders": o, "customer": c, "nation": n}
+
+    def theil_ref(xs):
+        mu = sum(xs) / len(xs)
+        return sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+
+    orig_load = cmod.load
+    cmod.load = lambda _s, _d, t: tables[t]
+    try:
+        got = {
+            r.n_name: (r.n_custs, r.theil_t)
+            for r in cmod.c38_theil_by_nation(spark, "ignored").collect()
+        }
+    finally:
+        cmod.load = orig_load
+    assert got["EQUAL"] == (4, 0.0)
+    want_skew = round(theil_ref([1.0, 1.0, 1.0, 397.0]), 6)
+    assert got["SKEWED"][0] == 4
+    assert abs(got["SKEWED"][1] - want_skew) <= 1e-6
+    assert 0 < got["SKEWED"][1] < math.log(4) + 1e-9

@@ -154,6 +154,8 @@ PROBE = [
     "t22_stream_drift_monitor",  # streaming windowed-bin counts + tiny PSI assembly
     "a4b_hll_error_certificate",  # HLL + exact countDistinct audit pass
     "a30b_tdigest_certificate",  # t-digest + broadcast-estimates rank audit
+    "c37_bh_fdr_screen",  # bounded test matrix + bucketed BH rank
+    "c38_theil_by_nation",  # two aggs + 25-row broadcast mean
 ]
 
 
