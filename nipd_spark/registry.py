@@ -55,7 +55,8 @@ _QUERY_MODULES = (
 # round's front is: (1) the round-9 additions (a15b sketch-bound
 # certificate, j21 ASOF-SQL surface, w23 fixed-cardinality Spearman,
 # dq10 KS two-sample drift test, t22 streaming PSI drift monitor,
-# a4b/a30b sketch-error certificates),
+# a4b/a30b sketch-error certificates, c37 BH-FDR screen finisher,
+# c38 Theil index),
 # (2) those 6 queries so every name gains a PASSING attestation (a14
 # makes UDAF the 92nd driver-green §2 ID), (3) re-checks of queries
 # whose implementation changed since their last green row — a32
