@@ -60,3 +60,20 @@ def test_oracle_output_types_driver_safe(name: str, sql: str) -> None:
         )
     finally:
         con.close()
+
+
+def test_rows_only_outputs_survive_driver_canonicalizer(spark, sf_dir):
+    """Every rows-only query's pandas output must sort on all columns —
+    the driver's rows-only canonicalizer does exactly that, and an
+    unhashable/unorderable column type (the r8 a15 array crash) is
+    invisible to the repo's own hash compare. Permanent guard."""
+    from nipd_spark import registry
+
+    for name, spec in registry.all_specs().items():
+        if spec.sql is not None:
+            continue
+        pdf = spec.fn(spark, sf_dir).toPandas()
+        canon = pdf.sort_values(by=list(pdf.columns)).reset_index(
+            drop=True
+        )
+        assert len(canon) == len(pdf), name
