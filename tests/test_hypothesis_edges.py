@@ -1059,3 +1059,61 @@ def test_gini_running_sum_identity_matches_rank_form(spark, revs):
         cmod.load = orig_load
     assert len(rows) == 1 and rows[0].n_custs == nn
     assert abs(rows[0].gini - want) <= 1e-6, (rows[0].gini, want)
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=12),
+    forward=st.booleans(),
+    outer=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_sql_matches_duckdb_on_random_tables(
+    spark, left, right, forward, outer
+):
+    """The ASOF SQL surface (sqlext.asof_sql) == DuckDB's native ASOF
+    on randomized micro-tables across all four grammar corners
+    (backward/forward × inner/LEFT). Right side pre-reduced to unique
+    (k, ts) so the match is unique and both engines must agree
+    exactly."""
+    from nipd_spark.sqlext import asof_sql
+
+    lpdf = pd.DataFrame(left, columns=["k", "ts"])
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(right, columns=["k", "rts"])
+    rpdf["rid"] = range(len(rpdf))
+    rpdf = (
+        rpdf.sort_values("rid").groupby(["k", "rts"], as_index=False).last()
+    )
+    spark.createDataFrame(lpdf).createOrReplaceTempView("hx_l")
+    spark.createDataFrame(rpdf).createOrReplaceTempView("hx_r")
+
+    op = "<=" if forward else ">="
+    kw = "ASOF LEFT JOIN" if outer else "ASOF JOIN"
+    got = {
+        (r.lid, r.rid)
+        for r in asof_sql(
+            spark,
+            f"""
+            SELECT a.lid, b.rid AS rid
+            FROM hx_l a {kw} hx_r b
+            MATCH_CONDITION (a.ts {op} b.rts)
+            ON a.k = b.k
+            """,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf)
+    duck_kw = "ASOF LEFT JOIN" if outer else "ASOF JOIN"
+    want = {
+        (lid, rid)
+        for lid, rid in con.execute(
+            f"""
+            SELECT l.lid, r.rid FROM l
+            {duck_kw} r ON l.k = r.k AND l.ts {op} r.rts
+            """
+        ).fetchall()
+    }
+    assert got == want
