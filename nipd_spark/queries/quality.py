@@ -700,11 +700,11 @@ def dq10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c2"
         ),
     )
+    # BOTH ECDFs in ONE bucket pass (r9 VERDICT finding 1): chaining
+    # two single-column calls rebuilt the first join's lineage inside
+    # the second call's totals agg — the measured-5× chained-map trap.
     s = with_global_running_sum(
-        s, key="value", tiebreaks=[], val="c1", out="r1"
-    )
-    s = with_global_running_sum(
-        s, key="value", tiebreaks=[], val="c2", out="r2"
+        s, key="value", tiebreaks=[], val=["c1", "c2"], out=["r1", "r2"]
     )
     n = s.agg(
         F.sum("c1").cast("long").alias("n1"),

@@ -861,3 +861,14 @@ def test_j21_asof_sql_splice_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan                  # the GROUP BY rides Catalyst
     assert ", [], [" not in plan                    # window is key-partitioned
+
+
+def test_dq10_single_bucket_pass(spark, sf_dir):
+    """dq10's two ECDFs must come from ONE bucketed running-sum pass
+    (r9 VERDICT finding 1): a single bucket-partitioned Window
+    computing both prefix sums, not two chained single-column calls
+    whose second totals-agg re-derives the first join's lineage."""
+    df = registry.all_specs()["dq10_ks_two_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
