@@ -723,3 +723,162 @@ def dq10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(gap), 6).alias("d_stat"),
         (F.max(gap) > F.max(crit)).alias("reject_05"),
     )
+
+
+@query(
+    "dq10b_ks_binned_certificate",
+    # Certificate oracle (a15b/a4b/a30b idiom): both engines compute
+    # the binned statistic, the exact statistic, AND the analytical
+    # sandwich bound from the same integer running counts, so a hash
+    # match proves the binned estimator honored its error contract at
+    # this SF. All three doubles are maxima over per-row exact-shaped
+    # divisions (order-independent), dround-6ed belt-and-braces; the
+    # flags compare the SAME unrounded doubles both engines hold.
+    sql=f"""
+    WITH s AS (
+      SELECT value,
+             count(*) FILTER (event_type = 'click') AS c1,
+             count(*) FILTER (event_type = 'purchase') AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ),
+    n AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM s
+    ),
+    e AS (
+      SELECT c1, c2,
+             sum(c1) OVER (ORDER BY value) AS r1,
+             sum(c2) OVER (ORDER BY value) AS r2
+      FROM s
+    ),
+    eb AS (
+      SELECT e.*, n1, n2,
+             ((r1 + r2 - 1) * 32) // (n1 + n2) AS bin
+      FROM e CROSS JOIN n
+    ),
+    bins AS (
+      SELECT bin,
+             max(r1) AS br1, max(r2) AS br2,
+             sum(c1) AS m1, sum(c2) AS m2,
+             max(abs(CAST(r1 AS DOUBLE)/n1 - CAST(r2 AS DOUBLE)/n2))
+               AS bd,
+             max(n1) AS n1, max(n2) AS n2
+      FROM eb GROUP BY bin
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             max(abs(CAST(br1 AS DOUBLE)/n1 - CAST(br2 AS DOUBLE)/n2))
+               AS d_binned,
+             max(bd) AS d_exact,
+             max(greatest(CAST(m1 AS DOUBLE)/n1, CAST(m2 AS DOUBLE)/n2))
+               AS gap
+      FROM bins
+    )
+    SELECT n_bins,
+           {dround('d_binned', 6)} AS d_binned,
+           {dround('d_exact', 6)} AS d_exact,
+           {dround('gap', 6)} AS gap,
+           d_binned <= d_exact AS lower_ok,
+           d_exact <= d_binned + gap AS sandwich_ok
+    FROM agg
+    """,
+    tags=("A9", "A10", "W3"),
+)
+def dq10b_ks_binned_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-binned two-sample KS with an oracled error certificate
+    — the continuous-domain scale path for dq10 (r9 VERDICT item 2).
+    dq10's exact form collapses the fact table to one row per DISTINCT
+    value; for a genuinely continuous feature at 100 TB that collapsed
+    table is fact-sized. The binned estimator evaluates the ECDF gap
+    only at B=32 equi-depth bin edges of the POOLED distribution
+    (a32's integer-exact ``(rank-1)·B DIV N`` bucket key), giving
+    D̂ = max over edges |F₁−F₂|. Because both ECDFs are nondecreasing
+    and each bin is a contiguous value range, every edge gap is one of
+    the exact per-value gaps (D̂ ≤ D), and inside a bin neither ECDF
+    can move more than that bin's own sample mass, so
+    D ≤ D̂ + max_b max(ΔF₁(b), ΔF₂(b)) [PK: the standard ECDF
+    oscillation-within-cell bound; same certificate idiom as the
+    Glivenko–Cantelli binning argument]. The certificate row carries
+    (D̂, D, gap) and both inequality flags — hash-checked cross-engine,
+    so the accuracy contract is proved, not asserted. With equi-depth
+    bins the gap is ≈1/B plus the largest single atom's share, so the
+    estimator error is tunable by B independent of data volume.
+
+    Plan shape for 100 TB: at fixture scale the bin key derives from
+    the exact pooled running counts (bucketed single-pass
+    with_global_running_sum over the collapsed table — needed anyway
+    to produce the exact D the certificate compares against). In the
+    production binned-only path the B+1 edges come from an
+    approx-quantile sketch (a15/a30 machinery) broadcast to a map-side
+    bin assignment, so the whole statistic is two map passes + a
+    B-row aggregate — no distinct-value collapse anywhere; this query
+    is the fixture-scale proof that the B-row summary preserves D to
+    within the certified gap.
+    """
+    from nipd_spark.operators.ranks import with_global_running_sum
+
+    B = 32
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+    )
+    s = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "c2"
+        ),
+    )
+    s = with_global_running_sum(
+        s, key="value", tiebreaks=[], val=["c1", "c2"], out=["r1", "r2"]
+    )
+    n = s.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    eb = s.crossJoin(F.broadcast(n)).withColumn(
+        "bin",
+        F.expr(
+            f"((CAST(r1 AS BIGINT) + CAST(r2 AS BIGINT) - 1) * {B}) "
+            "DIV (n1 + n2)"
+        ),
+    )
+    f1 = F.col("r1").cast("double") / F.col("n1")
+    f2 = F.col("r2").cast("double") / F.col("n2")
+    bins = eb.groupBy("bin").agg(
+        F.max("r1").alias("br1"),
+        F.max("r2").alias("br2"),
+        F.sum("c1").alias("m1"),
+        F.sum("c2").alias("m2"),
+        F.max(F.abs(f1 - f2)).alias("bd"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    agg = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.max(
+            F.abs(
+                F.col("br1").cast("double") / F.col("n1")
+                - F.col("br2").cast("double") / F.col("n2")
+            )
+        ).alias("d_binned_raw"),
+        F.max("bd").alias("d_exact_raw"),
+        F.max(
+            F.greatest(
+                F.col("m1").cast("double") / F.col("n1"),
+                F.col("m2").cast("double") / F.col("n2"),
+            )
+        ).alias("gap_raw"),
+    )
+    return agg.select(
+        "n_bins",
+        F.round("d_binned_raw", 6).alias("d_binned"),
+        F.round("d_exact_raw", 6).alias("d_exact"),
+        F.round("gap_raw", 6).alias("gap"),
+        (F.col("d_binned_raw") <= F.col("d_exact_raw")).alias("lower_ok"),
+        (
+            F.col("d_exact_raw")
+            <= F.col("d_binned_raw") + F.col("gap_raw")
+        ).alias("sandwich_ok"),
+    )

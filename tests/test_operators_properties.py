@@ -3354,3 +3354,107 @@ def test_theil_matches_reference_and_bounds(spark):
     assert got["SKEWED"][0] == 4
     assert abs(got["SKEWED"][1] - want_skew) <= 1e-6
     assert 0 < got["SKEWED"][1] < math.log(4) + 1e-9
+
+
+def test_multi_column_running_sum_matches_window(spark):
+    """with_global_running_sum with N val columns in ONE bucket pass
+    must be bit-identical to the unpartitioned-Window forms for each
+    column (integer sums for exactness), and the physical plan must
+    carry exactly ONE Window node — the single-pass contract."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nipd_spark.operators import ranks
+
+    rng = random.Random(13)
+    rows = [
+        (i, float(rng.randint(-40, 40)), rng.randint(-9, 9), rng.randint(0, 5))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, a long, b long")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: (r.ra, r.rb)
+        for r in df.select(
+            "id",
+            F.sum("a").over(w).alias("ra"),
+            F.sum("b").over(w).alias("rb"),
+        ).collect()
+    }
+    got_df = ranks.with_global_running_sum(
+        df,
+        key="v",
+        tiebreaks=["id"],
+        val=["a", "b"],
+        out=["ra", "rb"],
+        n_buckets=8,
+    )
+    got = {r.id: (r.ra, r.rb) for r in got_df.collect()}
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("Window") == 1
+
+
+def test_ks_binned_certificate_matches_python_reference(spark):
+    """dq10b against from-scratch math: exact D from a brute-force
+    ECDF sweep, binned D from an independent equi-depth binning of the
+    pooled ranks, and the sandwich inequalities D̂ ≤ D ≤ D̂ + gap must
+    hold on corpora with heavy ties, identical samples (D=0), and a
+    sample pair whose gap lives strictly INSIDE a bin (the case the
+    binned statistic is allowed to miss by at most the bin mass)."""
+    import random
+
+    import nipd_spark.queries.quality as qmod
+
+    def ks_exact(a, b):
+        pooled = sorted(set(a) | set(b))
+        n1, n2 = len(a), len(b)
+        return max(
+            abs(
+                sum(1 for v in a if v <= x) / n1
+                - sum(1 for v in b if v <= x) / n2
+            )
+            for x in pooled
+        )
+
+    rng = random.Random(97)
+    cases = [
+        (
+            [rng.choice([1.0, 2.0, 2.0, 3.5, 9.0]) for _ in range(150)],
+            [rng.choice([2.0, 3.5, 3.5, 8.0, 9.0]) for _ in range(90)],
+        ),
+        ([1.0, 2.0, 3.0] * 12, [1.0, 2.0, 3.0] * 8),
+        # a narrow spike in sample a only — the exact D may sit inside
+        # one pooled-mass bin, exercising the gap side of the sandwich
+        (
+            [float(i) for i in range(64)] + [31.25] * 6,
+            [float(i) for i in range(64)],
+        ),
+    ]
+    orig_load = qmod.load
+    try:
+        for a, b in cases:
+            rows = [("click", v, i) for i, v in enumerate(a)] + [
+                ("purchase", v, i + len(a)) for i, v in enumerate(b)
+            ]
+            ev = spark.createDataFrame(
+                rows, "event_type string, value double, event_id long"
+            )
+            qmod.load = lambda _s, _d, _t, _ev=ev: _ev
+            row = qmod.dq10b_ks_binned_certificate(spark, "ignored").collect()[0]
+            want_d = ks_exact(a, b)
+            assert abs(row.d_exact - want_d) <= 1e-6, (row.d_exact, want_d)
+            assert row.lower_ok and row.sandwich_ok, row
+            assert row.d_binned <= row.d_exact + 1e-12
+            assert row.d_exact <= row.d_binned + row.gap + 1e-6
+            assert 1 <= row.n_bins <= 32
+            # equi-depth contract: the largest bin mass is ~1/B plus
+            # the largest atom's share of either sample
+            atom1 = max(a.count(x) for x in set(a)) / len(a)
+            atom2 = max(b.count(x) for x in set(b)) / len(b)
+            assert row.gap <= 2 / 32 + max(atom1, atom2) + 1e-6
+    finally:
+        qmod.load = orig_load
