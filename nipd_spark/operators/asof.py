@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
@@ -35,7 +35,16 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. Result = all left columns + right_payload columns
     (null when no right row matches). ``tiebreak`` orders equal-ts right
-    rows; pass a unique right column for determinism.
+    rows; pass a unique right column for determinism. ``key`` may be a
+    list for composite match keys (the window partitions on all of
+    them — same one-shuffle cost, the shuffle key just widens).
+
+    NULL discipline: the window groups NULL keys together and orders
+    NULL ts first/last, so NULL keys/timestamps can carry matches here
+    — SQL ASOF engines (DuckDB/Snowflake) treat NULL ordering or equi
+    keys as never-matching. Callers exposing SQL semantics must filter
+    NULL right (key, ts) rows and null out matches for NULL left rows
+    (see sqlext.asof_sql).
 
     ``direction``: "backward" (default) carries the LATEST right row with
     right_ts <= left_ts via last(ignorenulls) over
@@ -52,9 +61,11 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     back = direction == "backward"
+    keys = [key] if isinstance(key, str) else list(key)
+    kcols = [f"__k{i}" for i in range(len(keys))]
     payload = F.struct(*[F.col(c) for c in right_payload])
     r = right.select(
-        F.col(key).alias("__k"),
+        *[F.col(k).alias(kc) for k, kc in zip(keys, kcols)],
         F.col(right_ts).alias("__ts"),
         F.lit(0 if back else 1).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
@@ -62,7 +73,7 @@ def asof_join(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
     )
     l = left.select(
-        F.col(key).alias("__k"),
+        *[F.col(k).alias(kc) for k, kc in zip(keys, kcols)],
         F.col(left_ts).alias("__ts"),
         F.lit(1 if back else 0).alias("__side"),
         F.lit(0).alias("__tb"),
@@ -74,7 +85,7 @@ def asof_join(
     )
     tb_order = F.col("__tb").asc() if back else F.col("__tb").desc()
     w = (
-        Window.partitionBy("__k")
+        Window.partitionBy(*kcols)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), tb_order)
         .rowsBetween(*frame)
     )

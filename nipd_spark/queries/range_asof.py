@@ -596,3 +596,89 @@ def j21b_asof_sql_left_forward(
         GROUP BY c.user_id
         """,
     )
+
+
+@query(
+    "j21c_asof_sql_bounded_using",
+    # Oracle: DuckDB's NATIVE multi-equality ASOF JOIN plus a WHERE gap
+    # bound — match-then-filter is exactly the bounded-as-of semantics
+    # (the as-of match MINIMIZES the gap, so filtering the nearest
+    # match under a monotone bound equals matching under the bound).
+    # All outputs exact integers; sum cast back from DuckDB HUGEINT.
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             event_id AS click_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           count(*) AS n_matched,
+           CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+             AS sum_gap_us,
+           max(epoch_us(p.ts) - epoch_us(c.ts)) AS max_gap_us
+    FROM purchases p
+    ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts
+    WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    GROUP BY p.user_id
+    """,
+    tags=("J9", "J8", "S5"),
+)
+def j21c_asof_sql_bounded_using(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The v2 grammar corners of the ASOF SQL surface in one oracled
+    query (r9 VERDICT item 4): COMPOSITE match keys spelled with the
+    USING shorthand — per (user, calendar day) — and a BOUNDED
+    MATCH_CONDITION whose residual conjunct caps the match gap at
+    30 min (`unix_micros(p.ts) - unix_micros(c.ts) <= 1800000000`).
+    Each purchase pairs with the latest same-user same-day click at
+    or before it, kept only when within the bound, then aggregated to
+    exact-integer gap statistics. Oracle: DuckDB's native
+    multi-equality ASOF JOIN with the bound as a WHERE — independent
+    engine, same semantics, hash-checked.
+
+    Plan shape for 100 TB: the rewrite is driver-side text; the
+    spliced plan is the union+window as-of with the shuffle key
+    widened to (user_id, day) — day-bucketing the key is itself the
+    standard long-partition remedy, so the composite form is MORE
+    scalable than j21's single-key window when one user's history is
+    huge. The residual bound is a post-window Catalyst filter; the
+    USING spelling and the ON spelling compile to the identical plan.
+    """
+    from nipd_spark.sqlext import asof_sql
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_id").alias("click_id"),
+        "ts",
+    ).createOrReplaceTempView("j21c_clicks")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        "ts",
+    ).createOrReplaceTempView("j21c_purchases")
+    return asof_sql(
+        spark,
+        """
+        SELECT p.user_id,
+               count(*) AS n_matched,
+               sum(unix_micros(p.ts) - unix_micros(c.ts)) AS sum_gap_us,
+               max(unix_micros(p.ts) - unix_micros(c.ts)) AS max_gap_us
+        FROM j21c_purchases p
+        ASOF JOIN j21c_clicks c
+        MATCH_CONDITION (p.ts >= c.ts
+                         AND unix_micros(p.ts) - unix_micros(c.ts)
+                             <= 1800000000)
+        USING (user_id, day)
+        GROUP BY p.user_id
+        """,
+    )

@@ -10,12 +10,13 @@ MATCH_CONDITION" docs; DuckDB ASOF JOIN blog/docs]:
 
     SELECT ... FROM <left_view> <la>
     ASOF [LEFT] JOIN <right_view> <ra>
-    MATCH_CONDITION (<x>.<ts> >= <y>.<ts>)     -- or <=
-    ON <x>.<key> = <y>.<key>
+    MATCH_CONDITION (<x>.<ts> >= <y>.<ts> [AND <residual bound>])
+    { ON <x>.<k> = <y>.<k> [AND <x>.<k2> = <y>.<k2> ...]
+    | USING (<k> [, <k2> ...]) }
     [WHERE ... GROUP BY ... ORDER BY ...]
 
 The rewriter materializes the as-of pairing through
-``operators.asof.asof_join`` (one shuffle on the key + one
+``operators.asof.asof_join`` (one shuffle on the key(s) + one
 in-partition sort — the same cost profile as any window, never a
 range cross product), registers it as a temp view, splices the view
 into the FROM clause, and rewrites ``la.x`` / ``ra.x`` column
@@ -23,18 +24,42 @@ references; everything around the join (projections, aggregates,
 filters) stays ordinary Spark SQL and runs through Catalyst
 unchanged.
 
-Supported grammar (v1, deliberately narrow and loudly rejected
+Supported grammar (v2, deliberately explicit and loudly rejected
 otherwise):
   - left/right are *named* tables/views (register subqueries as temp
     views first — the same discipline DuckDB users apply with CTEs);
-  - both sides carry an explicit alias;
-  - MATCH_CONDITION is a single ``>=`` (backward: latest right row at
-    or before) or ``<=`` (forward: earliest right row at or after);
-  - ON is a single equality; key column names may differ per side;
+  - both sides carry an explicit alias (matched case-insensitively,
+    like SQL identifiers);
+  - MATCH_CONDITION's FIRST conjunct is the as-of comparison: a single
+    ``>=`` (backward: latest right row at or before) or ``<=``
+    (forward: earliest right row at or after), with the two sides
+    resolving to DIFFERENT table aliases;
+  - optional further MATCH_CONDITION conjuncts form a *residual bound*
+    — any Spark SQL boolean expression over the two aliases (e.g.
+    ``unix_micros(l.ts) - unix_micros(r.ts) <= 3600000000`` or
+    ``l.ts <= r.ts + INTERVAL 1 HOUR``). Semantics are
+    match-then-filter, the standard bounded-as-of reading: the as-of
+    comparison picks the single nearest row, then the bound is
+    applied (inner: row dropped; LEFT: match nulled out). Because the
+    nearest match minimizes the gap, a monotone gap bound filtered
+    after matching equals matching under the bound;
+  - ON takes one or more ``=`` equalities joined by AND; each equality
+    must reference both aliases (key column names may differ per
+    side). USING (k, ...) is the same-name shorthand;
   - right columns surface as ``<ra>_<col>`` after the rewrite (the
-    rewriter maps ``ra.col`` references automatically);
+    rewriter maps ``ra.col`` references automatically; literals inside
+    single-quoted strings are left untouched);
   - plain ASOF JOIN is inner (unmatched left rows dropped, the
-    Snowflake/DuckDB default); ASOF LEFT JOIN keeps them with NULLs.
+    Snowflake/DuckDB default); ASOF LEFT JOIN keeps them with NULLs;
+  - SQL NULL semantics: right rows with a NULL match key or NULL
+    timestamp never match (they are filtered before the join), and a
+    left row with a NULL key/timestamp matches nothing (inner: dropped;
+    LEFT: kept with an all-NULL right payload). Equality keys behave
+    this way in every engine; for the ORDERING column this is the
+    strict Snowflake-style rule — DuckDB 1.0 instead inherits its
+    sort order there (a NULL timestamp sorts last and can carry a
+    match; measured, see tests/test_hypothesis_edges.py's v2 fuzz,
+    which normalizes the oracle accordingly);
   - equal-(key, ts) right duplicates are broken by the largest right
     ts ordering position (operator default); pass data with unique
     (key, ts) per side for a deterministic match, as with any ASOF
@@ -42,39 +67,60 @@ otherwise):
 
 Scale notes (100 TB): the rewrite is driver-side string work on the
 query TEXT only — zero data moves through Python; the spliced plan is
-the same union+window physical shape j9/j9b pin in plan-quality tests.
+the same union+window physical shape j9/j9b pin in plan-quality tests,
+and the residual bound is a post-window Catalyst filter/projection.
 """
 
 from __future__ import annotations
 
 import itertools
 import re
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipd_spark.operators.asof import asof_join
 
-_ASOF_RE = re.compile(
+_HEAD_RE = re.compile(
     r"""
     FROM\s+(?P<lt>\w+)\s+(?:AS\s+)?(?P<la>\w+)\s+
     ASOF\s+(?P<outer>LEFT\s+)?JOIN\s+(?P<rt>\w+)\s+(?:AS\s+)?(?P<ra>\w+)\s+
-    MATCH_CONDITION\s*\(\s*
-        (?P<ma>\w+)\.(?P<mats>\w+)\s*(?P<op>>=|<=)\s*
-        (?P<mb>\w+)\.(?P<mbts>\w+)\s*\)\s+
-    ON\s+(?P<oa>\w+)\.(?P<oak>\w+)\s*=\s*(?P<ob>\w+)\.(?P<obk>\w+)
+    MATCH_CONDITION\s*\(
     """,
     re.IGNORECASE | re.VERBOSE,
+)
+_PRIMARY_RE = re.compile(
+    r"^\s*(?P<ma>\w+)\.(?P<mats>\w+)\s*(?P<op>>=|<=)\s*"
+    r"(?P<mb>\w+)\.(?P<mbts>\w+)\s*(?:$|AND\s+(?P<resid>.+))",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_RE = re.compile(
+    r"""\s*ON\s+
+    (?P<on>\w+\.\w+\s*=\s*\w+\.\w+(?:\s+AND\s+\w+\.\w+\s*=\s*\w+\.\w+)*)
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+_EQ_RE = re.compile(
+    r"(?P<a>\w+)\.(?P<ak>\w+)\s*=\s*(?P<b>\w+)\.(?P<bk>\w+)", re.IGNORECASE
+)
+_USING_RE = re.compile(
+    r"\s*USING\s*\(\s*(?P<ks>\w+(?:\s*,\s*\w+)*)\s*\)", re.IGNORECASE
 )
 
 _VIEW_SEQ = itertools.count()
 
+# single-quoted SQL string literals ('' = escaped quote) — alias
+# rewrites must never touch their contents
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
 
 def _resolve(side_alias: str, la: str, ra: str, what: str) -> bool:
-    """True when the alias names the LEFT side; loud error otherwise."""
-    if side_alias == la:
+    """True when the alias names the LEFT side; loud error otherwise.
+    Aliases compare case-insensitively, like SQL identifiers."""
+    if side_alias.lower() == la.lower():
         return True
-    if side_alias == ra:
+    if side_alias.lower() == ra.lower():
         return False
     raise ValueError(
         f"asof_sql: {what} references alias {side_alias!r}, expected "
@@ -82,59 +128,178 @@ def _resolve(side_alias: str, la: str, ra: str, what: str) -> bool:
     )
 
 
+def _resolve_pair(a: str, b: str, la: str, ra: str, what: str) -> bool:
+    """Validate that a clause's two sides name DIFFERENT tables; return
+    True when ``a`` is the left side. Both aliases are checked — a
+    clause like ``ON q.key = q.key2`` is rejected, never silently
+    reinterpreted (r9 ADVICE)."""
+    a_left = _resolve(a, la, ra, what)
+    b_left = _resolve(b, la, ra, what)
+    if a_left == b_left:
+        raise ValueError(
+            f"asof_sql: {what} must reference both table aliases, got "
+            f"{a!r} and {b!r} on the same side"
+        )
+    return a_left
+
+
+def _scan_balanced(text: str, start: int) -> int:
+    """Index just past the ')' matching the '(' that ``start`` points
+    AFTER; literal-aware so a ')' inside a string doesn't close."""
+    depth = 1
+    i = start
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = _LITERAL_RE.match(text, i)
+            if not m:
+                raise ValueError("asof_sql: unterminated string literal")
+            i = m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("asof_sql: unbalanced parens in MATCH_CONDITION")
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
+    """re.sub applied only to the segments OUTSIDE single-quoted
+    literals, so an alias-like token inside a string (e.g. 'p.s.')
+    survives the rewrite (r9 ADVICE)."""
+    out = []
+    pos = 0
+    for m in _LITERAL_RE.finditer(text):
+        out.append(pattern.sub(repl, text[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, text[pos:]))
+    return "".join(out)
+
+
+def _rewrite_refs(text: str, la: str, ra: str, pref: str) -> str:
+    """Qualified references: la.x -> x, ra.x -> ra_x. Case-insensitive
+    on the ALIAS (matching the case-insensitive parse); the column part
+    is preserved as written. String literals untouched."""
+    la_pat = re.compile(rf"\b{re.escape(la)}\.(\w+)", re.IGNORECASE)
+    ra_pat = re.compile(rf"\b{re.escape(ra)}\.(\w+)", re.IGNORECASE)
+    text = _sub_outside_literals(la_pat, r"\1", text)
+    return _sub_outside_literals(ra_pat, rf"{pref}\1", text)
+
+
 def asof_sql(spark: SparkSession, text: str) -> DataFrame:
     """Run a Spark SQL string that may contain ASOF JOIN clauses (see
     module docstring for the grammar). Non-ASOF SQL passes through to
     ``spark.sql`` untouched."""
     while True:
-        m = _ASOF_RE.search(text)
+        m = _HEAD_RE.search(text)
         if m is None:
             break
         la, ra = m["la"], m["ra"]
+        mc_end = _scan_balanced(text, m.end())
+        mc_body = text[m.end() : mc_end - 1]
+        pm = _PRIMARY_RE.match(mc_body)
+        if pm is None:
+            raise ValueError(
+                "asof_sql: MATCH_CONDITION must start with "
+                "'<a>.<ts> >=|<= <b>.<ts>' (optionally AND a residual "
+                f"bound), got: {mc_body.strip()!r}"
+            )
         # MATCH_CONDITION sides -> left/right timestamps + direction
-        a_is_left = _resolve(m["ma"], la, ra, "MATCH_CONDITION")
+        a_is_left = _resolve_pair(
+            pm["ma"], pm["mb"], la, ra, "MATCH_CONDITION"
+        )
         if a_is_left:
-            left_ts, right_ts, left_op = m["mats"], m["mbts"], m["op"]
+            left_ts, right_ts, left_op = pm["mats"], pm["mbts"], pm["op"]
         else:
             # mirror: ra.ts >= la.ts  ==  la.ts <= ra.ts
-            left_ts, right_ts = m["mbts"], m["mats"]
-            left_op = "<=" if m["op"] == ">=" else ">="
+            left_ts, right_ts = pm["mbts"], pm["mats"]
+            left_op = "<=" if pm["op"] == ">=" else ">="
         direction = "backward" if left_op == ">=" else "forward"
-        # ON sides -> per-side key names
-        if _resolve(m["oa"], la, ra, "ON"):
-            lk, rk = m["oak"], m["obk"]
+        residual = pm["resid"]
+
+        # key clause: ON equalities or USING same-name list
+        om = _ON_RE.match(text, mc_end)
+        um = None if om else _USING_RE.match(text, mc_end)
+        keys: list[tuple[str, str]] = []
+        if om:
+            for eq in _EQ_RE.finditer(om["on"]):
+                if _resolve_pair(eq["a"], eq["b"], la, ra, "ON"):
+                    keys.append((eq["ak"], eq["bk"]))
+                else:
+                    keys.append((eq["bk"], eq["ak"]))
+            clause_end = om.end()
+        elif um:
+            keys = [(k.strip(), k.strip()) for k in um["ks"].split(",")]
+            clause_end = um.end()
         else:
-            lk, rk = m["obk"], m["oak"]
+            raise ValueError(
+                "asof_sql: expected ON <equalities> or USING (<keys>) "
+                "after MATCH_CONDITION"
+            )
+        lks = [lk for lk, _ in keys]
+        if len(set(k.lower() for k in lks)) != len(lks):
+            raise ValueError(f"asof_sql: duplicate left key in {lks}")
 
         left = spark.table(m["lt"])
         right = spark.table(m["rt"])
         pref = f"{ra}_"
         # rename right columns up front (collision-proof payload) and
-        # surface the join key under the LEFT key's name, the contract
-        # of operators.asof.asof_join
-        r2 = right.select(
-            F.col(rk).alias(lk),
+        # surface the join keys under the LEFT key names, the contract
+        # of operators.asof.asof_join. SQL NULL semantics: a NULL key
+        # or NULL ordering ts never matches — drop those right rows
+        # before the join (the window would otherwise group/order them).
+        r_nonnull = reduce(
+            lambda acc, c: acc & F.col(c).isNotNull(),
+            [rk for _, rk in keys],
+            F.col(right_ts).isNotNull(),
+        )
+        r2 = right.filter(r_nonnull).select(
+            *[F.col(rk).alias(lk) for lk, rk in keys],
             *[F.col(c).alias(pref + c) for c in right.columns],
         )
         joined = asof_join(
             left,
             r2,
-            key=lk,
+            key=lks,
             left_ts=left_ts,
             right_ts=pref + right_ts,
             right_payload=[pref + c for c in right.columns],
             direction=direction,
         )
-        if not m["outer"]:
-            # inner semantics (Snowflake/DuckDB default): the carried
-            # right ts is NULL exactly when no right row matched
-            joined = joined.filter(F.col(pref + right_ts).isNotNull())
+        # keep = this left row has a REAL match under SQL semantics:
+        # a right row was carried, the left side's own key/ts are
+        # non-NULL (NULL never satisfies =/>=; the forward window
+        # would otherwise hand a NULL-ts left row the earliest right
+        # row), and the residual bound (if any) holds.
+        l_nonnull = reduce(
+            lambda acc, k: acc & F.col(k).isNotNull(),
+            lks,
+            F.col(left_ts).isNotNull(),
+        )
+        keep = F.col(pref + right_ts).isNotNull() & l_nonnull
+        if residual:
+            res_expr = _rewrite_refs(residual, la, ra, pref)
+            keep = keep & F.coalesce(F.expr(res_expr), F.lit(False))
+        if m["outer"]:
+            # LEFT: keep every left row, null the payload when no
+            # (bounded) match — engine ASOF LEFT semantics
+            joined = joined.select(
+                *left.columns,
+                *[
+                    F.when(keep, F.col(pref + c)).alias(pref + c)
+                    for c in right.columns
+                ],
+            )
+        else:
+            joined = joined.filter(keep)
         view = f"__asof_{next(_VIEW_SEQ)}"
         joined.createOrReplaceTempView(view)
 
-        rest = text[: m.start()] + f"FROM {view}" + text[m.end():]
-        # qualified references: la.x -> x, ra.x -> ra_x
-        rest = re.sub(rf"\b{re.escape(la)}\.(\w+)", r"\1", rest)
-        rest = re.sub(rf"\b{re.escape(ra)}\.(\w+)", rf"{pref}\1", rest)
-        text = rest
+        rest = text[: m.start()] + f"FROM {view}" + text[clause_end:]
+        text = _rewrite_refs(rest, la, ra, pref)
     return spark.sql(text)

@@ -1117,3 +1117,144 @@ def test_asof_sql_matches_duckdb_on_random_tables(
         ).fetchall()
     }
     assert got == want
+
+
+_nkeys = st.one_of(st.none(), _keys)
+_nts = st.one_of(st.none(), _ts)
+
+
+@given(
+    left=st.lists(st.tuples(_nkeys, _nkeys, _nts), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_nkeys, _nkeys, _nts), min_size=1, max_size=10),
+    forward=st.booleans(),
+    outer=st.booleans(),
+    bounded=st.booleans(),
+    using=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_sql_v2_grammar_matches_duckdb(
+    spark, left, right, forward, outer, bounded, using
+):
+    """The widened ASOF SQL grammar (composite ON / USING keys, bounded
+    MATCH_CONDITION residual, NULL keys and timestamps) == DuckDB's
+    native multi-equality ASOF across all 2^4 corners. NULL equality
+    keys never match in both engines; for the ORDERING column DuckDB
+    1.0 inherits its sort order (NULL ts sorts last, so a NULL can
+    match a NULL/backward probe — a measured engine quirk, not SQL
+    predicate semantics), while asof_sql follows the stricter
+    Snowflake-style never-match rule — so the oracle normalizes:
+    NULL-ts right rows are filtered before DuckDB's ASOF and NULL-ts
+    left rows are appended as unmatched. The bound is
+    match-then-filter on both engines (DuckDB: WHERE for inner, a
+    CASE-nulled payload for LEFT — identical by construction since
+    the as-of match minimizes the gap)."""
+    from nipd_spark.sqlext import asof_sql
+
+    # unique right (k1,k2,ts) so the match is deterministic; keep rid
+    # of the LAST duplicate, matching both engines' pre-reduction
+    seen = {}
+    for i, (k1, k2, ts) in enumerate(right):
+        seen[(k1, k2, ts)] = i
+    rrows = [(k1, k2, ts, rid) for (k1, k2, ts), rid in seen.items()]
+    lrows = [(k1, k2, ts, i) for i, (k1, k2, ts) in enumerate(left)]
+
+    schema = "k1 long, k2 long, ts long, {} long"
+    spark.createDataFrame(
+        lrows, schema.format("lid")
+    ).createOrReplaceTempView("hx2_l")
+    spark.createDataFrame(
+        [(k1, k2, ts, rid) for k1, k2, ts, rid in rrows],
+        "k1 long, k2 long, rts long, rid long",
+    ).createOrReplaceTempView("hx2_r")
+
+    op = "<=" if forward else ">="
+    gap = "b.rts - a.ts" if forward else "a.ts - b.rts"
+    mc = f"a.ts {op} b.rts"
+    if bounded:
+        mc += f" AND {gap} <= 3"
+    keyclause = (
+        "USING (k1, k2)" if using else "ON a.k1 = b.k1 AND a.k2 = b.k2"
+    )
+    kw = "ASOF LEFT JOIN" if outer else "ASOF JOIN"
+    got = {
+        (r.lid, r.rid)
+        for r in asof_sql(
+            spark,
+            f"""
+            SELECT a.lid, b.rid AS rid
+            FROM hx2_l a {kw} hx2_r b
+            MATCH_CONDITION ({mc})
+            {keyclause}
+            """,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l0(k1 BIGINT, k2 BIGINT, ts BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r0(k1 BIGINT, k2 BIGINT, rts BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO l0 VALUES (?,?,?,?)", lrows)
+    con.executemany("INSERT INTO r0 VALUES (?,?,?,?)", rrows)
+    # normalize DuckDB's NULL-ordering quirk to never-match semantics
+    con.execute("CREATE VIEW l AS SELECT * FROM l0 WHERE ts IS NOT NULL")
+    con.execute("CREATE VIEW r AS SELECT * FROM r0 WHERE rts IS NOT NULL")
+    dgap = "r.rts - l.ts" if forward else "l.ts - r.rts"
+    if outer:
+        payload = (
+            f"CASE WHEN {dgap} <= 3 THEN r.rid END" if bounded else "r.rid"
+        )
+        q = f"""
+            SELECT l.lid, {payload} AS rid
+            FROM l ASOF LEFT JOIN r
+              ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.ts {op} r.rts
+            UNION ALL
+            SELECT lid, NULL AS rid FROM l0 WHERE ts IS NULL
+            """
+    else:
+        where = f"WHERE {dgap} <= 3" if bounded else ""
+        q = f"""
+            SELECT l.lid, r.rid
+            FROM l ASOF JOIN r
+              ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.ts {op} r.rts
+            {where}
+            """
+    want = {(lid, rid) for lid, rid in con.execute(q).fetchall()}
+    assert got == want
+
+
+def test_asof_sql_v2_rejections_and_literals(spark):
+    """The loud-rejection contract of the v2 grammar: same-side ON /
+    MATCH_CONDITION clauses raise (never silently reinterpreted), and
+    alias-lookalike text inside string literals survives the rewrite."""
+    import pytest
+
+    from nipd_spark.sqlext import asof_sql
+
+    spark.createDataFrame(
+        [(0, 1, 10)], "k long, ts long, lid long"
+    ).createOrReplaceTempView("hx3_l")
+    spark.createDataFrame(
+        [(0, 1, 20, "p.s.")], "k long, rts long, rid long, note string"
+    ).createOrReplaceTempView("hx3_r")
+
+    with pytest.raises(ValueError, match="same side"):
+        asof_sql(
+            spark,
+            """SELECT a.lid FROM hx3_l a ASOF JOIN hx3_r b
+               MATCH_CONDITION (a.ts >= a.ts) ON a.k = b.k""",
+        )
+    with pytest.raises(ValueError, match="same side"):
+        asof_sql(
+            spark,
+            """SELECT a.lid FROM hx3_l a ASOF JOIN hx3_r b
+               MATCH_CONDITION (a.ts >= b.rts) ON b.k = b.k""",
+        )
+    # a string literal containing '<alias>.' must not be rewritten,
+    # and alias case must not matter (parsed case-insensitively)
+    row = asof_sql(
+        spark,
+        """SELECT A.lid, b.rid AS rid, 'p.s. b.x' AS tag
+           FROM hx3_l a ASOF JOIN hx3_r B
+           MATCH_CONDITION (a.ts >= b.rts) ON a.k = b.k
+           WHERE b.note = 'p.s.'""",
+    ).collect()[0]
+    assert (row.lid, row.rid, row.tag) == (10, 20, "p.s. b.x")
