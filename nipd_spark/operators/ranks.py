@@ -178,16 +178,19 @@ def with_grouped_running_sum(
     group: str | list[str],
     key: str,
     tiebreaks: list[str],
-    val: str,
+    val: str | list[str],
     ascending: bool = True,
     n_buckets: int = 64,
-    out: str = "running",
+    out: str | list[str] = "running",
     min_out: str | None = None,
 ) -> DataFrame:
-    """Append a PER-GROUP running sum of ``val`` over (key asc|desc,
-    *tiebreaks asc) — identical to sum(val).over(Window.partitionBy(
-    group).orderBy(...).rowsBetween(unboundedPreceding, 0)) but with no
-    per-group single-task funnel.
+    """Append PER-GROUP running sums of the ``val`` column(s) over
+    (key asc|desc, *tiebreaks asc) — identical to sum(v).over(
+    Window.partitionBy(group).orderBy(...).rowsBetween(
+    unboundedPreceding, 0)) for each v, but with no per-group
+    single-task funnel. N columns share ONE bucket pass (one local
+    window, one totals agg, one offsets broadcast — the single-pass
+    rule from the global form); ``min_out`` requires a single val.
 
     The partitioned-Window form caps parallelism at |distinct group|
     tasks over RAW rows — with a 3-5-value group key (l_returnflag,
@@ -219,6 +222,12 @@ def with_grouped_running_sum(
     """
     from pyspark.sql.types import DoubleType, FloatType
 
+    vals = [val] if isinstance(val, str) else list(val)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(vals) != len(outs):
+        raise ValueError("with_grouped_running_sum: len(val) != len(out)")
+    if min_out is not None and len(vals) != 1:
+        raise ValueError("with_grouped_running_sum: min_out needs 1 val")
     groups = [group] if isinstance(group, str) else list(group)
     # Window.partitionBy treats NULL as a real group; plain equi-join
     # keys would silently drop NULL-group rows. Substitute a non-null
@@ -269,7 +278,13 @@ def with_grouped_running_sum(
     w_local = Window.partitionBy(*groups, BUCKET).orderBy(
         *_order(key, ascending, tiebreaks)
     ).rowsBetween(Window.unboundedPreceding, 0)
-    local = b.withColumn("__lsum", F.sum(val).over(w_local))
+    local = b.select(
+        "*",
+        *[
+            F.sum(v).over(w_local).alias(f"__lsum{i}")
+            for i, v in enumerate(vals)
+        ],
+    )
     # exclusive prefix over bucket index WITHIN each group — a window,
     # but over the aggregated (|groups| × n_buckets)-row totals table,
     # never over raw rows (the shape plan_lint's low-card rule allows)
@@ -279,22 +294,35 @@ def with_grouped_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     if min_out is None:
-        totals = b.groupBy(*groups, BUCKET).agg(F.sum(val).alias("__tot"))
+        totals = b.groupBy(*groups, BUCKET).agg(
+            *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(vals)]
+        )
         off = totals.select(
             *groups,
             F.col(BUCKET),
-            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias(
-                "__offset"
-            ),
+            *[
+                F.coalesce(F.sum(f"__tot{i}").over(w_off), F.lit(0)).alias(
+                    f"__offset{i}"
+                )
+                for i in range(len(vals))
+            ],
         )
-        return (
-            local.join(F.broadcast(off), [*groups, BUCKET])
-            .withColumn(out, F.col("__lsum") + F.col("__offset"))
-            .drop(BUCKET, "__lsum", "__offset", *groups)
+        res = local.join(F.broadcast(off), [*groups, BUCKET])
+        for i, o in enumerate(outs):
+            res = res.withColumn(
+                o, F.col(f"__lsum{i}") + F.col(f"__offset{i}")
+            )
+        return res.drop(
+            BUCKET,
+            *[f"__lsum{i}" for i in range(len(vals))],
+            *[f"__offset{i}" for i in range(len(vals))],
+            *groups,
         )
+    out = outs[0]
+    local = local.withColumnRenamed("__lsum0", "__lsum")
     local = local.withColumn("__lmin", F.min("__lsum").over(w_local))
     totals = local.groupBy(*groups, BUCKET).agg(
-        F.sum(val).alias("__tot"), F.min("__lsum").alias("__bmin")
+        F.sum(vals[0]).alias("__tot"), F.min("__lsum").alias("__bmin")
     )
     t1 = totals.select(
         *groups,

@@ -2871,3 +2871,175 @@ def c38_theil_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(t), 6).alias("theil_t"),
         )
     )
+
+
+@query(
+    "c39_cbs_split",
+    # Determinism: every input to t(i) is an exact integer (per-bin
+    # counts, prefix sums, positions) and both engines evaluate the
+    # identical expression shape per candidate row, so the |t| values
+    # are bit-equal and the argmax/equality-join selection agrees;
+    # ties on |t| resolve to the smallest i in both engines. Reported
+    # doubles are dround-6ed belt-and-braces.
+    sql=f"""
+    WITH series AS (
+      SELECT event_type AS g,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT g, h, c,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY h)
+                  AS BIGINT) AS i,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY h) AS BIGINT) AS s
+      FROM series
+    ),
+    tot AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS q,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM series GROUP BY g
+    ),
+    cand AS (
+      SELECT pre.g, i, h, s, n, q,
+             (CAST(s AS DOUBLE) / i - CAST(q - s AS DOUBLE) / (n - i))
+             / sqrt(((CAST(ss AS DOUBLE) - (CAST(q AS DOUBLE) * q) / n)
+                     / (n - 1))
+                    * (1.0 / i + 1.0 / (n - i))) AS t
+      FROM pre JOIN tot ON pre.g = tot.g
+      WHERE i < n AND n >= 3
+        AND (CAST(ss AS DOUBLE) - (CAST(q AS DOUBLE) * q) / n) > 0
+    ),
+    m AS (SELECT g, max(abs(t)) AS tmax FROM cand GROUP BY g),
+    best AS (
+      SELECT cand.g, min(i) AS split_i
+      FROM cand JOIN m ON cand.g = m.g AND abs(cand.t) = m.tmax
+      GROUP BY cand.g
+    )
+    SELECT cand.g AS event_type,
+           cand.n AS n_bins,
+           best.split_i,
+           cand.h AS split_hour,
+           {dround('abs(cand.t)', 6)} AS t_max,
+           {dround('CAST(cand.s AS DOUBLE) / cand.i', 6)} AS mean_left,
+           {dround('CAST(cand.q - cand.s AS DOUBLE) / (cand.n - cand.i)', 6)}
+             AS mean_right
+    FROM best JOIN cand ON best.g = cand.g AND best.split_i = cand.i
+    """,
+    tags=("W3", "A10", "A2"),
+)
+def c39_cbs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation split call — the core iteration of circular
+    binary segmentation, CNV calling's standard segmenter [PK: Olshen,
+    Venkatraman, Lucito & Wigler, Biostatistics 2004]: over each
+    position-ordered coverage series (per event_type, hourly event
+    counts standing in for per-bin read depth), find the breakpoint i
+    maximizing |t(i)| where t compares the mean of bins 1..i against
+    bins i+1..n under the globally-pooled variance:
+
+        t(i) = (S_i/i − (Q−S_i)/(n−i)) / √(σ̂² · (1/i + 1/(n−i)))
+
+    The emitted row per series is the best split position, its
+    boundary timestamp, |t| and the two segment means — the full CBS
+    recursion applies this same call to each sub-segment until |t|
+    drops below the permutation threshold.
+
+    Plan shape for 100 TB: the fact table collapses FIRST to per-(
+    series, bin) counts (keyed partial-agg shuffle); that tiny bins
+    table is spill-checkpointed once (multi-consumer discipline —
+    prefix pass, totals, argmax all reuse it without re-scanning
+    events); prefix sums AND positions come from ONE bucketed grouped
+    running-sum pass (operators/ranks, multi-val — no per-series
+    funnel over raw rows); candidate scoring is map-side arithmetic;
+    and the argmax is a per-series max + equality join back, never a
+    global sort. Genome-scale bin counts (~3M bins × samples) keep
+    |series| × n_buckets parallelism throughout.
+    """
+    from nipd_spark.operators import ranks
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    ev = load(spark, sf_dir, "events")
+    series = spill_checkpoint(
+        ev.groupBy(
+            F.col("event_type").alias("g"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("hk", F.unix_micros("h"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    pre = ranks.with_grouped_running_sum(
+        series,
+        group="g",
+        key="hk",
+        tiebreaks=[],
+        val=["c", "one"],
+        out=["s", "i"],
+    )
+    tot = series.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("q"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    sse = F.col("ss").cast("double") - (
+        F.col("q").cast("double") * F.col("q")
+    ) / F.col("n")
+    var = sse / (F.col("n") - 1)
+    ok = (F.col("i") < F.col("n")) & (F.col("n") >= 3) & (sse > 0)
+    # t is guarded by the SAME predicate the filter applies: under ANSI
+    # mode Spark may evaluate a collapsed projection before the filter
+    # in a self-referencing plan (observed: the m/best branches), so
+    # the division must be total — CaseWhen is lazy per row
+    t = F.when(
+        ok,
+        (
+            F.col("s").cast("double") / F.col("i")
+            - (F.col("q") - F.col("s")).cast("double")
+            / (F.col("n") - F.col("i"))
+        )
+        / F.sqrt(
+            var
+            * (
+                F.lit(1.0) / F.col("i")
+                + F.lit(1.0) / (F.col("n") - F.col("i"))
+            )
+        ),
+    )
+    cand = (
+        pre.join(F.broadcast(tot), "g")
+        .filter(ok)
+        .select("g", "i", "h", "s", "n", "q", t.alias("t"))
+    )
+    m = cand.groupBy("g").agg(F.max(F.abs(F.col("t"))).alias("tmax"))
+    best = (
+        cand.join(F.broadcast(m), "g")
+        .filter(F.abs(F.col("t")) == F.col("tmax"))
+        .groupBy("g")
+        .agg(F.min("i").alias("split_i"))
+    )
+    ca = cand.alias("ca")
+    be = best.alias("be")
+    return (
+        ca.join(
+            F.broadcast(be),
+            (F.col("ca.g") == F.col("be.g"))
+            & (F.col("ca.i") == F.col("be.split_i")),
+        )
+        .select(
+            F.col("ca.g").alias("event_type"),
+            F.col("n").alias("n_bins"),
+            "split_i",
+            F.col("h").alias("split_hour"),
+            F.round(F.abs(F.col("t")), 6).alias("t_max"),
+            F.round(F.col("s").cast("double") / F.col("i"), 6).alias(
+                "mean_left"
+            ),
+            F.round(
+                (F.col("q") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("i")),
+                6,
+            ).alias("mean_right"),
+        )
+    )

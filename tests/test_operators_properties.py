@@ -3458,3 +3458,65 @@ def test_ks_binned_certificate_matches_python_reference(spark):
             assert row.gap <= 2 / 32 + max(atom1, atom2) + 1e-6
     finally:
         qmod.load = orig_load
+
+
+def test_cbs_split_matches_python_reference(spark):
+    """c39 against a from-scratch binary-segmentation reference: on a
+    crafted series with a step change the split must land ON the step
+    boundary with the exact pooled-variance t, and on a constant
+    series (zero variance) the group must be absent."""
+    import datetime
+    import math
+
+    import nipd_spark.queries.composites as cmod
+
+    def ref_split(xs):
+        n = len(xs)
+        q = sum(xs)
+        ss = sum(x * x for x in xs)
+        sse = ss - q * q / n
+        if n < 3 or sse <= 0:
+            return None
+        var = sse / (n - 1)
+        best = None
+        s = 0
+        for i in range(1, n):
+            s += xs[i - 1]
+            t = (s / i - (q - s) / (n - i)) / math.sqrt(
+                var * (1 / i + 1 / (n - i))
+            )
+            if best is None or abs(t) > best[1] + 1e-15:
+                best = (i, abs(t))
+        return best
+
+    # step series: 2,2,...,2 (12 bins) then 9,9,...,9 (8 bins); plus a
+    # constant series that must drop out
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for g, xs in (
+        ("step", [2] * 12 + [9] * 8),
+        ("flat", [5] * 10),
+    ):
+        for h, c in enumerate(xs):
+            for j in range(c):
+                rows.append(
+                    (g, base + datetime.timedelta(hours=h, seconds=j), j)
+                )
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    orig_load = cmod.load
+    cmod.load = lambda _s, _d, _t, _ev=ev: _ev
+    try:
+        out = {r.event_type: r for r in cmod.c39_cbs_split(spark, "x").collect()}
+    finally:
+        cmod.load = orig_load
+    assert set(out) == {"step"}  # zero-variance series dropped
+    want_i, want_t = ref_split([2] * 12 + [9] * 8)
+    r = out["step"]
+    assert r.split_i == want_i == 12
+    assert abs(r.t_max - want_t) <= 1e-6
+    assert abs(r.mean_left - 2.0) <= 1e-9
+    assert abs(r.mean_right - 9.0) <= 1e-9
+    assert r.split_hour == base + datetime.timedelta(hours=11)
+    assert r.n_bins == 20
