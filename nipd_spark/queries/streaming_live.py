@@ -1875,3 +1875,286 @@ def t22_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi",
         "drifted",
     )
+
+
+@query(
+    "t23_state_ttl_eviction",
+    # Emission set mirrors the handler's two eviction paths exactly:
+    # (1) DATA path — per-key in-order arrival (time-ordered replay
+    #     files + in-batch sort) means an event landing in bucket b
+    #     proves every earlier bucket of that key is complete; they
+    #     flush immediately, and a bucket has a later same-user bucket
+    #     iff bk < max(bk) for the user.
+    # (2) TIMER path — a key's open buckets evict when the watermark
+    #     passes their ABSOLUTE horizon: the t19-pinned firing rule
+    #     (strict <, both sides ms-floored watermark arithmetic), with
+    #     the horizon ms-CEILED from the µs-exact bucket end, so the
+    #     oracle compares ((bk+1)*7200000000 + 999) // 1000 against
+    #     floor(max_ts_us/1000) - 1000 — bit-identical arithmetic.
+    # Buckets still inside their horizon at shutdown stay in state and
+    # never emit; the oracle excludes them identically.
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us({ts_us()}) AS tus, value FROM events
+    ),
+    agg AS (
+      SELECT user_id, tus // 7200000000 AS bk,
+             count(*) AS n_events, sum(value) AS sv
+      FROM ev GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT user_id, max(tus // 7200000000) AS last_bk
+      FROM ev GROUP BY 1
+    ),
+    wm AS (SELECT max(tus) // 1000 - 1000 AS wm_ms FROM ev)
+    SELECT agg.user_id,
+           make_timestamp(bk * 7200000000) AS bucket_start,
+           n_events, {dround("sv", 6)} AS sum_value
+    FROM agg JOIN mx ON agg.user_id = mx.user_id, wm
+    WHERE bk < last_bk
+       OR ((bk + 1) * 7200000000 + 999) // 1000 < wm_ms
+    """,
+    tags=("T8", "T4", "A1"),
+)
+def t23_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven ABSOLUTE-TTL state eviction (r9 VERDICT item 8) —
+    the eviction discipline t19 does NOT cover: t19's inactivity gap
+    slides with every event, so a continuously-active key keeps its
+    state alive forever; here each per-(user, 2h-aligned bucket)
+    aggregate carries a FIXED expiry horizon (the bucket end), the
+    registered timer fires when the event-time watermark passes that
+    horizon, and the entry is emitted and evicted no matter how hot
+    the key still is — the state-TTL contract (Spark 4's TWS
+    ``getValueState(ttlDurationMs=...)`` exposes the same semantics
+    declaratively; this is its explicit-timer construction, and
+    tests/test_streaming.py carries the capability-gated
+    transformWithStateInPandas registered-timer twin for
+    protobuf-enabled deployments). State per key is its OPEN buckets
+    only (parallel arrays — bounded by watermark lag / TTL, ~1-2
+    entries), so keyed state is strictly bounded even for always-hot
+    keys, the property that keeps a 100 TB stream's RocksDB store flat.
+
+    Eviction is two-path like every timer design: an event in a later
+    bucket flushes completed buckets inline (data path), and the timer
+    sweeps buckets whose ms-ceiled horizon cleared the current
+    watermark (``state.getCurrentWatermarkMs()``), re-arming itself to
+    the earliest surviving horizon — never more than one registered
+    timer per key, the GroupState contract.
+
+    Plan shape for 100 TB: one keyed shuffle into the stateful
+    operator; per-micro-batch work is O(batch) + O(fired timers);
+    timer eviction is incremental in the state store (RocksDB twin:
+    tests/test_streaming.py), never a state scan. The 4-file in-order
+    replay advances the watermark between micro-batches so mid-stream
+    timer evictions genuinely fire.
+
+    Float discipline: per-bucket sums accumulate in event-time order
+    in the handler, unordered in the oracle's SUM; both round at 6 dp
+    (t19 precedent).
+    """
+    import pandas as pd
+
+    TTL_US = 2 * 3600 * 1_000_000
+
+    out_schema = (
+        "user_id long, bucket_start timestamp, n_events long, "
+        "sum_value double"
+    )
+    state_schema = "bks array<long>, ns array<long>, svs array<double>"
+
+    def horizon_ms(bk: int) -> int:
+        return ((bk + 1) * TTL_US + 999) // 1000
+
+    def evict(key, pdfs, state):
+        def emit(bk, n, sv):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "bucket_start": [pd.Timestamp(bk * TTL_US, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+
+        wm = state.getCurrentWatermarkMs()
+        open_b: dict[int, list] = {}
+        if state.exists:
+            bks, ns, svs = state.get
+            open_b = {
+                int(b): [int(n), float(sv)]
+                for b, n, sv in zip(bks, ns, svs)
+            }
+
+        if state.hasTimedOut:
+            fired = sorted(
+                b for b in open_b if horizon_ms(b) < wm
+            )
+            out = [emit(b, *open_b.pop(b)) for b in fired]
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            batch = batch.sort_values("ts", kind="mergesort")
+            for t_us, v in zip(
+                batch["ts"].astype("int64") // 1000, batch["value"]
+            ):
+                bk = int(t_us) // TTL_US
+                cur = open_b.setdefault(bk, [0, 0.0])
+                cur[0] += 1
+                cur[1] += float(v)
+            top = max(open_b)
+            done = sorted(b for b in open_b if b < top)
+            out = [emit(b, *open_b.pop(b)) for b in done]
+
+        if open_b:
+            bks = sorted(open_b)
+            state.update(
+                (
+                    bks,
+                    [open_b[b][0] for b in bks],
+                    [open_b[b][1] for b in bks],
+                )
+            )
+            # arm to the earliest surviving horizon; GroupState requires
+            # a timeout strictly beyond the current watermark
+            state.setTimeoutTimestamp(max(horizon_ms(bks[0]), wm + 1))
+        else:
+            state.remove()
+        yield from out
+
+    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+    ev = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            evict, out_schema, state_schema, "update", "EventTimeTimeout"
+        )
+    )
+    out = run_to_completion(ev, "update")
+    return out.select(
+        "user_id",
+        "bucket_start",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def t23b_ttl_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t23's absolute-TTL eviction on Spark 4's successor API,
+    ``transformWithStateInPandas`` with REGISTERED TIMERS — the
+    explicit timer surface (handle.registerTimer / handleExpiredTimer
+    / ExpiredTimerInfo) that GroupState's single setTimeoutTimestamp
+    only approximates: here EVERY open bucket carries its own
+    registered timer at its ms-ceiled horizon, expiry lands in
+    ``handleExpiredTimer`` with the exact horizon that fired
+    (``expiredTimerInfo.getExpiryTimeInMs()``), and the MapState holds
+    the open buckets. Semantics are identical to t23, so after the
+    drained replay the emitted table must equal t23's oracle.
+
+    Capability-gated, NOT a registered query: the TWS Python worker
+    protocol imports google.protobuf, absent in this container (t8b
+    precedent). tests/test_streaming.py::test_t23b_tws_registered_timers
+    probes for protobuf and skips with that reason here; in a
+    protobuf-enabled deployment it runs this end-to-end and asserts
+    equality with t23's applyInPandasWithState form.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python workers; absent in this container"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    TTL_US = 2 * 3600 * 1_000_000
+
+    def horizon_ms(bk: int) -> int:
+        return ((bk + 1) * TTL_US + 999) // 1000
+
+    class TtlEvictor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # open buckets: bucket index -> (n_events, sum_value)
+            self._open = handle.getMapState(
+                "open", "bk long", "n long, sv double"
+            )
+
+        def _emit(self, key, bk, n, sv):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "bucket_start": [pd.Timestamp(bk * TTL_US, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                pdf = pdf.sort_values("ts", kind="mergesort")
+                for t_us, v in zip(
+                    pdf["ts"].astype("int64") // 1000, pdf["value"]
+                ):
+                    bk = int(t_us) // TTL_US
+                    n, sv = (
+                        self._open.getValue((bk,))
+                        if self._open.containsKey((bk,))
+                        else (0, 0.0)
+                    )
+                    if n == 0:
+                        # one registered timer PER bucket, armed past
+                        # the current watermark (GroupState's single-
+                        # timeout limitation does not apply here)
+                        self._handle.registerTimer(
+                            max(
+                                horizon_ms(bk),
+                                timerValues.getCurrentWatermarkInMs() + 1,
+                            )
+                        )
+                    self._open.updateValue((bk,), (n + 1, sv + float(v)))
+            # data path: buckets below the key's max open bucket are
+            # complete (in-order replay), flush them inline
+            bks = sorted(b for (b,) in self._open.keys())
+            for b in bks[:-1]:
+                n, sv = self._open.getValue((b,))
+                self._open.removeKey((b,))
+                self._handle.deleteTimer(horizon_ms(b))
+                yield self._emit(key, b, n, sv)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            for (b,) in list(self._open.keys()):
+                if horizon_ms(b) < wm:
+                    n, sv = self._open.getValue((b,))
+                    self._open.removeKey((b,))
+                    yield self._emit(key, b, n, sv)
+
+        def close(self) -> None:
+            pass
+
+    stream = events_stream(spark, sf_dir, parts=4, one_file_per_trigger=True)
+    updates = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TtlEvictor(),
+            outputStructType=(
+                "user_id long, bucket_start timestamp, n_events long, "
+                "sum_value double"
+            ),
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+    out = run_to_completion(updates, "update")
+    return out.select(
+        "user_id",
+        "bucket_start",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )

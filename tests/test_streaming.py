@@ -637,3 +637,69 @@ def test_t22_psi_matches_python_reference(spark, sf_dir):
         assert g[0] == nw, (h, g, nw)
         assert abs(g[1] - psi) <= 2e-6, (h, g[1], psi)
         assert g[2] == drifted
+
+
+def test_t23_rocksdb_state_store_equals_default(spark, sf_dir):
+    """t23's absolute-TTL timer eviction must produce the identical
+    bucket table under RocksDBStateStoreProvider and the default
+    HDFS-backed provider (t19 twin precedent: the 'RocksDB at 100 TB'
+    posture measured, not claimed). Ephemeral checkpoint — the
+    provider swap cannot poison shared state."""
+    import pytest
+
+    from nipd_spark.queries.streaming_live import t23_state_ttl_eviction
+    from nipd_spark.streaming.harness import (
+        ROCKSDB_PROVIDER,
+        state_store_provider,
+    )
+
+    if not _rocksdb_available(spark):
+        pytest.skip("RocksDBStateStoreProvider class absent in this Spark")
+
+    def rows(df):
+        return sorted(
+            (r.user_id, r.bucket_start, r.n_events, r.sum_value)
+            for r in df.collect()
+        )
+
+    default_rows = rows(t23_state_ttl_eviction(spark, sf_dir))
+    try:
+        with state_store_provider(spark, ROCKSDB_PROVIDER):
+            rocks_rows = rows(t23_state_ttl_eviction(spark, sf_dir))
+    except Exception as e:  # pragma: no cover - env-specific native lib
+        msg = str(e)
+        if "rocksdb" in msg.lower() or "UnsatisfiedLink" in msg:
+            pytest.skip(f"RocksDB provider cannot init here: {msg[:200]}")
+        raise
+    assert rocks_rows == default_rows
+    assert len(default_rows) > 0
+
+
+def test_t23b_tws_registered_timers(spark, sf_dir):
+    """The transformWithStateInPandas registered-timer twin of t23
+    (per-bucket handle.registerTimer + handleExpiredTimer + MapState)
+    must emit exactly t23's bucket table. Capability-gated: the TWS
+    Python worker protocol needs google.protobuf."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf in the "
+            "Python workers; absent in this container"
+        )
+    from nipd_spark.queries.streaming_live import (
+        t23_state_ttl_eviction,
+        t23b_ttl_transform_with_state,
+    )
+
+    def rows(df):
+        return sorted(
+            (r.user_id, r.bucket_start, r.n_events, r.sum_value)
+            for r in df.collect()
+        )
+
+    assert rows(t23b_ttl_transform_with_state(spark, sf_dir)) == rows(
+        t23_state_ttl_eviction(spark, sf_dir)
+    )
