@@ -156,6 +156,11 @@ PROBE = [
     "a30b_tdigest_certificate",  # t-digest + broadcast-estimates rank audit
     "c37_bh_fdr_screen",  # bounded test matrix + bucketed BH rank
     "c38_theil_by_nation",  # two aggs + 25-row broadcast mean
+    # round-10 additions
+    "j21c_asof_sql_bounded_using",  # composite-key bounded ASOF splice
+    "dq10b_ks_binned_certificate",  # binned KS + exact-D sandwich audit
+    "c39_cbs_split",  # bins collapse + single-pass prefix + argmax join
+    "t23_state_ttl_eviction",  # timer TTL eviction (replay machinery incl.)
 ]
 
 
