@@ -46,85 +46,82 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 9): the driver hash-checks the FIRST 50
-# queries() entries per round. The rotation CLOSED in r8 (every name
-# has a driver row), but the r8 VERDICT found 6 queries whose ONLY
-# driver rows are errors — a15 (r8: the old array output crashed the
-# driver's rows-only canonicalizer; now flattened) and a12/a13/a14/
-# a1b/w2 (r02 error rows, fixed by r03, never re-windowed) — so this
-# round's front is: (1) the round-9 additions (a15b sketch-bound
-# certificate, j21 ASOF-SQL surface, w23 fixed-cardinality Spearman,
-# dq10 KS two-sample drift test, t22 streaming PSI drift monitor,
-# a4b/a30b sketch-error certificates, c37 BH-FDR screen finisher,
-# c38 Theil index),
-# (2) those 6 queries so every name gains a PASSING attestation (a14
-# makes UDAF the 92nd driver-green §2 ID), (3) re-checks of queries
-# whose implementation changed since their last green row — a32
-# (integer-DIV bucket key), t20 (lock reclaim evidence capture;
-# result-neutral but one window slot is cheap), and w22 (its body was
-# ported to the histogram rank path, measured 4-5× slower because
-# l_suppkey's cardinality GROWS with data, and reverted to the
-# window form — the final code matches its r8-green attestation, so
-# this slot is belt-and-braces after the churn), and (4) padding with
-# the LONGEST-unattested names (all r01 attestations, alphabetical).
-# The full-sweep ritual
+# Verification rotation (round 10): the driver hash-checks the FIRST
+# 50 queries() entries per round. Every name carries a passing (or
+# clean rows-only) driver row as of r9, so the standing rule applies:
+# (1) this round's additions first — dq10b (binned-KS sandwich
+# certificate), j21c (composite-key + bounded ASOF SQL grammar), c39
+# (CBS split call), t23 (timer-driven absolute-TTL eviction);
+# (2) re-checks of queries whose implementation or oracle changed
+# since their last attestation — dq10 (re-expressed on the
+# single-pass multi-column running sum), j21/j21b (the sqlext v2
+# rewriter: both-side alias validation, literal-safe case-insensitive
+# rewrite, strict NULL semantics), j9/j9b (operators/asof gained
+# composite keys; the single-key path is the same window with renamed
+# internals, re-checked anyway), and the heaviest consumers of the
+# refactored ranks operators (multi-val single-pass bodies): w20
+# (min_out path), a32, w18, c27, l64, a24, w7 — the REMAINING ranks
+# consumers (w8/w16/w22/w23/a31/c35/l58/l59/c37/c36) are covered by
+# the full dual-SF sweep and the bit-equality property tests, not
+# front-loaded, because the single-val semantics are pinned unchanged;
+# (3) padding with the LONGEST-unattested names (r01 cohort
+# alphabetical, then the r02 cohort). The full-sweep ritual
 # (tools/diffcheck.py at sf0.001 AND sf0.01) still gates every query
 # every round regardless.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # (1) round-9 additions
-    "a15b_approx_percentile_certificate",
+    # (1) round-10 additions
+    "dq10b_ks_binned_certificate",
+    "j21c_asof_sql_bounded_using",
+    "c39_cbs_split",
+    "t23_state_ttl_eviction",
+    # (2) changed since last attestation
+    "dq10_ks_two_sample",
     "j21_asof_sql_surface",
     "j21b_asof_sql_left_forward",
-    "w23_spearman_lowcard",
-    "dq10_ks_two_sample",
-    "t22_stream_drift_monitor",
-    "a4b_hll_error_certificate",
-    "a30b_tdigest_certificate",
-    "c37_bh_fdr_screen",
-    "c38_theil_by_nation",
-    # (2) never-clean-attested (r8 VERDICT item 2)
-    "a15_approx_percentile",
-    "a12_conditional_agg",
-    "a13_histogram",
-    "a14_udaf_geomean",
-    "a1b_salted_agg",
-    "w2_lag_lead",
-    # (3) changed since last green attestation
-    "w22_spearman_corr",
+    "j9_asof_join",
+    "j9b_asof_bounded",
+    "w20_cusum_drift",
     "a32_equidepth_histogram",
-    "t20_state_store_reader",
-    # (4) longest-unattested padding (last green row: r01)
-    "j1_inner_equi",
-    "j2_left_outer",
-    "j2b_right_outer",
-    "j3_full_outer",
-    "j4_left_semi",
-    "j5_left_anti",
-    "j6_broadcast_star",
-    "j7_cross",
-    "j10_theta_band",
-    "j11_self_pairs",
-    "o1_multikey_sort",
-    "o3_global_topk",
-    "o4_pergroup_topk",
-    "p1_project_compute",
-    "p2_filter_compare",
-    "p3_between",
-    "p4_in_list",
-    "p5_null_handling",
-    "p6_like_regex",
-    "p7_distinct",
-    "q1_pricing_summary",
-    "q2b_min_cost_part",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
+    "w18_mann_whitney_u",
+    "c27_pareto_abc",
+    "l64_systematic_token_sample",
+    "a24_weighted_median",
+    "w7_pct_rank_cume",
+    # (3) longest-unattested padding (last green row: r01, then r02)
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "s2_csv_roundtrip",
+    "s3_json_roundtrip",
+    "s4_semistructured_vcf",
+    "s5_inmemory_values",
+    "s6b_bucketed_join",
+    "s6c_partitioned_prune",
+    "s6d_dynamic_prune",
+    "s6e_dynamic_overwrite",
+    "s7_orc_roundtrip",
+    "sql1_sql_api",
+    "a10_stats",
+    "a11_minmax_by",
+    "a2_global_agg",
+    "a3_count_distinct",
+    "a4_approx_count_distinct",
+    "a5_having",
+    "a6_rollup",
+    "a6b_cube",
+    "a6c_grouping_sets",
+    "a7_pivot",
+    "a8_collect_sorted",
+    "a9_percentiles",
+    "l11_centroids",
+    "l12_language_id",
+    "l13_doc_fingerprint",
+    "l13b_winnow_fingerprint",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list
