@@ -303,3 +303,157 @@ def asof_sql(spark: SparkSession, text: str) -> DataFrame:
         rest = text[: m.start()] + f"FROM {view}" + text[clause_end:]
         text = _rewrite_refs(rest, la, ra, pref)
     return spark.sql(text)
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY clause (SURVEY.md §2.5 windows / §4.3 SQL surface)
+# ---------------------------------------------------------------------------
+
+_QUALIFY_AUX_SEQ = itertools.count()
+
+
+def _top_level_spans(text: str):
+    """Yield (index, char) for characters at paren depth 0, skipping
+    single-quoted literals."""
+    depth = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = _LITERAL_RE.match(text, i)
+            if not m:
+                raise ValueError("qualify_sql: unterminated string literal")
+            i = m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            yield i, ch
+        i += 1
+
+
+def _find_top_keyword(text: str, word: str) -> int:
+    """Index of the first top-level (depth-0, outside literals)
+    occurrence of ``word`` as a whole keyword; -1 if absent."""
+    wl = len(word)
+    up = text.upper()
+    for i, _ in _top_level_spans(text):
+        if up.startswith(word, i):
+            before_ok = i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_")
+            j = i + wl
+            after_ok = j >= len(up) or not (up[j].isalnum() or up[j] == "_")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def _extract_windows(pred: str) -> tuple[str, list[tuple[str, str]]]:
+    """Replace each inline ``fn(...) OVER (...)`` in ``pred`` with a
+    generated alias; return (rewritten_pred, [(alias, window_expr)])."""
+    out = pred
+    aux: list[tuple[str, str]] = []
+    while True:
+        k = _find_top_keyword(out, "OVER")
+        if k < 0:
+            break
+        # right side: the balanced OVER ( ... )
+        open_paren = out.find("(", k)
+        if open_paren < 0:
+            raise ValueError("qualify_sql: OVER without a window spec")
+        end = _scan_balanced(out, open_paren + 1)
+        # left side: scan back over whitespace, then a balanced arg
+        # list, then the function name
+        j = k - 1
+        while j >= 0 and out[j].isspace():
+            j -= 1
+        if j < 0 or out[j] != ")":
+            raise ValueError(
+                "qualify_sql: expected fn(...) immediately before OVER"
+            )
+        depth = 0
+        start = j
+        while start >= 0:
+            if out[start] == ")":
+                depth += 1
+            elif out[start] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            start -= 1
+        m = re.search(r"(\w+)\s*$", out[:start])
+        if not m:
+            raise ValueError("qualify_sql: window function name not found")
+        expr = out[m.start(1) : end]
+        alias = f"__qw{next(_QUALIFY_AUX_SEQ)}"
+        aux.append((alias, expr))
+        out = out[: m.start(1)] + alias + out[end:]
+    return out, aux
+
+
+def qualify_sql(spark: SparkSession, text: str) -> DataFrame:
+    """Run a Spark SQL string that may end in a QUALIFY clause — the
+    post-window filter Snowflake/DuckDB/BigQuery standardized [PK] and
+    Spark SQL 4.1 lacks. Evaluation order matches those engines:
+    SELECT list and window functions first, then the QUALIFY
+    predicate, then ORDER BY / LIMIT.
+
+    Supported grammar (v1, loudly rejected otherwise): one top-level
+    SELECT whose QUALIFY clause appears after WHERE/GROUP BY/HAVING
+    and before an optional trailing ORDER BY / LIMIT. The predicate
+    may reference select-list aliases and/or inline window
+    expressions (``row_number() OVER (...) = 1``); inline windows are
+    hoisted into the select list under generated ``__qw<n>`` aliases,
+    the predicate becomes a post-projection filter, and the auxiliary
+    columns are dropped from the result — so the output schema equals
+    the original select list, exactly as in the native engines.
+    Columns not in the select list cannot be referenced (the rewrite
+    filters the PROJECTED relation; Spark raises its ordinary
+    unresolved-column error).
+
+    Scale notes (100 TB): text-only driver-side rewrite; the plan is
+    the ordinary window + filter Catalyst would build for the
+    subquery spelling — same shuffles, same pushdown, nothing
+    materializes.
+    """
+    k = _find_top_keyword(text, "QUALIFY")
+    if k < 0:
+        return spark.sql(text)
+    head = text[:k]
+    rest = text[k + len("QUALIFY") :]
+    # the trailing ORDER BY / LIMIT must be TOP-LEVEL — an ORDER BY
+    # inside an inline OVER (...) window spec belongs to the predicate
+    cut = min(
+        (
+            p
+            for p in (
+                _find_top_keyword(rest, "ORDER"),
+                _find_top_keyword(rest, "LIMIT"),
+            )
+            if p >= 0
+        ),
+        default=-1,
+    )
+    pred, tail = (
+        (rest[:cut], rest[cut:]) if cut >= 0 else (rest, "")
+    )
+    pred = pred.strip()
+    if not pred:
+        raise ValueError("qualify_sql: empty QUALIFY predicate")
+    pred, aux = _extract_windows(pred)
+    if aux:
+        f = _find_top_keyword(head, "FROM")
+        if f < 0:
+            raise ValueError("qualify_sql: no top-level FROM")
+        aux_sql = "".join(f", {e} AS {a}" for a, e in aux)
+        head = head[:f] + aux_sql + " " + head[f:]
+    df = spark.sql(head).filter(pred)
+    if aux:
+        df = df.drop(*[a for a, _ in aux])
+    if tail.strip():
+        view = f"__qualify_{next(_VIEW_SEQ)}"
+        df.createOrReplaceTempView(view)
+        df = spark.sql(f"SELECT * FROM {view} {tail}")
+    return df

@@ -3520,3 +3520,88 @@ def test_cbs_split_matches_python_reference(spark):
     assert abs(r.mean_right - 9.0) <= 1e-9
     assert r.split_hour == base + datetime.timedelta(hours=11)
     assert r.n_bins == 20
+
+
+def test_qualify_sql_variants(spark):
+    """sqlext.qualify_sql corners: alias-form predicate, inline-window
+    predicate (hoisted + dropped — schema equals the select list),
+    ORDER BY inside an OVER spec vs the trailing top-level ORDER BY /
+    LIMIT, string literals surviving untouched, passthrough without
+    QUALIFY, and loud rejection of an empty predicate."""
+    import pytest
+
+    from nipd_spark.sqlext import qualify_sql
+
+    spark.createDataFrame(
+        [(1, 5, "x"), (1, 7, "order by"), (2, 3, "y"), (2, 9, "z"), (2, 8, "w")],
+        "g int, v int, s string",
+    ).createOrReplaceTempView("ql_t")
+
+    rows = qualify_sql(
+        spark,
+        """SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+           FROM ql_t QUALIFY rn = 1 ORDER BY g LIMIT 1""",
+    ).collect()
+    assert [(r.g, r.v, r.rn) for r in rows] == [(1, 7, 1)]
+
+    df = qualify_sql(
+        spark,
+        """SELECT g, v FROM ql_t
+           QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC, v) = 1""",
+    )
+    assert df.columns == ["g", "v"]  # aux alias dropped
+    assert sorted((r.g, r.v) for r in df.collect()) == [(1, 7), (2, 9)]
+
+    # a string literal containing the word QUALIFY-adjacent text and an
+    # ORDER BY must not confuse the top-level scan
+    rows = qualify_sql(
+        spark,
+        """SELECT g, v, s FROM ql_t
+           QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1
+              AND s <> 'order by'
+           ORDER BY g""",
+    ).collect()
+    assert [(r.g, r.v) for r in rows] == [(1, 5), (2, 3)]
+
+    # passthrough: no QUALIFY -> plain spark.sql
+    assert qualify_sql(spark, "SELECT 41 + 1 AS x").collect()[0].x == 42
+
+    with pytest.raises(ValueError, match="empty QUALIFY"):
+        qualify_sql(spark, "SELECT g FROM ql_t QUALIFY ")
+
+
+def test_qualify_matches_duckdb_on_random_tables(spark):
+    """qualify_sql == DuckDB's native QUALIFY across randomized
+    micro-tables and the main predicate shapes (alias rank filter,
+    inline row_number, combined with WHERE)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(29)
+    for trial in range(4):
+        rows = [
+            (rng.randint(0, 2), rng.randint(0, 9), rng.randint(0, 99))
+            for _ in range(rng.randint(1, 25))
+        ]
+        spark.createDataFrame(rows, "g int, v int, u int").createOrReplaceTempView(
+            "qfz"
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(g INT, v INT, u INT)")
+        con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+        k = rng.randint(1, 3)
+        q = (
+            "SELECT g, v, u, row_number() OVER (PARTITION BY g "
+            "ORDER BY v DESC, u, g) AS rn FROM {} WHERE v >= 1 "
+            f"QUALIFY rn <= {k}"
+        )
+        got = {
+            tuple(r) for r in
+            (row[:4] for row in
+             ((r.g, r.v, r.u, r.rn) for r in
+              __import__("nipd_spark.sqlext", fromlist=["qualify_sql"])
+              .qualify_sql(spark, q.format("qfz")).collect()))
+        }
+        want = {tuple(r) for r in con.execute(q.format("t")).fetchall()}
+        assert got == want, (trial, got, want)

@@ -872,3 +872,16 @@ def test_dq10_single_bucket_pass(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_sql7_qualify_plan_shape(spark, sf_dir):
+    """The QUALIFY rewrite (sql7) must emit the plan Catalyst builds
+    for the subquery spelling: broadcast dim join, key-partitioned
+    windows, a plain Filter — no CartesianProduct, no Python, no
+    global window."""
+    plan = _plan(spark, sf_dir, "sql7_qualify")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" in plan
+    assert ", [], [" not in plan  # both windows are key-partitioned
