@@ -5,14 +5,20 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing discipline per BASELINE.md: one shared warm session (JVM startup
-excluded). Each query's DataFrame (the prepared plan) is built once and
-executed 4× — reported per-query time is the best warm *execution*
-(action → materialized result via the Arrow fast path, df.toPandas()),
-which is what recurs in production where plans are built once and run
-per batch/partition. Plan construction cost (Python →
-JVM analysis round-trips, paid once per query shape) is reported
-separately as plan_build_total_sec for transparency; the DuckDB baseline
-equivalent (SQL parse) is sub-ms and inside its numbers.
+excluded). TWO execution metrics per tier, so neither story hides the
+other:
+  - "queries"/"value" — best warm re-execution of the PREPARED plan
+    (same DataFrame object). Spark reuses completed shuffle map stages
+    across runs, so this is the latency floor of a prepared,
+    partially-materialized plan — the recurring cost where plans are
+    built once and re-run;
+  - "fresh_queries"/"fresh_value" — a FRESH DataFrame per run (new
+    lineage, every stage re-executes; tools/scale_probe.py's standard),
+    action-only timing. This is the full-work number comparable to
+    DuckDB's warm re-execution, which always re-runs its operators.
+Plan construction cost (Python → JVM analysis round-trips, paid once
+per query shape) is reported separately as plan_build_total_sec; the
+DuckDB equivalent (SQL parse) is sub-ms and inside its numbers.
 """
 
 from __future__ import annotations
@@ -93,7 +99,15 @@ TIER16_SKIP = {"knn_cosine"}
 
 
 def _bench_specs(spark, specs, sf_dir, n_runs, skip=frozenset()):
-    """Best-warm execution per headline query (1 cold + n_runs-1 warm)."""
+    """Best-warm execution per headline query (1 cold + n_runs-1 warm).
+
+    NOTE on what this measures: re-executing the SAME DataFrame object
+    lets Spark reuse completed shuffle map stages, so warm runs time
+    the post-shuffle stages + result collection — the latency floor of
+    a prepared, partially-materialized plan. The full-work numbers
+    (fresh lineage per run, every stage re-executed — the
+    tools/scale_probe.py standard) are reported alongside in the
+    "fresh" sections so neither story hides the other."""
     timings: dict[str, float] = {}
     build = 0.0
     for name, key in HEADLINE:
@@ -110,6 +124,28 @@ def _bench_specs(spark, specs, sf_dir, n_runs, skip=frozenset()):
             runs.append(time.time() - t0)
         timings[key] = round(min(runs[1:]), 4)
     return timings, build
+
+
+def _bench_specs_fresh(spark, specs, sf_dir, n_runs, skip=frozenset()):
+    """Full-work execution: a FRESH DataFrame per run (new RDD lineage,
+    so no shuffle-stage reuse — every stage re-executes, comparable to
+    DuckDB's warm re-execution), timing the action only (plan
+    construction is Python->JVM analysis chatter, reported once via
+    plan_build_total_sec)."""
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE:
+        spec = specs.get(name)
+        if spec is None or key in skip:
+            continue
+        spec.fn(spark, sf_dir).toPandas()  # warm-up: footers, JIT
+        runs = []
+        for _ in range(n_runs):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.time()
+            df.toPandas()
+            runs.append(time.time() - t0)
+        timings[key] = round(min(runs), 4)
+    return timings
 
 
 def _bench_duck(specs, sf_dir, n_runs, skip=frozenset()):
@@ -140,12 +176,19 @@ def main() -> None:
     spark = get_spark("nipd-bench")
     specs = registry.all_specs()
     timings, build_total = _bench_specs(spark, specs, sf_dir, n_runs=8)
+    fresh = _bench_specs_fresh(spark, specs, sf_dir, n_runs=2)
     out = {
         "metric": "headline_warm_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "plan_build_total_sec": round(build_total, 4),
+        # full-work twin of the headline: fresh lineage per run, no
+        # shuffle-stage reuse — the scale_probe standard, so the
+        # prepared-plan floor above and the every-stage cost are BOTH
+        # on the record (the 16x/100x tiers carry the same pair)
+        "fresh_value": round(sum(fresh.values()), 4),
+        "fresh_queries": fresh,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # 16× tier (VERDICT r8 item 6): at sf0.1 several headline queries
@@ -158,12 +201,15 @@ def main() -> None:
         if t16 is not None:
             try:
                 q16, _ = _bench_specs(spark, specs, t16, n_runs=4, skip=TIER16_SKIP)
+                f16 = _bench_specs_fresh(spark, specs, t16, n_runs=2, skip=TIER16_SKIP)
                 d16 = _bench_duck(specs, t16, n_runs=4, skip=TIER16_SKIP)
                 out["tier16x"] = {
                     "sf_dir": t16,
                     "copies_of_sf0.1": 16,
                     "value": round(sum(q16.values()), 4),
                     "queries": q16,
+                    "fresh_value": round(sum(f16.values()), 4),
+                    "fresh_queries": f16,
                     "skipped": sorted(TIER16_SKIP),
                     "duckdb_value": round(sum(d16.values()), 4),
                     "duckdb_queries": d16,
@@ -186,12 +232,17 @@ def main() -> None:
                 q100, _ = _bench_specs(
                     spark, specs, t100, n_runs=3, skip=TIER16_SKIP
                 )
+                f100 = _bench_specs_fresh(
+                    spark, specs, t100, n_runs=2, skip=TIER16_SKIP
+                )
                 d100 = _bench_duck(specs, t100, n_runs=2, skip=TIER16_SKIP)
                 out["tier100x"] = {
                     "sf_dir": t100,
                     "copies_of_sf0.1": 100,
                     "value": round(sum(q100.values()), 4),
                     "queries": q100,
+                    "fresh_value": round(sum(f100.values()), 4),
+                    "fresh_queries": f100,
                     "skipped": sorted(TIER16_SKIP),
                     "duckdb_value": round(sum(d100.values()), 4),
                     "duckdb_queries": d100,
