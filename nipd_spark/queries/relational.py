@@ -1322,3 +1322,78 @@ def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "o7_skyline",
+    # Oracle: the literal domination definition as a NOT EXISTS
+    # anti-join — O(n²) in DuckDB but unambiguous, the correctness
+    # ground truth for the sweep-based plan. All columns are stored
+    # data; no float discipline needed (prices compare exactly).
+    sql="""
+    WITH p AS (
+      SELECT p_partkey, p_size AS x, p_retailprice AS y FROM part
+    )
+    SELECT a.p_partkey, a.x AS p_size, a.y AS p_retailprice
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
+    )
+    """,
+    tags=("O4", "J5", "W3"),
+)
+def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-optimal set) over parts minimizing
+    (p_size, p_retailprice): every part not dominated by another that
+    is at most as small AND at most as cheap with one strict — the
+    classic multi-criteria selection operator [PK: Börzsönyi,
+    Kossmann & Stocker, "The Skyline Operator", ICDE 2001; Spark SQL
+    integration studied in EDBT 2023, PAPERS.md]. Duplicates of a
+    skyline point are all kept (neither dominates), matching the
+    NOT-EXISTS definition the oracle evaluates literally.
+
+    The plan is the sort-sweep identity, not the quadratic anti-join:
+    a point is in the skyline iff its y equals the minimum y of its
+    x-group AND beats (strictly) the running minimum of min-y over
+    all strictly-smaller x. So: (1) collapse to the per-x min-y table
+    — 50 rows, p_size's fixed domain; (2) one exclusive prefix-min
+    window over that tiny table; (3) broadcast the surviving skyline
+    x-groups back and keep rows equal to their group min.
+
+    Plan shape for 100 TB: one keyed partial-agg shuffle (the per-x
+    collapse) + a 50-row window + a broadcast semi-filter back onto
+    the scan — never the O(n²) pairwise form, which exists only as
+    the oracle. For a CONTINUOUS first criterion the collapsed table
+    is value-domain-sized and the prefix-min moves onto the bucketed
+    rank machinery (operators/ranks — same two-level decomposition as
+    every global order statistic in this repo); for d>2 criteria the
+    standard distributed design applies the same collapse per grid
+    cell and prunes dominated cells before any pairwise check.
+    """
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").alias("x"),
+        F.col("p_retailprice").alias("y"),
+    )
+    gmin = p.groupBy("x").agg(F.min("y").alias("miny"))
+    # exclusive running min over the 50-row per-size table (fixed
+    # domain — plan_lint ALLOW), strictly-preceding frame
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_x = gmin.withColumn("prevmin", F.min("miny").over(w)).filter(
+        F.col("prevmin").isNull() | (F.col("miny") < F.col("prevmin"))
+    )
+    return (
+        p.join(F.broadcast(sky_x.select("x", "miny")), "x")
+        .filter(F.col("y") == F.col("miny"))
+        .select(
+            "p_partkey",
+            F.col("x").alias("p_size"),
+            F.col("y").alias("p_retailprice"),
+        )
+    )

@@ -3605,3 +3605,46 @@ def test_qualify_matches_duckdb_on_random_tables(spark):
         }
         want = {tuple(r) for r in con.execute(q.format("t")).fetchall()}
         assert got == want, (trial, got, want)
+
+
+def test_skyline_matches_bruteforce(spark):
+    """o7's sort-sweep skyline == the brute-force domination scan on a
+    crafted table with: duplicate skyline points (both kept), same-x
+    domination, equal-y cross-x domination (larger x loses), and a
+    single global minimum."""
+    import nipd_spark.queries.relational as rmod
+
+    rows = [
+        (1, 5, 100.0),
+        (2, 5, 100.0),   # duplicate of a skyline point — both kept
+        (3, 5, 120.0),   # dominated same-x
+        (4, 7, 100.0),   # equal-y, larger x — dominated by (5,100)
+        (5, 7, 90.0),
+        (6, 9, 90.0),    # equal-y, larger x — dominated by (7,90)
+        (7, 9, 80.0),
+        (8, 12, 80.0),   # dominated by (9,80)
+        (9, 12, 70.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    )
+
+    def dominated(a, b):
+        return (
+            b[1] <= a[1]
+            and b[2] <= a[2]
+            and (b[1] < a[1] or b[2] < a[2])
+        )
+
+    want = {
+        r[0]
+        for r in rows
+        if not any(dominated(r, o) for o in rows if o is not r)
+    }
+    orig_load = rmod.load
+    rmod.load = lambda _s, _d, _t, _df=df: _df
+    try:
+        got = {r.p_partkey for r in rmod.o7_skyline(spark, "x").collect()}
+    finally:
+        rmod.load = orig_load
+    assert got == want == {1, 2, 5, 7, 9}

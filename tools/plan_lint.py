@@ -127,6 +127,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "a27_share_of_parent": {
         "window": "whole-partition sum over 25 leaf rows, no sort"
     },
+    "o7_skyline": {
+        "window": "exclusive prefix-min over the per-p_size min table "
+        "(50 rows, fixed domain); continuous-x path documented onto "
+        "the bucketed rank machinery"
+    },
 }
 
 GLOBAL_WINDOW = re.compile(r", \[\], \[")
