@@ -161,6 +161,8 @@ PROBE = [
     "dq10b_ks_binned_certificate",  # binned KS + exact-D sandwich audit
     "c39_cbs_split",  # bins collapse + single-pass prefix + argmax join
     "t23_state_ttl_eviction",  # timer TTL eviction (replay machinery incl.)
+    "o7_skyline",  # per-x min collapse + 50-row prefix window + broadcast back
+    "sql7_qualify",  # QUALIFY rewrite -> window + filter
 ]
 
 
