@@ -385,6 +385,7 @@ def j6_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    o = o.hint("shuffle_hash")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -587,7 +588,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: 3-way join, filtered, grouped, global top-10.
 
     Scale note: customer is the small side (broadcast); lineitem⋈orders
-    shuffles on orderkey; top-10 via TakeOrderedAndProject (no full sort).
+    shuffles on orderkey with a shuffle_hash hint on the orders side —
+    hash-building orders streams the bigger lineitem side unsorted
+    instead of sort-merging both (measured ~8.4-10.0 → 7.1 s on the
+    100× replica); top-10 via TakeOrderedAndProject (no full sort).
     Deterministic tie-breaks (o_orderdate, l_orderkey) keep the oracle
     stable at the LIMIT boundary.
     """
@@ -598,6 +602,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )
+    o = o.hint("shuffle_hash")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -670,6 +675,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fact-sized at 100 TB — AQE may still demote it to broadcast at
     small SF). The o_orderdate filter is pushed to the orders scan and
     the r_name filter shrinks the supplier build side before shuffle.
+    The lineitem⋈orders join carries a shuffle_hash hint on the
+    FILTERED orders side: sort-merge would sort the full unfiltered
+    lineitem stream, while hash-building the year-filtered orders
+    partition (~1/7 of orders per shuffle partition) streams lineitem
+    unsorted — measured 10.3→6.7 s / 27.8→7.3 s on the 100× replica
+    (the customer join stays SMJ: a fact-sized build side should sort
+    and spill gracefully, not hash-build).
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -687,6 +699,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = supplier.join(
         F.broadcast(dim), supplier.s_nationkey == dim.n_nationkey
     ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = orders.hint("shuffle_hash")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
