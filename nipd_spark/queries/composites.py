@@ -3043,3 +3043,248 @@ def c39_cbs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_right"),
         )
     )
+
+
+@query(
+    "c39b_cbs_recursion",
+    # Determinism: identical to c39 — every t input is an exact
+    # integer (per-bin counts, prefix sums of c/1/c², segment
+    # subtractions stay integer), identical expression shapes per
+    # candidate row, argmax ties resolve to the smallest local
+    # position. Reported doubles dround-6ed.
+    sql=f"""
+    WITH series AS (
+      SELECT event_type AS g,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT g, h, c,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY h)
+                  AS BIGINT) AS i,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY h) AS BIGINT) AS s,
+             CAST(sum(c * c) OVER (PARTITION BY g ORDER BY h)
+                  AS BIGINT) AS sq
+      FROM series
+    ),
+    tot AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS q,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM series GROUP BY g
+    ),
+    cand AS (
+      SELECT pre.g, i, s, sq,
+             (CAST(s AS DOUBLE) / i - CAST(q - s AS DOUBLE) / (n - i))
+             / sqrt(((CAST(ss AS DOUBLE) - (CAST(q AS DOUBLE) * q) / n)
+                     / (n - 1))
+                    * (1.0 / i + 1.0 / (n - i))) AS t
+      FROM pre JOIN tot ON pre.g = tot.g
+      WHERE i < n AND n >= 3
+        AND (CAST(ss AS DOUBLE) - (CAST(q AS DOUBLE) * q) / n) > 0
+    ),
+    m AS (SELECT g, max(abs(t)) AS tmax FROM cand GROUP BY g),
+    best AS (
+      SELECT cand.g, min(i) AS split_i
+      FROM cand JOIN m ON cand.g = m.g AND abs(cand.t) = m.tmax
+      GROUP BY cand.g
+    ),
+    anchor AS (
+      SELECT best.g, best.split_i, cand.s AS split_s, cand.sq AS split_sq
+      FROM best JOIN cand
+        ON best.g = cand.g AND best.split_i = cand.i
+    ),
+    seg AS (
+      SELECT pre.g, pre.h,
+             CASE WHEN pre.i <= a.split_i THEN 'L' ELSE 'R' END AS seg,
+             CASE WHEN pre.i <= a.split_i THEN a.split_i
+                  ELSE t2.n - a.split_i END AS nseg,
+             CASE WHEN pre.i <= a.split_i THEN pre.i
+                  ELSE pre.i - a.split_i END AS p,
+             CASE WHEN pre.i <= a.split_i THEN pre.s
+                  ELSE pre.s - a.split_s END AS sp,
+             CASE WHEN pre.i <= a.split_i THEN a.split_s
+                  ELSE t2.q - a.split_s END AS qseg,
+             CASE WHEN pre.i <= a.split_i THEN a.split_sq
+                  ELSE t2.ss - a.split_sq END AS ssseg
+      FROM pre
+      JOIN anchor a ON pre.g = a.g
+      JOIN tot t2 ON pre.g = t2.g
+    ),
+    cand2 AS (
+      SELECT g, seg, h, p, nseg,
+             (CAST(sp AS DOUBLE) / p
+              - CAST(qseg - sp AS DOUBLE) / (nseg - p))
+             / sqrt(((CAST(ssseg AS DOUBLE)
+                      - (CAST(qseg AS DOUBLE) * qseg) / nseg) / (nseg - 1))
+                    * (1.0 / p + 1.0 / (nseg - p))) AS t
+      FROM seg
+      WHERE p < nseg AND nseg >= 3
+        AND (CAST(ssseg AS DOUBLE)
+             - (CAST(qseg AS DOUBLE) * qseg) / nseg) > 0
+    ),
+    m2 AS (SELECT g, seg, max(abs(t)) AS tmax FROM cand2 GROUP BY g, seg),
+    best2 AS (
+      SELECT cand2.g, cand2.seg, min(p) AS split_p
+      FROM cand2 JOIN m2
+        ON cand2.g = m2.g AND cand2.seg = m2.seg
+       AND abs(cand2.t) = m2.tmax
+      GROUP BY cand2.g, cand2.seg
+    )
+    SELECT cand2.g AS event_type, cand2.seg AS segment,
+           cand2.nseg AS n_bins_seg, best2.split_p,
+           cand2.h AS split_hour,
+           {dround('abs(cand2.t)', 6)} AS t_max
+    FROM best2 JOIN cand2
+      ON best2.g = cand2.g AND best2.seg = cand2.seg
+     AND best2.split_p = cand2.p
+    """,
+    tags=("W3", "A10", "A2"),
+)
+def c39b_cbs_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBS recursion, depth 2 (r10; completes c39's single split into
+    the algorithm's actual loop [PK: Olshen et al. 2004]): after the
+    level-1 breakpoint per series, re-run the same max-|t| split
+    WITHIN each resulting segment, under each segment's own pooled
+    variance. The structural point — and why this composes at 100 TB —
+    is that level 2 needs NO second pass over the data: the single
+    prefix table already computed for level 1 carries running
+    [Σc, count, Σc²], and every segment-local quantity is a
+    SUBTRACTION against the split row's prefix values (left segment:
+    the prefixes verbatim; right segment: prefix minus the anchor).
+    The recursion deepens by joining tiny (series, segment) anchor
+    tables back onto the same bins relation — depth d costs d tiny
+    joins, not d scans.
+
+    Plan shape for 100 TB: identical to c39 with one more running-sum
+    column in the SAME bucketed single pass (multi-val
+    with_grouped_running_sum — three prefix columns, one Window), the
+    spill-checkpointed bins table reused by every level, and per-level
+    argmaxes as per-(series, segment) max + equality joins. No
+    raw-row window, no recomputation across levels.
+    """
+    from nipd_spark.operators import ranks
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    ev = load(spark, sf_dir, "events")
+    series = spill_checkpoint(
+        ev.groupBy(
+            F.col("event_type").alias("g"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("hk", F.unix_micros("h"))
+        .withColumn("one", F.lit(1).cast("long"))
+        .withColumn("c2", F.col("c") * F.col("c"))
+    )
+    pre = ranks.with_grouped_running_sum(
+        series,
+        group="g",
+        key="hk",
+        tiebreaks=[],
+        val=["c", "one", "c2"],
+        out=["s", "i", "sq"],
+    )
+    pre = spill_checkpoint(pre.select("g", "h", "i", "s", "sq"))
+    tot = series.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("q"),
+        F.sum("c2").cast("long").alias("ss"),
+    )
+
+    def t_expr(sp, p, qseg, nseg, ssseg):
+        sse = ssseg.cast("double") - (qseg.cast("double") * qseg) / nseg
+        var = sse / (nseg - 1)
+        ok = (p < nseg) & (nseg >= 3) & (sse > 0)
+        return ok, F.when(
+            ok,
+            (
+                sp.cast("double") / p
+                - (qseg - sp).cast("double") / (nseg - p)
+            )
+            / F.sqrt(var * (F.lit(1.0) / p + F.lit(1.0) / (nseg - p))),
+        )
+
+    j = pre.join(F.broadcast(tot), "g")
+    ok1, t1 = t_expr(
+        F.col("s"), F.col("i"), F.col("q"), F.col("n"), F.col("ss")
+    )
+    cand = j.filter(ok1).select("g", "i", "s", "sq", t1.alias("t"))
+    m = cand.groupBy("g").agg(F.max(F.abs(F.col("t"))).alias("tmax"))
+    best = (
+        cand.join(F.broadcast(m), "g")
+        .filter(F.abs(F.col("t")) == F.col("tmax"))
+        .groupBy("g")
+        .agg(F.min("i").alias("split_i"))
+    )
+    ca = cand.alias("ca")
+    be = best.alias("be")
+    anchor = ca.join(
+        F.broadcast(be),
+        (F.col("ca.g") == F.col("be.g"))
+        & (F.col("ca.i") == F.col("be.split_i")),
+    ).select(
+        F.col("ca.g").alias("g"),
+        "split_i",
+        F.col("ca.s").alias("split_s"),
+        F.col("ca.sq").alias("split_sq"),
+    )
+
+    left = F.col("i") <= F.col("split_i")
+    seg = (
+        pre.join(F.broadcast(anchor), "g")
+        .join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            "h",
+            F.when(left, F.lit("L")).otherwise(F.lit("R")).alias("seg"),
+            F.when(left, F.col("split_i"))
+            .otherwise(F.col("n") - F.col("split_i"))
+            .alias("nseg"),
+            F.when(left, F.col("i"))
+            .otherwise(F.col("i") - F.col("split_i"))
+            .alias("p"),
+            F.when(left, F.col("s"))
+            .otherwise(F.col("s") - F.col("split_s"))
+            .alias("sp"),
+            F.when(left, F.col("split_s"))
+            .otherwise(F.col("q") - F.col("split_s"))
+            .alias("qseg"),
+            F.when(left, F.col("split_sq"))
+            .otherwise(F.col("ss") - F.col("split_sq"))
+            .alias("ssseg"),
+        )
+    )
+    ok2, t2 = t_expr(
+        F.col("sp"), F.col("p"), F.col("qseg"), F.col("nseg"),
+        F.col("ssseg"),
+    )
+    cand2 = seg.filter(ok2).select(
+        "g", "seg", "h", "p", "nseg", t2.alias("t")
+    )
+    m2 = cand2.groupBy("g", "seg").agg(
+        F.max(F.abs(F.col("t"))).alias("tmax")
+    )
+    best2 = (
+        cand2.join(F.broadcast(m2), ["g", "seg"])
+        .filter(F.abs(F.col("t")) == F.col("tmax"))
+        .groupBy("g", "seg")
+        .agg(F.min("p").alias("split_p"))
+    )
+    c2a = cand2.alias("c2a")
+    b2 = best2.alias("b2")
+    return c2a.join(
+        F.broadcast(b2),
+        (F.col("c2a.g") == F.col("b2.g"))
+        & (F.col("c2a.seg") == F.col("b2.seg"))
+        & (F.col("c2a.p") == F.col("b2.split_p")),
+    ).select(
+        F.col("c2a.g").alias("event_type"),
+        F.col("c2a.seg").alias("segment"),
+        F.col("c2a.nseg").alias("n_bins_seg"),
+        F.col("b2.split_p").alias("split_p"),
+        F.col("c2a.h").alias("split_hour"),
+        F.round(F.abs(F.col("c2a.t")), 6).alias("t_max"),
+    )

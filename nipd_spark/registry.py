@@ -76,6 +76,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "t23_state_ttl_eviction",
     "sql7_qualify",
     "o7_skyline",
+    "c39b_cbs_recursion",
     # (2) changed since last attestation
     "dq10_ks_two_sample",
     "j21_asof_sql_surface",
@@ -121,7 +122,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "a8_collect_sorted",
     "a9_percentiles",
     "l11_centroids",
-    "l12_language_id",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -3648,3 +3648,69 @@ def test_skyline_matches_bruteforce(spark):
     finally:
         rmod.load = orig_load
     assert got == want == {1, 2, 5, 7, 9}
+
+
+def test_cbs_recursion_matches_python_reference(spark):
+    """c39b against a from-scratch depth-2 reference: on a 3-step
+    series the level-1 split must isolate one boundary and each
+    segment's level-2 split must find the remaining one, with
+    segment-local pooled variances."""
+    import datetime
+    import math
+
+    import nipd_spark.queries.composites as cmod
+
+    def ref_split(xs):
+        n = len(xs)
+        q = sum(xs)
+        ss = sum(x * x for x in xs)
+        sse = ss - q * q / n
+        if n < 3 or sse <= 0:
+            return None
+        var = sse / (n - 1)
+        best = None
+        s = 0
+        for i in range(1, n):
+            s += xs[i - 1]
+            t = (s / i - (q - s) / (n - i)) / math.sqrt(
+                var * (1 / i + 1 / (n - i))
+            )
+            if best is None or abs(t) > best[1] + 1e-15:
+                best = (i, abs(t))
+        return best
+
+    xs = [2] * 8 + [9] * 8 + [5] * 6  # two true boundaries
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h, seconds=j), j)
+        for h, c in enumerate(xs)
+        for j in range(c)
+    ]
+    ev = spark.createDataFrame(
+        [("step", ts, j) for ts, j in rows],
+        "event_type string, ts timestamp, event_id long",
+    )
+    l1_i, _ = ref_split(xs)
+    want = {}
+    for seg, seg_xs, off in (
+        ("L", xs[:l1_i], 0),
+        ("R", xs[l1_i:], l1_i),
+    ):
+        r = ref_split(seg_xs)
+        if r is not None:
+            want[seg] = (len(seg_xs), r[0], round(r[1], 6))
+    orig_load = cmod.load
+    cmod.load = lambda _s, _d, _t, _ev=ev: _ev
+    try:
+        got = {
+            r.segment: (r.n_bins_seg, r.split_p, r.t_max)
+            for r in cmod.c39b_cbs_recursion(spark, "x").collect()
+        }
+    finally:
+        cmod.load = orig_load
+    assert set(got) == set(want)
+    for segk in want:
+        n_want, p_want, t_want = want[segk]
+        n_got, p_got, t_got = got[segk]
+        assert (n_got, p_got) == (n_want, p_want), (segk, got, want)
+        assert abs(t_got - t_want) <= 1e-6

@@ -163,6 +163,7 @@ PROBE = [
     "t23_state_ttl_eviction",  # timer TTL eviction (replay machinery incl.)
     "o7_skyline",  # per-x min collapse + 50-row prefix window + broadcast back
     "sql7_qualify",  # QUALIFY rewrite -> window + filter
+    "c39b_cbs_recursion",  # depth-2 CBS: same pass + anchor-subtraction level 2
 ]
 
 
