@@ -1730,59 +1730,59 @@ def s26_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql7_qualify",
     # Oracle: DuckDB's NATIVE QUALIFY clause — an independent engine's
     # implementation of the same SQL surface (the j21 precedent, for
-    # the post-window filter instead of ASOF). Both predicates run in
-    # one statement: the alias form (rn <= 2) and an inline window
-    # form (dense_rank() OVER ... = 1). All outputs are stored data or
-    # integer ranks — no float discipline needed.
+    # the post-window filter instead of ASOF). Both predicate forms
+    # run in one statement: the alias form (rn <= 2) and an inline
+    # window form (count(*) OVER ... >= 2). All outputs are stored
+    # data or integer ranks — no float discipline needed.
     sql="""
-    SELECT n.n_name, c.c_name, c.c_acctbal,
-           row_number() OVER (PARTITION BY n.n_name
-                              ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE c.c_acctbal > 0
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey)
+             AS rn
+    FROM orders
+    WHERE o_orderstatus <> 'F'
     QUALIFY rn <= 2
-       AND dense_rank() OVER (PARTITION BY c.c_mktsegment
-                              ORDER BY c.c_custkey) >= 1
+       AND count(*) OVER (PARTITION BY o_custkey) >= 2
     """,
-    tags=("W1", "O4", "J1"),
+    tags=("W1", "O4", "A5"),
 )
 def sql7_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The QUALIFY clause (nipd_spark/sqlext.qualify_sql): the
     post-window filter Snowflake standardized and DuckDB/BigQuery
     adopted [PK: Snowflake QUALIFY docs; DuckDB QUALIFY docs], absent
     from Spark SQL 4.1 — the second SQL-surface gap a reference user
-    migrating raw SQL hits after ASOF (r9's j21). The whole per-nation
-    top-2-customers query is ONE SQL string: a join, a WHERE, a
+    migrating raw SQL hits after ASOF (r9's j21). The whole
+    top-2-open-orders-per-customer query is ONE SQL string: a WHERE, a
     select-list window alias referenced by QUALIFY (rn <= 2), plus an
-    INLINE window expression in the predicate (hoisted under a
-    generated alias, filtered, and dropped — output schema equals the
-    select list, as in the native engines). Oracle: DuckDB's native
-    QUALIFY, certifying the rewrite end-to-end against an independent
-    implementation.
+    INLINE window expression in the predicate (count(*) OVER the same
+    partition ≥ 2, hoisted under a generated alias, filtered, and
+    dropped — output schema equals the select list, as in the native
+    engines). Oracle: DuckDB's native QUALIFY, certifying the rewrite
+    end-to-end against an independent implementation.
 
     Plan shape for 100 TB: the rewrite is driver-side TEXT work; the
     emitted plan is exactly the window + Filter Catalyst builds for
-    the subquery spelling — the nation dim broadcast, one shuffle on
-    the window partition key, no extra materialization. Pinned in
-    tests/test_plan_quality.py (no CartesianProduct, key-partitioned
-    window, broadcast join).
+    the subquery spelling — ONE shuffle on o_custkey shared by both
+    window functions, no extra materialization. The partition key
+    GROWS with the data (customers), so the window parallelism scales
+    — deliberately not a bounded-domain key, which would funnel raw
+    rows through a fixed task count (the lint rule that caught this
+    query's first draft). Pinned in tests/test_plan_quality.py (no
+    CartesianProduct, key-partitioned windows, no Python).
     """
     from nipd_spark.sqlext import qualify_sql
 
-    load(spark, sf_dir, "customer").createOrReplaceTempView("sql7_cust")
-    load(spark, sf_dir, "nation").createOrReplaceTempView("sql7_nation")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql7_orders")
     return qualify_sql(
         spark,
         """
-        SELECT n.n_name, c.c_name, c.c_acctbal,
-               row_number() OVER (PARTITION BY n.n_name
-                                  ORDER BY c.c_acctbal DESC, c.c_custkey)
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
                  AS rn
-        FROM sql7_cust c JOIN sql7_nation n
-          ON c.c_nationkey = n.n_nationkey
-        WHERE c.c_acctbal > 0
+        FROM sql7_orders
+        WHERE o_orderstatus <> 'F'
         QUALIFY rn <= 2
-           AND dense_rank() OVER (PARTITION BY c.c_mktsegment
-                                  ORDER BY c.c_custkey) >= 1
+           AND count(*) OVER (PARTITION BY o_custkey) >= 2
         """,
     )

@@ -876,12 +876,13 @@ def test_dq10_single_bucket_pass(spark, sf_dir):
 
 def test_sql7_qualify_plan_shape(spark, sf_dir):
     """The QUALIFY rewrite (sql7) must emit the plan Catalyst builds
-    for the subquery spelling: broadcast dim join, key-partitioned
-    windows, a plain Filter — no CartesianProduct, no Python, no
-    global window."""
+    for the subquery spelling: both window functions share the ONE
+    o_custkey shuffle (a growing partition key — never a
+    bounded-domain raw-row funnel), a plain Filter — no
+    CartesianProduct, no Python, no global window."""
     plan = _plan(spark, sf_dir, "sql7_qualify")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan
     assert "windowspecdefinition" in plan
-    assert ", [], [" not in plan  # both windows are key-partitioned
+    assert ", [], [" not in plan  # windows are key-partitioned
+    assert plan.count("Exchange") <= 2  # one shuffle feeds both windows
