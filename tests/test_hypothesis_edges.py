@@ -1137,17 +1137,19 @@ def test_asof_sql_v2_grammar_matches_duckdb(
 ):
     """The widened ASOF SQL grammar (composite ON / USING keys, bounded
     MATCH_CONDITION residual, NULL keys and timestamps) == DuckDB's
-    native multi-equality ASOF across all 2^4 corners. NULL equality
-    keys never match in both engines; for the ORDERING column DuckDB
-    1.0 inherits its sort order (NULL ts sorts last, so a NULL can
-    match a NULL/backward probe — a measured engine quirk, not SQL
-    predicate semantics), while asof_sql follows the stricter
-    Snowflake-style never-match rule — so the oracle normalizes:
-    NULL-ts right rows are filtered before DuckDB's ASOF and NULL-ts
-    left rows are appended as unmatched. The bound is
-    match-then-filter on both engines (DuckDB: WHERE for inner, a
-    CASE-nulled payload for LEFT — identical by construction since
-    the as-of match minimizes the gap)."""
+    native multi-equality ASOF across all 2^4 corners. asof_sql
+    follows the strict Snowflake-style rule — a NULL equality key or
+    NULL ordering timestamp never matches, on either side. DuckDB 1.0
+    is MEASURED to deviate in plan-shape-dependent ways: the ordering
+    column inherits its sort order (NULL ts sorts last and can carry
+    a backward match), and NULL equality keys never match on base
+    tables yet DO group through filtered views (the hash ASOF path's
+    partition semantics — caught by this very fuzz). So the oracle
+    normalizes BOTH: rows with any NULL key/ts are filtered before
+    DuckDB's ASOF and, for LEFT, appended back as unmatched. The
+    bound is match-then-filter on both engines (DuckDB: WHERE for
+    inner, a CASE-nulled payload for LEFT — identical by construction
+    since the as-of match minimizes the gap)."""
     from nipd_spark.sqlext import asof_sql
 
     # unique right (k1,k2,ts) so the match is deterministic; keep rid
@@ -1194,9 +1196,16 @@ def test_asof_sql_v2_grammar_matches_duckdb(
     con.execute("CREATE TABLE r0(k1 BIGINT, k2 BIGINT, rts BIGINT, rid BIGINT)")
     con.executemany("INSERT INTO l0 VALUES (?,?,?,?)", lrows)
     con.executemany("INSERT INTO r0 VALUES (?,?,?,?)", rrows)
-    # normalize DuckDB's NULL-ordering quirk to never-match semantics
-    con.execute("CREATE VIEW l AS SELECT * FROM l0 WHERE ts IS NOT NULL")
-    con.execute("CREATE VIEW r AS SELECT * FROM r0 WHERE rts IS NOT NULL")
+    # normalize DuckDB's NULL quirks (ordering column AND equality
+    # keys — see docstring) to strict never-match semantics
+    con.execute(
+        "CREATE VIEW l AS SELECT * FROM l0 WHERE ts IS NOT NULL "
+        "AND k1 IS NOT NULL AND k2 IS NOT NULL"
+    )
+    con.execute(
+        "CREATE VIEW r AS SELECT * FROM r0 WHERE rts IS NOT NULL "
+        "AND k1 IS NOT NULL AND k2 IS NOT NULL"
+    )
     dgap = "r.rts - l.ts" if forward else "l.ts - r.rts"
     if outer:
         payload = (
@@ -1207,7 +1216,8 @@ def test_asof_sql_v2_grammar_matches_duckdb(
             FROM l ASOF LEFT JOIN r
               ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.ts {op} r.rts
             UNION ALL
-            SELECT lid, NULL AS rid FROM l0 WHERE ts IS NULL
+            SELECT lid, NULL AS rid FROM l0
+            WHERE ts IS NULL OR k1 IS NULL OR k2 IS NULL
             """
     else:
         where = f"WHERE {dgap} <= 3" if bounded else ""
