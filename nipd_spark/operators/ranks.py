@@ -450,3 +450,51 @@ def ntile_from_rn(k: int, rn: Column, n: Column) -> Column:
         .otherwise(r + F.floor((rn - 1 - big) / q) + 1)
         .cast("int")
     )
+
+
+def with_global_running_min(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    val: str,
+    ascending: bool = True,
+    n_buckets: int = 64,
+    out: str = "runmin",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append the global running MIN of ``val`` over the total order —
+    identical to min(val).over(Window.orderBy(...).rowsBetween(
+    unboundedPreceding, 0 if inclusive else -1)) without the
+    single-partition stage. ``inclusive=False`` gives the EXCLUSIVE
+    prefix (strictly-earlier rows; NULL for the global first row) —
+    the sweep-line quantity skyline/frontier algorithms need.
+
+    Same two-level decomposition as the running sums: bucket-local
+    prefix-min window + per-bucket min table + strictly-earlier-bucket
+    offsets (B² triangle join over B rows, broadcast back). min is
+    order-independent, so the result is exact for any type min
+    supports — no float accumulation discipline needed."""
+    b = _with_bucket(df, key, ascending, n_buckets)
+    frame = (Window.unboundedPreceding, 0 if inclusive else -1)
+    w_local = Window.partitionBy(BUCKET).orderBy(
+        *_order(key, ascending, tiebreaks)
+    ).rowsBetween(*frame)
+    local = b.withColumn("__lmin", F.min(val).over(w_local))
+    totals = b.groupBy(BUCKET).agg(F.min(val).alias("__bmin"))
+    a = totals.alias("ta")
+    t = totals.alias("tb")
+    off = (
+        a.join(t, F.col(f"tb.{BUCKET}") < F.col(f"ta.{BUCKET}"), "left")
+        .groupBy(F.col(f"ta.{BUCKET}").alias(BUCKET))
+        .agg(F.min("tb.__bmin").alias("__offset"))
+    )
+    merged = (
+        F.when(F.col("__lmin").isNull(), F.col("__offset"))
+        .when(F.col("__offset").isNull(), F.col("__lmin"))
+        .otherwise(F.least(F.col("__lmin"), F.col("__offset")))
+    )
+    return (
+        local.join(F.broadcast(off), BUCKET)
+        .withColumn(out, merged)
+        .drop(BUCKET, "__lmin", "__offset")
+    )

@@ -1410,3 +1410,76 @@ def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias("p_retailprice"),
         )
     )
+
+
+@query(
+    "o7b_skyline_continuous",
+    # Oracle: the same NOT EXISTS domination definition with the
+    # criteria roles swapped — price is the (continuous) sweep key,
+    # size the frontier value. O(n²) in DuckDB; ground truth only.
+    sql="""
+    WITH p AS (
+      SELECT p_partkey, p_retailprice AS x, p_size AS y FROM part
+    )
+    SELECT a.p_partkey, a.x AS p_retailprice, a.y AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
+    )
+    """,
+    tags=("O4", "J5", "W3"),
+)
+def o7b_skyline_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline with a CONTINUOUS first criterion — the scale path
+    o7's docstring promises, realized: minimizing (p_retailprice,
+    p_size), where the sweep key (price) has data-sized cardinality,
+    so o7's fixed-domain 50-row window is unavailable and the
+    exclusive prefix-min must itself be distributed. The sweep
+    identity is unchanged [PK: Börzsönyi et al. ICDE 2001's sort-
+    filter skyline, distributed]: collapse to per-price min-size
+    (keyed agg — one row per DISTINCT price), take the EXCLUSIVE
+    running min of min-size over ascending price via the bucketed
+    two-level prefix (operators/ranks.with_global_running_min:
+    bucket-local prefix-min window + B-row strictly-earlier-bucket
+    offsets — 64-way parallel, never Window.orderBy's single
+    partition), keep prices that strictly beat it, and broadcast the
+    surviving frontier back onto the scan (rows equal to their
+    price-group min).
+
+    Plan shape for 100 TB: one keyed partial-agg shuffle (the per-x
+    collapse, the only fact-sized stage), the bucketed prefix-min
+    (one more shuffle over the collapsed table + a broadcast of B
+    offsets), and a broadcast/shuffle semi-filter back. The skyline
+    itself is provably small for independent-ish criteria (O(log n)
+    expected points), so the join-back side is tiny. min is order-
+    independent — no float-accumulation discipline needed; equality
+    of stored doubles is exact cross-engine.
+    """
+    from nipd_spark.operators.ranks import with_global_running_min
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("x"),
+        F.col("p_size").alias("y"),
+    )
+    gmin = p.groupBy("x").agg(F.min("y").alias("miny"))
+    sky_x = with_global_running_min(
+        gmin,
+        key="x",
+        tiebreaks=[],
+        val="miny",
+        out="prevmin",
+        inclusive=False,
+    ).filter(
+        F.col("prevmin").isNull() | (F.col("miny") < F.col("prevmin"))
+    )
+    return (
+        p.join(F.broadcast(sky_x.select("x", "miny")), "x")
+        .filter(F.col("y") == F.col("miny"))
+        .select(
+            "p_partkey",
+            F.col("x").alias("p_retailprice"),
+            F.col("y").alias("p_size"),
+        )
+    )

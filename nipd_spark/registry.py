@@ -77,6 +77,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "sql7_qualify",
     "o7_skyline",
     "c39b_cbs_recursion",
+    "o7b_skyline_continuous",
     # (2) changed since last attestation
     "dq10_ks_two_sample",
     "j21_asof_sql_surface",
@@ -121,7 +122,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "a7_pivot",
     "a8_collect_sorted",
     "a9_percentiles",
-    "l11_centroids",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

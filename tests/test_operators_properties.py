@@ -3714,3 +3714,88 @@ def test_cbs_recursion_matches_python_reference(spark):
         n_got, p_got, t_got = got[segk]
         assert (n_got, p_got) == (n_want, p_want), (segk, got, want)
         assert abs(t_got - t_want) <= 1e-6
+
+
+def test_global_running_min_matches_window(spark):
+    """with_global_running_min == the unpartitioned-Window prefix-min,
+    inclusive AND exclusive frames, asc and desc, with duplicate keys
+    (tiebreak ordering) and a value column hitting new minima late."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nipd_spark.operators import ranks
+
+    rng = random.Random(31)
+    rows = [
+        (i, float(rng.randint(-30, 30)), rng.randint(-99, 99))
+        for i in range(350)
+    ]
+    df = spark.createDataFrame(rows, "id long, k double, v long")
+    for asc in (True, False):
+        head = F.col("k").asc() if asc else F.col("k").desc()
+        for inclusive in (True, False):
+            frame = (Window.unboundedPreceding, 0 if inclusive else -1)
+            w = Window.orderBy(head, F.col("id").asc()).rowsBetween(*frame)
+            want = {
+                r.id: r.m
+                for r in df.select(
+                    "id", F.min("v").over(w).alias("m")
+                ).collect()
+            }
+            got = {
+                r.id: r.m
+                for r in ranks.with_global_running_min(
+                    df,
+                    key="k",
+                    tiebreaks=["id"],
+                    val="v",
+                    ascending=asc,
+                    n_buckets=8,
+                    out="m",
+                    inclusive=inclusive,
+                ).collect()
+            }
+            assert got == want, (asc, inclusive)
+
+
+def test_skyline_continuous_matches_bruteforce(spark):
+    """o7b (bucketed running-min sweep over a continuous key) == the
+    brute-force domination scan, with duplicate sweep-key values,
+    frontier duplicates, and a late new global minimum."""
+    import nipd_spark.queries.relational as rmod
+
+    rows = [
+        (1, 10.5, 9),
+        (2, 10.5, 7),    # same price, smaller size — dominates 1
+        (3, 11.25, 7),   # equal size, higher price — dominated by 2
+        (4, 12.0, 5),
+        (5, 12.0, 5),    # duplicate frontier point — both kept
+        (6, 13.0, 6),    # dominated by 4/5
+        (7, 20.0, 1),    # late new minimum
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+
+    def dominated(a, b):
+        return (
+            b[1] <= a[1] and b[2] <= a[2]
+            and (b[1] < a[1] or b[2] < a[2])
+        )
+
+    want = {
+        r[0]
+        for r in rows
+        if not any(dominated(r, o) for o in rows if o is not r)
+    }
+    orig_load = rmod.load
+    rmod.load = lambda _s, _d, _t, _df=df: _df
+    try:
+        got = {
+            r.p_partkey
+            for r in rmod.o7b_skyline_continuous(spark, "x").collect()
+        }
+    finally:
+        rmod.load = orig_load
+    assert got == want == {2, 4, 5, 7}

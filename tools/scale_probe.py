@@ -164,6 +164,7 @@ PROBE = [
     "o7_skyline",  # per-x min collapse + 50-row prefix window + broadcast back
     "sql7_qualify",  # QUALIFY rewrite -> window + filter
     "c39b_cbs_recursion",  # depth-2 CBS: same pass + anchor-subtraction level 2
+    "o7b_skyline_continuous",  # continuous-key skyline on bucketed running-min
 ]
 
 
