@@ -70,18 +70,29 @@ def _order(key: str, ascending: bool, tiebreaks: list[str]) -> list[Column]:
     return [head] + [F.col(t).asc() for t in tiebreaks]
 
 
-def _offsets(per_bucket: DataFrame, agg_col: str) -> DataFrame:
-    """Exclusive prefix over bucket index: offset(b) = Σ agg over
-    buckets < b. B² triangle join on B rows — trivially broadcastable."""
+def _offsets(
+    per_bucket: DataFrame,
+    aggs: list[tuple],
+) -> DataFrame:
+    """Exclusive prefix over bucket index: for each (agg_fn, col, out)
+    triple, out(b) = agg_fn(col) over buckets STRICTLY < b (NULL for
+    the first bucket when the agg has no identity — callers coalesce).
+    One B² triangle join on B rows — trivially broadcastable — shared
+    by every requested aggregate, so N offset columns cost the same
+    single non-equi join the plan lint already tolerates (one shape,
+    one site, instead of hand-copied variants per aggregate)."""
     a = per_bucket.alias("ta")
     b = per_bucket.alias("tb")
     return (
         a.join(b, F.col(f"tb.{BUCKET}") < F.col(f"ta.{BUCKET}"), "left")
         .groupBy(F.col(f"ta.{BUCKET}").alias(BUCKET))
-        .agg(
-            F.coalesce(F.sum(f"tb.{agg_col}"), F.lit(0)).alias("__offset")
-        )
+        .agg(*[fn(f"tb.{col}").alias(out) for fn, col, out in aggs])
     )
+
+
+def _sum0(col: str) -> Column:
+    """Sum with a 0 identity for the first bucket (left join no-match)."""
+    return F.coalesce(F.sum(col), F.lit(0))
 
 
 def with_global_rn(
@@ -102,7 +113,7 @@ def with_global_rn(
     )
     local = b.withColumn("__lrn", F.row_number().over(w_local))
     totals = b.groupBy(BUCKET).agg(F.count("*").alias("__cnt"))
-    off = _offsets(totals, "__cnt")
+    off = _offsets(totals, [(_sum0, "__cnt", "__offset")])
     return (
         local.join(F.broadcast(off), BUCKET)
         .withColumn(out, (F.col("__lrn") + F.col("__offset")).cast("int"))
@@ -148,19 +159,9 @@ def with_global_running_sum(
         *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(vals)]
     )
     # exclusive per-bucket offsets for every column in one triangle join
-    a = totals.alias("ta")
-    t = totals.alias("tb")
-    off = (
-        a.join(t, F.col(f"tb.{BUCKET}") < F.col(f"ta.{BUCKET}"), "left")
-        .groupBy(F.col(f"ta.{BUCKET}").alias(BUCKET))
-        .agg(
-            *[
-                F.coalesce(F.sum(f"tb.__tot{i}"), F.lit(0)).alias(
-                    f"__offset{i}"
-                )
-                for i in range(len(vals))
-            ]
-        )
+    off = _offsets(
+        totals,
+        [(_sum0, f"__tot{i}", f"__offset{i}") for i in range(len(vals))],
     )
     res = local.join(F.broadcast(off), BUCKET)
     for i, o in enumerate(outs):
@@ -481,13 +482,7 @@ def with_global_running_min(
     ).rowsBetween(*frame)
     local = b.withColumn("__lmin", F.min(val).over(w_local))
     totals = b.groupBy(BUCKET).agg(F.min(val).alias("__bmin"))
-    a = totals.alias("ta")
-    t = totals.alias("tb")
-    off = (
-        a.join(t, F.col(f"tb.{BUCKET}") < F.col(f"ta.{BUCKET}"), "left")
-        .groupBy(F.col(f"ta.{BUCKET}").alias(BUCKET))
-        .agg(F.min("tb.__bmin").alias("__offset"))
-    )
+    off = _offsets(totals, [(F.min, "__bmin", "__offset")])
     merged = (
         F.when(F.col("__lmin").isNull(), F.col("__offset"))
         .when(F.col("__offset").isNull(), F.col("__lmin"))

@@ -45,7 +45,11 @@ otherwise):
     after matching equals matching under the bound;
   - ON takes one or more ``=`` equalities joined by AND; each equality
     must reference both aliases (key column names may differ per
-    side). USING (k, ...) is the same-name shorthand;
+    side). USING (k, ...) is the same-name shorthand. A trailing
+    non-equality conjunct after the ON equalities (DuckDB's
+    ``ON a.k = b.k AND a.ts >= b.ts`` spelling) is rejected loudly —
+    the as-of comparison and residual bounds belong in
+    MATCH_CONDITION;
   - right columns surface as ``<ra>_<col>`` after the rewrite (the
     rewriter maps ``ra.col`` references automatically; literals inside
     single-quoted strings are left untouched);
@@ -233,6 +237,21 @@ def asof_sql(spark: SparkSession, text: str) -> DataFrame:
                 else:
                     keys.append((eq["bk"], eq["ak"]))
             clause_end = om.end()
+            # _ON_RE consumes only the leading run of equality
+            # conjuncts; a trailing non-equality conjunct (the natural
+            # DuckDB spelling 'ON a.k = b.k AND a.ts >= b.rts') would
+            # otherwise dangle as 'AND ...' after the spliced FROM and
+            # surface as an opaque Spark parse error. Reject it loudly
+            # here, per the documented grammar (r10 ADVICE).
+            dangling = re.match(r"\s*AND\b", text[clause_end:], re.IGNORECASE)
+            if dangling:
+                raise ValueError(
+                    "asof_sql: ON accepts only '=' equality conjuncts; "
+                    "put the as-of comparison and any residual bounds "
+                    "inside MATCH_CONDITION (...) — got a trailing "
+                    f"non-equality conjunct after ON: "
+                    f"{text[clause_end:clause_end + 60].strip()!r}"
+                )
         elif um:
             keys = [(k.strip(), k.strip()) for k in um["ks"].split(",")]
             clause_end = um.end()
@@ -411,7 +430,14 @@ def qualify_sql(spark: SparkSession, text: str) -> DataFrame:
     the original select list, exactly as in the native engines.
     Columns not in the select list cannot be referenced (the rewrite
     filters the PROJECTED relation; Spark raises its ordinary
-    unresolved-column error).
+    unresolved-column error). When the predicate carries inline window
+    expressions, a head with top-level SELECT DISTINCT or a set
+    operation (UNION/INTERSECT/EXCEPT) is rejected loudly — hoisting
+    the auxiliary column would change the dedup set or land in one
+    branch only (QUALIFY without inline windows, referencing
+    select-list aliases, still composes with DISTINCT: the filter is a
+    row-function of the projected columns, so it commutes with the
+    dedup).
 
     Scale notes (100 TB): text-only driver-side rewrite; the plan is
     the ordinary window + filter Catalyst would build for the
@@ -444,6 +470,23 @@ def qualify_sql(spark: SparkSession, text: str) -> DataFrame:
         raise ValueError("qualify_sql: empty QUALIFY predicate")
     pred, aux = _extract_windows(pred)
     if aux:
+        # Hoisting an auxiliary window column into the select list is
+        # only sound when the head is a plain SELECT: under SELECT
+        # DISTINCT the extra column would change the dedup set (native
+        # engines evaluate QUALIFY before DISTINCT), and under a
+        # top-level set operation it would land in only the first
+        # branch's select list. Loud rejection, per the module's
+        # documented-grammar contract (r10 ADVICE); spell the window in
+        # a subquery's select list instead.
+        for kw in ("DISTINCT", "UNION", "INTERSECT", "EXCEPT"):
+            if _find_top_keyword(head, kw) >= 0:
+                raise ValueError(
+                    "qualify_sql: QUALIFY with inline window "
+                    "expressions cannot be combined with a top-level "
+                    f"{kw} — the hoisted auxiliary column would change "
+                    "the dedup set / apply to one branch only; name "
+                    "the window in a subquery select list instead"
+                )
         f = _find_top_keyword(head, "FROM")
         if f < 0:
             raise ValueError("qualify_sql: no top-level FROM")
