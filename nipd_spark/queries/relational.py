@@ -1362,7 +1362,7 @@ def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
     )
     """,
-    tags=("O4", "J5", "W3"),
+    tags=("O7", "O4", "J5", "W3"),
 )
 def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto-optimal set) over parts minimizing
@@ -1441,7 +1441,7 @@ def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
     )
     """,
-    tags=("O4", "J5", "W3"),
+    tags=("O7", "O4", "J5", "W3"),
 )
 def o7b_skyline_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline with a CONTINUOUS first criterion — the scale path
