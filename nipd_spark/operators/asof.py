@@ -57,9 +57,27 @@ def asof_join(
     LARGEST tiebreak wins in both directions — switching direction
     never silently changes the tie rule. Same one-shuffle one-sort
     cost profile either way.
+
+    "nearest" (pandas ``merge_asof(direction='nearest')`` [PK]) carries
+    whichever of the backward and forward candidates minimizes the
+    absolute timestamp gap; an exact gap tie prefers the BACKWARD
+    candidate (pandas' rule), and within each direction the usual
+    largest-tiebreak rule applies at equal right ts. Implemented as
+    the backward pass composed with the forward pass (each leg's
+    payload internally renamed) plus a per-row argmin projection —
+    two key-shuffles + two in-partition sorts, still never a pair
+    blowup. Gap comparison is exact: integer µs for timestamp keys
+    (unix_micros), native arithmetic for numeric keys. Requires an
+    orderable-with-subtraction ts type (timestamp or numeric).
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, key, left_ts, right_ts, right_payload, tiebreak
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     back = direction == "backward"
     keys = [key] if isinstance(key, str) else list(key)
     kcols = [f"__k{i}" for i in range(len(keys))]
@@ -100,3 +118,83 @@ def asof_join(
         *[F.col(f"__match.{c}").alias(c) for c in right_payload],
     )
     return out
+
+
+def _ts_num(col_name: str, df: DataFrame):
+    """A subtraction-safe numeric image of a timestamp/numeric column
+    (exact integer µs for timestamps; identity for numerics)."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col_name))
+    if isinstance(dt, DateType):
+        return F.unix_date(F.col(col_name))
+    return F.col(col_name)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None,
+) -> DataFrame:
+    """nearest = argmin(|gap|) over the backward and forward as-of
+    candidates; exact ties prefer backward (pandas merge_asof rule).
+    The forward pass runs on the backward pass's OUTPUT (which keeps
+    every left row and only appends columns), so no row-id join-back
+    is ever needed — two key-shuffles, zero extra joins."""
+    keys = [key] if isinstance(key, str) else list(key)
+    # each leg's payload (plus the right ts for the gap) renamed so the
+    # two carries never collide, even when right_payload includes the
+    # ts/key columns themselves
+    aug = list(dict.fromkeys([*right_payload, right_ts]))
+    sel: dict[str, object] = {k: F.col(k) for k in keys}
+    sel[right_ts] = F.col(right_ts)
+    if tiebreak:
+        sel[tiebreak] = F.col(tiebreak)
+    b_names = {c: f"__nb_{i}" for i, c in enumerate(aug)}
+    f_names = {c: f"__nf_{i}" for i, c in enumerate(aug)}
+    rb = right.select(
+        *sel.values(), *[F.col(c).alias(b_names[c]) for c in aug]
+    )
+    rf = right.select(
+        *sel.values(), *[F.col(c).alias(f_names[c]) for c in aug]
+    )
+    bwd = asof_join(
+        left, rb, keys, left_ts, right_ts,
+        [b_names[c] for c in aug], tiebreak, "backward",
+    )
+    both = asof_join(
+        bwd, rf, keys, left_ts, right_ts,
+        [f_names[c] for c in aug], tiebreak, "forward",
+    )
+    lts = _ts_num(left_ts, left)
+    # gaps over the carried right ts columns (same type as left_ts)
+    def _num(name: str):
+        from pyspark.sql.types import DateType, TimestampType
+
+        dt = right.schema[right_ts].dataType
+        if isinstance(dt, TimestampType):
+            return F.unix_micros(F.col(name))
+        if isinstance(dt, DateType):
+            return F.unix_date(F.col(name))
+        return F.col(name)
+
+    gap_b = lts - _num(b_names[right_ts])
+    gap_f = _num(f_names[right_ts]) - lts
+    use_b = F.col(f_names[right_ts]).isNull() | (
+        F.col(b_names[right_ts]).isNotNull() & (gap_b <= gap_f)
+    )
+    return both.select(
+        *left.columns,
+        *[
+            F.when(use_b, F.col(b_names[c]))
+            .otherwise(F.col(f_names[c]))
+            .alias(c)
+            for c in right_payload
+        ],
+    )

@@ -682,3 +682,203 @@ def j21c_asof_sql_bounded_using(
         GROUP BY p.user_id
         """,
     )
+
+
+@query(
+    "j22_asof_nearest",
+    # Oracle: the nearest direction re-expressed as the ARGMIN of the
+    # two native DuckDB ASOF directions — backward and forward LEFT
+    # legs joined on the purchase id, then a per-row gap comparison
+    # with the backward-preferred tie rule. Gaps compared in exact
+    # integer µs; no float discipline needed.
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id AS b_id, c.cts AS b_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts
+    ),
+    f AS (
+      SELECT p.event_id, c.click_id AS f_id, c.cts AS f_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.cts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                          <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN b.b_id ELSE f.f_id END AS click_id,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                          <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                ELSE epoch_us(f.f_ts) - epoch_us(b.ts) END AS dist_us,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                          <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN 'b' ELSE 'f' END AS side
+    FROM b JOIN f USING (event_id)
+    WHERE b.b_id IS NOT NULL OR f.f_id IS NOT NULL
+    """,
+    tags=("J9",),
+)
+def j22_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF ``nearest`` direction (r10 VERDICT "What's missing" #3 —
+    the last pandas ``merge_asof`` direction a migrating user couldn't
+    spell): each purchase matched to the same-user click CLOSEST in
+    absolute time, before or after, unbounded; an exact-gap tie
+    prefers the backward (at-or-before) click, pandas' rule [PK:
+    pandas.merge_asof docs]. Unlike j17's banded form, no time band is
+    assumed — a user's only click may be days away and still matches.
+
+    Oracle: DuckDB's two native ASOF directions (LEFT legs) joined on
+    the purchase and reduced by the same argmin + tie rule — an
+    independent re-expression of the composition the operator performs.
+    (user_id, ts) is duplicate-free per side in the corpus, so the
+    match is unique. Inner semantics: purchases of users with no
+    clicks at all drop.
+
+    Plan shape for 100 TB: two union+window passes over the same
+    user_id shuffle key (backward then forward on the backward pass's
+    output — the forward pass only appends columns, so no row-id
+    join-back exists anywhere) + a per-row argmin projection. Cost =
+    2× the one-directional as-of: two key shuffles, two in-partition
+    sorts, zero pairwise blowup, no driver-side work.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        right_payload=["click_id", "cts"],
+        tiebreak="click_id",
+        direction="nearest",
+    )
+    return out.filter(F.col("click_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.abs(F.unix_micros("ts") - F.unix_micros("cts")).alias("dist_us"),
+        # forward-chosen implies cts > ts strictly: an equal-ts click is
+        # seen by BOTH legs with gap 0 and the tie prefers backward
+        F.when(F.col("cts") <= F.col("ts"), F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("side"),
+    )
+
+
+@query(
+    "j22b_asof_nearest_sql",
+    # Oracle: bounded-nearest per-user aggregate via the same two-leg
+    # argmin re-expression; the |gap| bound applied AFTER the argmin
+    # (match-then-filter) — equivalent to matching under the bound
+    # because nearest minimizes |gap| and the bound is monotone in it.
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id AS b_id, c.cts AS b_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts
+    ),
+    f AS (
+      SELECT p.event_id, c.click_id AS f_id, c.cts AS f_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.cts
+    ),
+    m AS (
+      SELECT b.event_id, b.user_id,
+             CASE WHEN f.f_ts IS NULL
+                    OR (b.b_ts IS NOT NULL
+                        AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                            <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                  THEN b.b_id ELSE f.f_id END AS click_id,
+             CASE WHEN f.f_ts IS NULL
+                    OR (b.b_ts IS NOT NULL
+                        AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                            <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                  THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                  ELSE epoch_us(f.f_ts) - epoch_us(b.ts) END AS dist_us
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           count(CASE WHEN dist_us <= 1800000000 THEN click_id END)
+             AS n_matched,
+           CAST(coalesce(sum(CASE WHEN dist_us <= 1800000000
+                                  THEN dist_us END), 0) AS BIGINT)
+             AS sum_dist_us
+    FROM m
+    GROUP BY user_id
+    """,
+    tags=("J9", "A12"),
+)
+def j22b_asof_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text spelling of the nearest direction — the
+    ``MATCH_CONDITION (NEAREST(a.ts, b.ts) [AND bound])`` grammar
+    extension (documented in nipd_spark/sqlext.py; Snowflake/DuckDB
+    define no nearest keyword, so the spelling is this engine's,
+    loudly scoped) — exercised end-to-end as an ASOF LEFT JOIN with a
+    ±30 min |gap| residual bound, aggregated per user: purchases,
+    bounded-nearest matches, and the summed match distance.
+
+    Oracle: the two-native-ASOF argmin re-expression with the bound
+    applied after the argmin — equivalent by the monotone-bound
+    argument (the nearest match minimizes |gap|; if IT violates a
+    symmetric |gap| bound, every candidate does).
+
+    Plan shape for 100 TB: identical to j22 (two key-shuffle window
+    passes + argmin projection) with the residual bound as a
+    post-window Catalyst projection/filter; the GROUP BY rides the
+    same user_id partitioning.
+    """
+    from nipd_spark.sqlext import asof_sql
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    ).createOrReplaceTempView("j22b_clicks")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    ).createOrReplaceTempView("j22b_purchases")
+    return asof_sql(
+        spark,
+        """
+        SELECT p.user_id,
+               count(*) AS n_purchases,
+               count(c.click_id) AS n_matched,
+               coalesce(sum(abs(unix_micros(p.ts) - unix_micros(c.ts))),
+                        0) AS sum_dist_us
+        FROM j22b_purchases p
+        ASOF LEFT JOIN j22b_clicks c
+        MATCH_CONDITION (NEAREST(p.ts, c.ts)
+                         AND abs(unix_micros(p.ts) - unix_micros(c.ts))
+                             <= 1800000000)
+        ON p.user_id = c.user_id
+        GROUP BY p.user_id
+        """,
+    )

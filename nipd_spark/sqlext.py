@@ -33,7 +33,12 @@ otherwise):
   - MATCH_CONDITION's FIRST conjunct is the as-of comparison: a single
     ``>=`` (backward: latest right row at or before) or ``<=``
     (forward: earliest right row at or after), with the two sides
-    resolving to DIFFERENT table aliases;
+    resolving to DIFFERENT table aliases — or, as a documented
+    extension beyond the Snowflake/DuckDB grammar,
+    ``NEAREST(<a>.<ts>, <b>.<ts>)``: pandas
+    merge_asof(direction='nearest') semantics, the candidate
+    minimizing the absolute gap over both directions with exact ties
+    preferring the backward (at-or-before) row;
   - optional further MATCH_CONDITION conjuncts form a *residual bound*
     — any Spark SQL boolean expression over the two aliases (e.g.
     ``unix_micros(l.ts) - unix_micros(r.ts) <= 3600000000`` or
@@ -97,6 +102,15 @@ _HEAD_RE = re.compile(
 _PRIMARY_RE = re.compile(
     r"^\s*(?P<ma>\w+)\.(?P<mats>\w+)\s*(?P<op>>=|<=)\s*"
     r"(?P<mb>\w+)\.(?P<mbts>\w+)\s*(?:$|AND\s+(?P<resid>.+))",
+    re.IGNORECASE | re.DOTALL,
+)
+# grammar extension beyond Snowflake/DuckDB (documented, loudly scoped):
+# MATCH_CONDITION (NEAREST(<a>.<ts>, <b>.<ts>) [AND <residual bound>])
+# — pandas merge_asof(direction='nearest') semantics: the candidate
+# minimizing |gap| over both directions, exact ties preferring backward.
+_NEAREST_RE = re.compile(
+    r"^\s*NEAREST\s*\(\s*(?P<ma>\w+)\.(?P<mats>\w+)\s*,\s*"
+    r"(?P<mb>\w+)\.(?P<mbts>\w+)\s*\)\s*(?:$|AND\s+(?P<resid>.+))",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_RE = re.compile(
@@ -206,25 +220,40 @@ def asof_sql(spark: SparkSession, text: str) -> DataFrame:
         la, ra = m["la"], m["ra"]
         mc_end = _scan_balanced(text, m.end())
         mc_body = text[m.end() : mc_end - 1]
-        pm = _PRIMARY_RE.match(mc_body)
-        if pm is None:
+        nm = _NEAREST_RE.match(mc_body)
+        pm = None if nm else _PRIMARY_RE.match(mc_body)
+        if nm is not None:
+            # NEAREST(a.ts, b.ts): direction-free — argument order only
+            # fixes which alias owns which timestamp
+            a_is_left = _resolve_pair(
+                nm["ma"], nm["mb"], la, ra, "MATCH_CONDITION NEAREST"
+            )
+            if a_is_left:
+                left_ts, right_ts = nm["mats"], nm["mbts"]
+            else:
+                left_ts, right_ts = nm["mbts"], nm["mats"]
+            direction = "nearest"
+            residual = nm["resid"]
+        elif pm is None:
             raise ValueError(
                 "asof_sql: MATCH_CONDITION must start with "
-                "'<a>.<ts> >=|<= <b>.<ts>' (optionally AND a residual "
-                f"bound), got: {mc_body.strip()!r}"
+                "'<a>.<ts> >=|<= <b>.<ts>' or "
+                "'NEAREST(<a>.<ts>, <b>.<ts>)' (optionally AND a "
+                f"residual bound), got: {mc_body.strip()!r}"
             )
-        # MATCH_CONDITION sides -> left/right timestamps + direction
-        a_is_left = _resolve_pair(
-            pm["ma"], pm["mb"], la, ra, "MATCH_CONDITION"
-        )
-        if a_is_left:
-            left_ts, right_ts, left_op = pm["mats"], pm["mbts"], pm["op"]
         else:
-            # mirror: ra.ts >= la.ts  ==  la.ts <= ra.ts
-            left_ts, right_ts = pm["mbts"], pm["mats"]
-            left_op = "<=" if pm["op"] == ">=" else ">="
-        direction = "backward" if left_op == ">=" else "forward"
-        residual = pm["resid"]
+            # MATCH_CONDITION sides -> left/right timestamps + direction
+            a_is_left = _resolve_pair(
+                pm["ma"], pm["mb"], la, ra, "MATCH_CONDITION"
+            )
+            if a_is_left:
+                left_ts, right_ts, left_op = pm["mats"], pm["mbts"], pm["op"]
+            else:
+                # mirror: ra.ts >= la.ts  ==  la.ts <= ra.ts
+                left_ts, right_ts = pm["mbts"], pm["mats"]
+                left_op = "<=" if pm["op"] == ">=" else ">="
+            direction = "backward" if left_op == ">=" else "forward"
+            residual = pm["resid"]
 
         # key clause: ON equalities or USING same-name list
         om = _ON_RE.match(text, mc_end)

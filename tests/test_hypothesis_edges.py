@@ -1268,3 +1268,98 @@ def test_asof_sql_v2_rejections_and_literals(spark):
            WHERE b.note = 'p.s.'""",
     ).collect()[0]
     assert (row.lid, row.rid, row.tag) == (10, 20, "p.s. b.x")
+
+
+@given(
+    left=st.lists(st.tuples(_nkeys, _nts), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_nkeys, _nts), min_size=1, max_size=10),
+    outer=st.booleans(),
+    bounded=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_sql_nearest_matches_duckdb_argmin(
+    spark, left, right, outer, bounded
+):
+    """The NEAREST grammar extension == the two-native-ASOF argmin
+    re-expression in DuckDB, across inner/LEFT × bounded/unbounded and
+    NULL key/ts corners (strict never-match semantics — NULL rows
+    filtered from both DuckDB legs, unmatched lefts appended for
+    LEFT). Tie rule: exact |gap| ties prefer the backward candidate,
+    encoded as <= in the oracle's argmin."""
+    from nipd_spark.sqlext import asof_sql
+
+    seen = {}
+    for i, (k, ts) in enumerate(right):
+        seen[(k, ts)] = i
+    rrows = [(k, ts, rid) for (k, ts), rid in seen.items()]
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+    spark.createDataFrame(
+        lrows, "k long, ts long, lid long"
+    ).createOrReplaceTempView("hxn_l")
+    spark.createDataFrame(
+        rrows, "k long, rts long, rid long"
+    ).createOrReplaceTempView("hxn_r")
+
+    mc = "NEAREST(a.ts, b.rts)"
+    if bounded:
+        mc += " AND abs(a.ts - b.rts) <= 2"
+    kw = "ASOF LEFT JOIN" if outer else "ASOF JOIN"
+    got = {
+        (r.lid, r.rid)
+        for r in asof_sql(
+            spark,
+            f"""
+            SELECT a.lid, b.rid AS rid
+            FROM hxn_l a {kw} hxn_r b
+            MATCH_CONDITION ({mc})
+            ON a.k = b.k
+            """,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l0(k BIGINT, ts BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r0(k BIGINT, rts BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO l0 VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r0 VALUES (?,?,?)", rrows)
+    con.execute(
+        "CREATE VIEW l AS SELECT * FROM l0 "
+        "WHERE ts IS NOT NULL AND k IS NOT NULL"
+    )
+    con.execute(
+        "CREATE VIEW r AS SELECT * FROM r0 "
+        "WHERE rts IS NOT NULL AND k IS NOT NULL"
+    )
+    cond = (
+        "f.f_ts IS NULL OR (b.b_ts IS NOT NULL "
+        "AND b.ts - b.b_ts <= f.f_ts - b.ts)"
+    )
+    pick = f"CASE WHEN {cond} THEN b.b_id ELSE f.f_id END"
+    dist = f"CASE WHEN {cond} THEN b.ts - b.b_ts ELSE f.f_ts - b.ts END"
+    rid_expr = (
+        f"CASE WHEN {dist} <= 2 THEN {pick} END" if bounded else pick
+    )
+    base = f"""
+        WITH b AS (
+          SELECT l.lid, l.ts, r.rid AS b_id, r.rts AS b_ts
+          FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.rts
+        ),
+        f AS (
+          SELECT l.lid, r.rid AS f_id, r.rts AS f_ts
+          FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts <= r.rts
+        )
+        SELECT b.lid, {rid_expr} AS rid FROM b JOIN f USING (lid)
+    """
+    if outer:
+        q = (
+            base
+            + """
+            UNION ALL
+            SELECT lid, NULL AS rid FROM l0
+            WHERE ts IS NULL OR k IS NULL
+            """
+        )
+    else:
+        q = f"SELECT lid, rid FROM ({base}) WHERE rid IS NOT NULL"
+    want = {(lid, rid) for lid, rid in con.execute(q).fetchall()}
+    assert got == want

@@ -3922,3 +3922,53 @@ def test_asof_sql_rejects_trailing_on_conjunct(spark):
            ON l.k = r.k""",
     ).collect()
     assert [(r.k, r.p) for r in row] == [("a", 7)]
+
+
+def test_asof_nearest_matches_python_reference(spark):
+    """operators/asof direction='nearest' against a from-scratch
+    reference: exact-gap ties prefer the backward candidate (pandas
+    merge_asof rule), equal-ts right duplicates resolve to the largest
+    tiebreak within each direction, one-sided keys fall back to the
+    only available direction, and keyless-left rows carry no match."""
+    import random
+
+    from nipd_spark.operators.asof import asof_join
+
+    rng = random.Random(47)
+    lrows = [(rng.randint(0, 3), rng.randint(0, 20), i) for i in range(60)]
+    # include exact-tie geometry: right at ts-2 and ts+2 for some lefts
+    rrows = [(rng.randint(0, 3), rng.randint(0, 20), 100 + i) for i in range(40)]
+    rrows += [(0, 5, 200), (0, 9, 201)]  # ties around a left at ts=7
+    lrows += [(0, 7, 998), (9, 4, 999)]  # 999: key with no right rows
+
+    ldf = spark.createDataFrame(lrows, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(rrows, "k int, rts int, rid int")
+
+    def ref(k, ts):
+        back = [(rts, rid) for (rk, rts, rid) in rrows if rk == k and rts <= ts]
+        fwd = [(rts, rid) for (rk, rts, rid) in rrows if rk == k and rts >= ts]
+        b = max(back, key=lambda x: (x[0], x[1])) if back else None
+        f = min(fwd, key=lambda x: (x[0], -x[1])) if fwd else None
+        if b is None and f is None:
+            return None
+        if f is None:
+            return b[1]
+        if b is None:
+            return f[1]
+        return b[1] if (ts - b[0]) <= (f[0] - ts) else f[1]
+
+    want = {lid: ref(k, ts) for (k, ts, lid) in lrows}
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf,
+            rdf,
+            key="k",
+            left_ts="ts",
+            right_ts="rts",
+            right_payload=["rid"],
+            tiebreak="rid",
+            direction="nearest",
+        ).collect()
+    }
+    assert got == want
