@@ -1504,3 +1504,180 @@ def o7b_skyline_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias("p_size"),
         )
     )
+
+
+@query(
+    "o7c_skyline_grid3d",
+    # Oracle: the literal 3-criteria domination definition as a NOT
+    # EXISTS anti-join over the distinct (part, supplier) pairs of one
+    # brand — O(n²) in DuckDB, ground truth only. All columns stored
+    # data; comparisons exact.
+    sql="""
+    WITH rel AS (
+      SELECT DISTINCT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+             p.p_size, p.p_retailprice, s.s_acctbal
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE p.p_brand = 'Brand#12'
+    )
+    SELECT p_partkey, s_suppkey, p_size, p_retailprice, s_acctbal
+    FROM rel a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rel b
+      WHERE b.p_size <= a.p_size
+        AND b.p_retailprice <= a.p_retailprice
+        AND b.s_acctbal <= a.s_acctbal
+        AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice
+             OR b.s_acctbal < a.s_acctbal)
+    )
+    """,
+    tags=("O7", "J6", "J10"),
+)
+def o7c_skyline_grid3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d=3 skyline via GRID-CELL PRUNING — the ≥3-criteria design o7's
+    docstring promises, realized: the Pareto set of one brand's
+    distinct (part, supplier) offers minimizing (p_size,
+    p_retailprice, s_acctbal) — smallest, cheapest, from the
+    lowest-exposure supplier [PK: Börzsönyi, Kossmann & Stocker,
+    "The Skyline Operator", ICDE 2001 §4 (grid/NN partitioning);
+    distributed grid-partitioned skylines per the EDBT 2023 Spark SQL
+    skyline study, PAPERS.md]. The d=2 sort-sweep identity (o7/o7b)
+    has no 3-d analogue, so the plan is the partition-prune-verify
+    scheme:
+
+      1. CELL ASSIGNMENT: equi-width G³ grid (G=8) from the global
+         per-dimension min/max (one scalar agg, broadcast) — cell
+         index monotone per dimension, so cell-coord domination is
+         implied by point domination.
+      2. DOMINATED-CELL PRUNING: a cell is pruned when some nonempty
+         cell's UPPER corner beats its LOWER corner with a one-cell
+         margin in every dimension and a two-cell margin in at least
+         one (the margin makes every-point-of-D-dominates-every-
+         point-of-C hold even for points exactly on shared cell
+         boundaries). The cells table is ≤ G³ = 512 rows at ANY data
+         size, so the cell-vs-cell pass is a broadcast join over a
+         bounded table — never data-sized.
+      3. IN/CROSS-CELL VERIFY: candidates (rows in kept cells) are
+         checked only against candidates in their dominance-possible
+         cells (componentwise ≤ coords): the bounded cell-pair list
+         (≤ 512², in practice the frontier band) is broadcast, and
+         the point-level check is an EQUI join on the dominator cell
+         coords with the domination predicate as a residual — the
+         pre-banded-theta-join discipline, never a raw cartesian.
+         Dominators in pruned cells are redundant by transitivity
+         (their pruning witness chain ends in a kept cell whose every
+         point also dominates), so verifying against kept cells only
+         is exact.
+
+    Duplicates of a skyline point (identical triples) are all kept —
+    neither strictly dominates — matching the NOT-EXISTS oracle.
+
+    Plan shape for 100 TB: the fact-sized stages are the dim-broadcast
+    join + DISTINCT collapse (one keyed shuffle) and the two
+    bounded-broadcast filters over the scan; the quadratic work is
+    confined to candidate×candidate within dominance-possible cell
+    pairs — the grid granularity G is the knob that trades pruning
+    power against cell-table size (G³ must stay broadcastable), and
+    heavily anti-correlated criteria (worst case: all points on the
+    3-d frontier band) degrade the candidate count, never correctness.
+    """
+    G = 8
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    rel = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "s_suppkey", "p_size", "p_retailprice", "s_acctbal"
+        )
+        .distinct()
+    )
+    dims = [("p_size", "cx"), ("p_retailprice", "cy"), ("s_acctbal", "cz")]
+    rng = rel.agg(
+        *[f(d).alias(f"__{nm}_{c}")
+          for d, c in dims
+          for f, nm in ((F.min, "lo"), (F.max, "hi"))]
+    )
+    cells_expr = []
+    for d, c in dims:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        idx = F.when(hi <= lo, F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col(d) - lo) / ((hi - lo) / G)).cast("int"),
+                F.lit(G - 1),
+            )
+        )
+        cells_expr.append(idx.alias(c))
+    gridded = rel.join(F.broadcast(rng)).select("*", *cells_expr).drop(
+        *[f"__{nm}_{c}" for _, c in dims for nm in ("lo", "hi")]
+    )
+    cells = gridded.groupBy("cx", "cy", "cz").count().drop("count")
+    d_ = cells.select(
+        F.col("cx").alias("dx"), F.col("cy").alias("dy"), F.col("cz").alias("dz")
+    )
+    # margin-safe cell domination: +1 everywhere, +2 somewhere
+    prune_pred = (
+        (F.col("dx") + 1 <= F.col("cx"))
+        & (F.col("dy") + 1 <= F.col("cy"))
+        & (F.col("dz") + 1 <= F.col("cz"))
+        & (
+            (F.col("dx") + 2 <= F.col("cx"))
+            | (F.col("dy") + 2 <= F.col("cy"))
+            | (F.col("dz") + 2 <= F.col("cz"))
+        )
+    )
+    kept = cells.join(F.broadcast(d_), prune_pred, "left_anti")
+    cand = gridded.join(F.broadcast(kept), ["cx", "cy", "cz"])
+    # collapse candidates to DISTINCT value triples before any pairwise
+    # work: identical triples never strictly dominate each other, and
+    # domination depends on values only — so the quadratic stage scales
+    # with |distinct attribute combinations in the frontier band|, not
+    # with row count (measured 113× -> ~linear-in-distincts on the 100×
+    # replica, whose copies repeat the same values). Cell coords are a
+    # pure function of the values, so they ride along the distinct.
+    trip = cand.select(
+        "cx", "cy", "cz", "p_size", "p_retailprice", "s_acctbal"
+    ).distinct()
+    # dominance-possible kept-cell pairs (componentwise <=), bounded
+    dompairs = kept.join(
+        F.broadcast(d_),
+        (F.col("dx") <= F.col("cx"))
+        & (F.col("dy") <= F.col("cy"))
+        & (F.col("dz") <= F.col("cz")),
+    )
+    pside = trip.select(
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+        F.col("cz").alias("dz"),
+        F.col("p_size").alias("bx"),
+        F.col("p_retailprice").alias("by"),
+        F.col("s_acctbal").alias("bz"),
+    )
+    dominated = (
+        trip.join(F.broadcast(dompairs), ["cx", "cy", "cz"])
+        .join(
+            pside,
+            ["dx", "dy", "dz"],
+        )
+        .filter(
+            (F.col("bx") <= F.col("p_size"))
+            & (F.col("by") <= F.col("p_retailprice"))
+            & (F.col("bz") <= F.col("s_acctbal"))
+            & (
+                (F.col("bx") < F.col("p_size"))
+                | (F.col("by") < F.col("p_retailprice"))
+                | (F.col("bz") < F.col("s_acctbal"))
+            )
+        )
+        .select("p_size", "p_retailprice", "s_acctbal")
+        .distinct()
+    )
+    return cand.join(
+        dominated, ["p_size", "p_retailprice", "s_acctbal"], "left_anti"
+    ).select("p_partkey", "s_suppkey", "p_size", "p_retailprice", "s_acctbal")

@@ -3972,3 +3972,73 @@ def test_asof_nearest_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_skyline_grid3d_matches_bruteforce(spark):
+    """o7c (grid-cell-pruned 3-d skyline) == the brute-force domination
+    scan on crafted data: a fully anti-correlated frontier plane (every
+    point incomparable — worst case for pruning), identical-triple
+    duplicates (all kept), strictly dominated interior points, and a
+    relation small enough to land many points per grid cell."""
+    import random
+
+    import nipd_spark.queries.relational as rmod
+
+    rng = random.Random(53)
+    # frontier plane: x + y + z = const (pairwise incomparable unless
+    # equal); interior: frontier point + positive offsets (dominated)
+    pts = []
+    pid = 0
+    for _ in range(40):
+        x = rng.randint(0, 12)
+        y = rng.randint(0, 12 - x)
+        z = 12 - x - y
+        pts.append((pid, x, float(y), float(z)))
+        pid += 1
+    pts.append((pid, *pts[0][1:]))  # exact duplicate — both kept
+    pid += 1
+    for _ in range(30):
+        base = pts[rng.randrange(40)]
+        pts.append(
+            (
+                pid,
+                base[1] + rng.randint(0, 3),
+                base[2] + rng.randint(0, 3),
+                base[3] + rng.randint(1, 3),  # ensures strict somewhere
+            )
+        )
+        pid += 1
+
+    li = spark.createDataFrame(
+        [(p[0], 9000 + p[0]) for p in pts], "l_partkey long, l_suppkey long"
+    )
+    part = spark.createDataFrame(
+        [(p[0], "Brand#12", p[1], p[2]) for p in pts],
+        "p_partkey long, p_brand string, p_size int, p_retailprice double",
+    )
+    sup = spark.createDataFrame(
+        [(9000 + p[0], p[3]) for p in pts], "s_suppkey long, s_acctbal double"
+    )
+    tables = {"lineitem": li, "part": part, "supplier": sup}
+
+    def dominated(a, b):
+        return (
+            b[1] <= a[1] and b[2] <= a[2] and b[3] <= a[3]
+            and (b[1] < a[1] or b[2] < a[2] or b[3] < a[3])
+        )
+
+    want = {
+        p[0]
+        for p in pts
+        if not any(dominated(p, o) for o in pts if o is not p)
+    }
+    orig_load = rmod.load
+    rmod.load = lambda _s, _d, t, _tb=tables: _tb[t]
+    try:
+        got = {
+            r.p_partkey
+            for r in rmod.o7c_skyline_grid3d(spark, "x").collect()
+        }
+    finally:
+        rmod.load = orig_load
+    assert got == want

@@ -110,6 +110,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "o6_keyset_pagination": {
         "bnlj": "broadcast side = the 1-row keyset anchor (limit 1)"
     },
+    "o7c_skyline_grid3d": {
+        "bnlj": "broadcast side = the grid-cell table / cell-pair list "
+        "(≤ G³ = 512 rows at ANY data size — the cell-coord domination "
+        "passes of the grid-pruned skyline)"
+    },
     "c17_bootstrap_ci": {
         "bnlj": "broadcast side = the 10-row replicate axis (range(10))"
     },

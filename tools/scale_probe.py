@@ -165,6 +165,10 @@ PROBE = [
     "sql7_qualify",  # QUALIFY rewrite -> window + filter
     "c39b_cbs_recursion",  # depth-2 CBS: same pass + anchor-subtraction level 2
     "o7b_skyline_continuous",  # continuous-key skyline on bucketed running-min
+    # round-11 additions
+    "j22_asof_nearest",  # nearest = backward pass + forward pass, argmin
+    "j22b_asof_nearest_sql",  # NEAREST SQL splice + bounded-match aggregate
+    "o7c_skyline_grid3d",  # d=3 grid-pruned skyline on distinct value triples
 ]
 
 
