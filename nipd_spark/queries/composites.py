@@ -3288,3 +3288,286 @@ def c39b_cbs_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2a.h").alias("split_hour"),
         F.round(F.abs(F.col("c2a.t")), 6).alias("t_max"),
     )
+
+
+# --- c39c: CBS recursion to convergence -----------------------------------
+
+_CBS_THRESH = 2.0  # |t| stop threshold (permutation-threshold stand-in)
+_CBS_MAX_DEPTH = 6  # superstep cap; fixtures converge at depth <= 4
+
+
+def _cbs_seg_t_sql(sg: str, p: str) -> str:
+    """The segment-local t statistic over prefix differences — the
+    EXACT expression shape the Spark side mirrors (bit-equal on the
+    all-integer inputs)."""
+    sse = (
+        f"(CAST({sg}.sq_hi - {sg}.sq_lo AS DOUBLE)"
+        f" - (CAST({sg}.s_hi - {sg}.s_lo AS DOUBLE)"
+        f" * ({sg}.s_hi - {sg}.s_lo)) / ({sg}.hi - {sg}.lo))"
+    )
+    return (
+        f"(CAST({p}.s - {sg}.s_lo AS DOUBLE) / ({p}.i - {sg}.lo)"
+        f" - CAST({sg}.s_hi - {p}.s AS DOUBLE) / ({sg}.hi - {p}.i))"
+        f" / sqrt(({sse} / ({sg}.hi - {sg}.lo - 1))"
+        f" * (1.0 / ({p}.i - {sg}.lo) + 1.0 / ({sg}.hi - {p}.i)))"
+    ), sse
+
+
+def _cbs_convergence_sql(levels: int, thresh: float) -> str:
+    """Mechanically unrolled DuckDB twin of the CBS superstep loop:
+    level k splits every segment whose max |t| clears the threshold;
+    segments that do not split carry forward unchanged, so unrolling
+    to the loop's depth cap computes recursion-to-convergence whenever
+    convergence happens within the cap (the Spark side uses the same
+    cap, so the two sides agree even at the cap boundary)."""
+    parts = [
+        """
+    WITH series AS MATERIALIZED (
+      SELECT event_type AS g,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS MATERIALIZED (
+      SELECT g,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY h)
+                  AS BIGINT) AS i,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY h) AS BIGINT) AS s,
+             CAST(sum(c * c) OVER (PARTITION BY g ORDER BY h)
+                  AS BIGINT) AS sq
+      FROM series
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT g, CAST(0 AS BIGINT) AS lo, CAST(count(*) AS BIGINT) AS hi,
+             CAST(0 AS BIGINT) AS s_lo, CAST(0 AS BIGINT) AS sq_lo,
+             CAST(sum(c) AS BIGINT) AS s_hi,
+             CAST(sum(c * c) AS BIGINT) AS sq_hi
+      FROM series GROUP BY g
+    )"""
+    ]
+    for k in range(levels):
+        t_expr, sse = _cbs_seg_t_sql("sg", "p")
+        parts.append(
+            f""",
+    cand{k} AS MATERIALIZED (
+      SELECT sg.g, sg.lo, sg.hi, p.i, {t_expr} AS t
+      FROM seg{k} sg JOIN pre p
+        ON p.g = sg.g AND p.i > sg.lo AND p.i < sg.hi
+      WHERE sg.hi - sg.lo >= 3 AND {sse} > 0
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT g, lo, hi, max(abs(t)) AS tmax
+      FROM cand{k} GROUP BY 1, 2, 3
+    ),
+    sp{k} AS MATERIALIZED (
+      SELECT c.g, c.lo, c.hi, min(c.i) AS j
+      FROM cand{k} c JOIN m{k} m
+        ON c.g = m.g AND c.lo = m.lo AND c.hi = m.hi
+       AND abs(c.t) = m.tmax
+      WHERE m.tmax >= {thresh}
+      GROUP BY 1, 2, 3
+    ),
+    seg{k + 1} AS MATERIALIZED (
+      SELECT sg.* FROM seg{k} sg
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sp{k} s
+        WHERE s.g = sg.g AND s.lo = sg.lo AND s.hi = sg.hi
+      )
+      UNION ALL
+      SELECT x.g, x.lo, x.j AS hi, x.s_lo, x.sq_lo,
+             p.s AS s_hi, p.sq AS sq_hi
+      FROM (SELECT sp.g, sp.lo, sp.hi, sp.j, sg.s_lo, sg.sq_lo
+            FROM sp{k} sp JOIN seg{k} sg
+              ON sp.g = sg.g AND sp.lo = sg.lo AND sp.hi = sg.hi) x
+      JOIN pre p ON p.g = x.g AND p.i = x.j
+      UNION ALL
+      SELECT x.g, x.j AS lo, x.hi, p.s AS s_lo, p.sq AS sq_lo,
+             x.s_hi, x.sq_hi
+      FROM (SELECT sp.g, sp.lo, sp.hi, sp.j, sg.s_hi, sg.sq_hi
+            FROM sp{k} sp JOIN seg{k} sg
+              ON sp.g = sg.g AND sp.lo = sg.lo AND sp.hi = sg.hi) x
+      JOIN pre p ON p.g = x.g AND p.i = x.j
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT g AS event_type, lo + 1 AS start_i, hi AS end_i,
+           hi - lo AS n_bins_seg,
+           {dround('CAST(s_hi - s_lo AS DOUBLE) / (hi - lo)', 6)}
+             AS mean_seg
+    FROM seg{levels}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "c39c_cbs_convergence",
+    # Determinism: every split decision compares a |t| computed from
+    # exact integers (prefix differences) with the identical expression
+    # shape on both engines — bit-equal doubles, so threshold and
+    # argmax comparisons agree; ties on |t| take the smallest position.
+    # The oracle unrolls the superstep loop to the same depth cap.
+    sql=_cbs_convergence_sql(_CBS_MAX_DEPTH, _CBS_THRESH),
+    tags=("W3", "A10", "A2"),
+)
+def c39c_cbs_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBS recursion TO CONVERGENCE (r10 VERDICT item 7; [PK: Olshen,
+    Venkatraman, Lucito & Wigler, Biostatistics 2004]) — the operator a
+    real CNV caller runs end-to-end: per coverage series, recursively
+    split at the max-|t| breakpoint until every segment's best |t|
+    falls below the stop threshold (2.0 here, standing in for Olshen's
+    permutation threshold), then emit the FINAL SEGMENTATION — one row
+    per segment with its bin span and mean level.
+
+    The r10 depth-2 insight (c39b) generalized to arbitrary depth:
+    every segment-local quantity is a SUBTRACTION between two rows of
+    the ONE global prefix table [running Σc, position, Σc²], computed
+    once and spill-checkpointed. Each superstep joins the broadcast
+    segment table (one row per open segment — anchor positions, never
+    data) onto that prefix table, argmaxes |t| per segment, and
+    collects only the ≤|open segments| split decisions to drive the
+    next level. Depth costs supersteps over the collapsed bins table,
+    never rescans of the fact data.
+
+    Plan shape for 100 TB: fact scan → per-(series, hour) collapse →
+    one multi-val bucketed prefix pass (all checkpointed once);
+    per level ONE aggregate-sized job (bins ⋈ broadcast segments →
+    per-segment max + argmin) plus a driver collect bounded by the
+    segment count (segments = breakpoints + series, CBS's output
+    size — the same bounded-driver-action discipline as the iterative
+    graph family). Genome-scale: ~3M bins × samples with |series| ×
+    n_buckets parallelism in the prefix pass; the superstep jobs touch
+    only the collapsed bins.
+    """
+    from nipd_spark.operators import ranks
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    ev = load(spark, sf_dir, "events")
+    series = spill_checkpoint(
+        ev.groupBy(
+            F.col("event_type").alias("g"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("hk", F.unix_micros("h"))
+        .withColumn("one", F.lit(1).cast("long"))
+        .withColumn("c2", F.col("c") * F.col("c"))
+    )
+    pre = ranks.with_grouped_running_sum(
+        series,
+        group="g",
+        key="hk",
+        tiebreaks=[],
+        val=["c", "one", "c2"],
+        out=["s", "i", "sq"],
+    )
+    pre = spill_checkpoint(pre.select("g", "i", "s", "sq"))
+    seg_schema = (
+        "g string, lo long, hi long, s_lo long, sq_lo long, "
+        "s_hi long, sq_hi long"
+    )
+    segs = [
+        (r.g, 0, r.n, 0, 0, r.q, r.ss)
+        for r in series.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("q"),
+            F.sum("c2").cast("long").alias("ss"),
+        )
+        .collect()
+    ]
+    for _ in range(_CBS_MAX_DEPTH):
+        open_segs = [s for s in segs if s[2] - s[1] >= 3]
+        if not open_segs:
+            break
+        seg_df = spark.createDataFrame(open_segs, seg_schema)
+        j = pre.alias("p").join(
+            F.broadcast(seg_df.alias("sg")),
+            (F.col("p.g") == F.col("sg.g"))
+            & (F.col("p.i") > F.col("sg.lo"))
+            & (F.col("p.i") < F.col("sg.hi")),
+        )
+        # segment-local t from prefix differences — identical shape to
+        # the SQL twin (CAST(sq_hi - sq_lo AS DOUBLE) - ...); total
+        # under ANSI via the same-guard CaseWhen
+        sse = (F.col("sq_hi") - F.col("sq_lo")).cast("double") - (
+            F.col("s_hi") - F.col("s_lo")
+        ).cast("double") * (F.col("s_hi") - F.col("s_lo")) / (
+            F.col("hi") - F.col("lo")
+        )
+        # the positional bounds (i inside the open interval) are join
+        # conditions, but under ANSI the collapsed projection can be
+        # evaluated before them when cand later joins aggregates of
+        # itself (the c39 lesson) — fold them into the guard so every
+        # division in the CaseWhen branch is total
+        ok = (
+            ((F.col("hi") - F.col("lo")) >= 3)
+            & (F.col("i") > F.col("lo"))
+            & (F.col("i") < F.col("hi"))
+            & (sse > 0)
+        )
+        t = F.when(
+            ok,
+            (
+                (F.col("s") - F.col("s_lo")).cast("double")
+                / (F.col("i") - F.col("lo"))
+                - (F.col("s_hi") - F.col("s")).cast("double")
+                / (F.col("hi") - F.col("i"))
+            )
+            / F.sqrt(
+                (sse / (F.col("hi") - F.col("lo") - 1))
+                * (
+                    F.lit(1.0) / (F.col("i") - F.col("lo"))
+                    + F.lit(1.0) / (F.col("hi") - F.col("i"))
+                )
+            ),
+        )
+        cand = j.filter(ok).select(
+            F.col("p.g").alias("g"), "lo", "hi", "i", "s", "sq",
+            t.alias("t"),
+        )
+        m = cand.groupBy("g", "lo", "hi").agg(
+            F.max(F.abs(F.col("t"))).alias("tmax")
+        )
+        best = (
+            cand.join(F.broadcast(m), ["g", "lo", "hi"])
+            .filter(
+                (F.abs(F.col("t")) == F.col("tmax"))
+                & (F.col("tmax") >= _CBS_THRESH)
+            )
+            .groupBy("g", "lo", "hi")
+            .agg(F.min("i").alias("j"))
+        )
+        anchors = (
+            cand.join(
+                F.broadcast(best.withColumnRenamed("j", "i")),
+                ["g", "lo", "hi", "i"],
+            )
+            .select("g", "lo", "hi", "i", "s", "sq")
+            .collect()
+        )
+        if not anchors:
+            break
+        split_at = {(a.g, a.lo, a.hi): a for a in anchors}
+        nxt = []
+        for s in segs:
+            a = split_at.get((s[0], s[1], s[2]))
+            if a is None:
+                nxt.append(s)
+            else:
+                nxt.append((s[0], s[1], a.i, s[3], s[4], a.s, a.sq))
+                nxt.append((s[0], a.i, s[2], a.s, a.sq, s[5], s[6]))
+        segs = nxt
+    out = spark.createDataFrame(segs, seg_schema)
+    return out.select(
+        F.col("g").alias("event_type"),
+        (F.col("lo") + 1).alias("start_i"),
+        F.col("hi").alias("end_i"),
+        (F.col("hi") - F.col("lo")).alias("n_bins_seg"),
+        F.round(
+            (F.col("s_hi") - F.col("s_lo")).cast("double")
+            / (F.col("hi") - F.col("lo")),
+            6,
+        ).alias("mean_seg"),
+    )

@@ -4042,3 +4042,78 @@ def test_skyline_grid3d_matches_bruteforce(spark):
     finally:
         rmod.load = orig_load
     assert got == want
+
+
+def test_cbs_convergence_matches_python_reference(spark):
+    """c39c against a from-scratch recursion-to-convergence reference:
+    a 4-step series must recurse past depth 2 (3 boundaries), a flat
+    series must emit a single segment, and segment means must match
+    exactly (integer sums over integer counts)."""
+    import datetime
+    import math
+
+    import nipd_spark.queries.composites as cmod
+
+    def best_split(xs):
+        n = len(xs)
+        q = sum(xs)
+        ss = sum(x * x for x in xs)
+        sse = ss - q * q / n
+        if n < 3 or sse <= 0:
+            return None
+        var = sse / (n - 1)
+        best = None
+        s = 0
+        for i in range(1, n):
+            s += xs[i - 1]
+            t = abs(
+                (s / i - (q - s) / (n - i))
+                / math.sqrt(var * (1 / i + 1 / (n - i)))
+            )
+            if best is None or t > best[1]:
+                best = (i, t)
+        return best
+
+    def segments(xs, off, thresh, depth, maxd):
+        b = best_split(xs)
+        if b is None or b[1] < thresh or depth >= maxd:
+            return [(off + 1, off + len(xs), len(xs),
+                     round(sum(xs) / len(xs), 6))]
+        i = b[0]
+        return segments(xs[:i], off, thresh, depth + 1, maxd) + segments(
+            xs[i:], off + i, thresh, depth + 1, maxd
+        )
+
+    # strong 4-level series (3 boundaries -> depth >= 2) + a flat one
+    series = {
+        "step4": [2] * 8 + [11] * 8 + [5] * 8 + [16] * 8,
+        "flat": [3] * 12,
+    }
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (g, base + datetime.timedelta(hours=h, seconds=j), j)
+        for g, xs in series.items()
+        for h, c in enumerate(xs)
+        for j in range(c)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    want = {
+        g: sorted(segments(xs, 0, cmod._CBS_THRESH, 0, cmod._CBS_MAX_DEPTH))
+        for g, xs in series.items()
+    }
+    orig_load = cmod.load
+    cmod.load = lambda _s, _d, _t, _ev=ev: _ev
+    try:
+        got = {}
+        for r in cmod.c39c_cbs_convergence(spark, "x").collect():
+            got.setdefault(r.event_type, []).append(
+                (r.start_i, r.end_i, r.n_bins_seg, r.mean_seg)
+            )
+    finally:
+        cmod.load = orig_load
+    got = {g: sorted(v) for g, v in got.items()}
+    assert got == want
+    assert len(got["step4"]) >= 4  # all three boundaries found
+    assert got["flat"] == [(1, 12, 12, 3.0)]

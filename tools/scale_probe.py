@@ -169,6 +169,7 @@ PROBE = [
     "j22_asof_nearest",  # nearest = backward pass + forward pass, argmin
     "j22b_asof_nearest_sql",  # NEAREST SQL splice + bounded-match aggregate
     "o7c_skyline_grid3d",  # d=3 grid-pruned skyline on distinct value triples
+    "c39c_cbs_convergence",  # CBS supersteps to convergence on one prefix pass
 ]
 
 
