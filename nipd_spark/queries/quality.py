@@ -897,3 +897,161 @@ def dq10b_ks_binned_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("d_binned_raw") + F.col("gap_raw")
         ).alias("sandwich_ok"),
     )
+
+
+# --- dq10c/dq10d: the binned-ONLY production path (sketch edges) ----------
+
+_DQ10C_B = 32        # bins; 31 interior edges
+_DQ10C_ACC = 10000   # approx_percentile accuracy (rank err <= N/ACC)
+
+
+def _dq10_sketch_edge_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-edge exact counts against the sketch-derived pooled quantile
+    edges — the shared core of dq10c (binned-D statistic) and dq10d
+    (GK-band certificate). NO distinct-value collapse and NO ranks pass
+    anywhere: one sketch aggregate (mergeable partial agg over the raw
+    scan), a broadcast of the 31-edge table back onto the scan, and one
+    partial-aggregated groupBy — two map passes end to end."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+    )
+    qs = [i / _DQ10C_B for i in range(1, _DQ10C_B)]
+    est = (
+        ev.agg(
+            F.percentile_approx("value", qs, _DQ10C_ACC).alias("edges")
+        )
+        .select(F.posexplode("edges").alias("ei", "edge"))
+    )
+    j = ev.crossJoin(F.broadcast(est))
+    c1 = (F.col("event_type") == "click").cast("long")
+    c2 = (F.col("event_type") == "purchase").cast("long")
+    le = (F.col("value") <= F.col("edge")).cast("long")
+    lt = (F.col("value") < F.col("edge")).cast("long")
+    return j.groupBy("ei", "edge").agg(
+        F.sum(c1 * le).alias("n1_le"),
+        F.sum(c2 * le).alias("n2_le"),
+        F.sum(le).alias("pool_le"),
+        F.sum(lt).alias("pool_lt"),
+        F.sum(c1).alias("n1"),
+        F.sum(c2).alias("n2"),
+        F.count(F.lit(1)).alias("n_pool"),
+    )
+
+
+@query("dq10c_ks_sketch_binned", sql=None, tags=("A9", "A10"))
+def dq10c_ks_sketch_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binned-ONLY two-sample KS production path dq10b's docstring
+    promises (r10 VERDICT item 8): D̂ = max over the B−1 sketch-derived
+    pooled quantile edges of |F₁(e) − F₂(e)|, where the edges come from
+    ``approx_percentile`` (mergeable GK-style partial aggregate [PK:
+    Greenwald & Khanna SIGMOD'01]) broadcast back onto the raw scan for
+    exact per-edge ≤-counts — NO distinct-value collapse and NO ranks
+    pass anywhere (plan-pinned), so the whole statistic is two map
+    passes + a 31-row aggregate regardless of the value domain's
+    cardinality. Error contract: D̂ ≤ D always (each edge gap is a real
+    ECDF gap), and D ≤ D̂ + max-bin-mass by the ECDF oscillation bound
+    dq10b certifies at fixture scale; with equi-depth edges the bin
+    mass is ≈1/B + 2/accuracy + the largest atom's share.
+
+    rows-only (a15/a4/a30 status): the emitted D̂ depends on the
+    sketch's merge-order-sensitive edge VALUES, which no other engine
+    reproduces bit-for-bit. The oracled twin is dq10d's certificate
+    (exact GK rank bands on every edge), and the sandwich against
+    dq10's exact D is property-tested against dq10b at fixture scale.
+
+    Plan shape for 100 TB: sketch agg (partial, bounded state) →
+    31-row broadcast → one partial-aggregated groupBy over the scan;
+    reject threshold is the same 1.358·√((n₁+n₂)/(n₁n₂)) large-sample
+    criterion as dq10, evaluated on the binned D̂ (conservative: the
+    binned statistic under-rejects, never over-rejects).
+    """
+    stats = _dq10_sketch_edge_stats(spark, sf_dir)
+    f1 = F.col("n1_le").cast("double") / F.col("n1")
+    f2 = F.col("n2_le").cast("double") / F.col("n2")
+    agg = stats.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.max(F.abs(f1 - f2)).alias("d_binned_raw"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2"))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_edges",
+        F.round("d_binned_raw", 6).alias("d_binned"),
+        (F.col("d_binned_raw") > crit).alias("reject_05"),
+    )
+
+
+@query(
+    "dq10d_ks_sketch_certificate",
+    # Certificate oracle (a15b idiom): the oracle enumerates the exact
+    # totals and the expected all-TRUE flag row; a hash match proves
+    # every sketch edge's exact pooled rank interval intersected its
+    # GK-guaranteed band and the edge array was sorted — i.e. the
+    # equi-depth contract the binned-D estimator relies on held at
+    # this SF.
+    sql=f"""
+    SELECT count(*) FILTER (event_type = 'click') AS n1,
+           count(*) FILTER (event_type = 'purchase') AS n2,
+           CAST({_DQ10C_B - 1} AS BIGINT) AS n_edges,
+           TRUE AS edges_sorted,
+           TRUE AS all_edges_in_band
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+    tags=("A9", "A10"),
+)
+def dq10d_ks_sketch_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GK rank-band certificate for dq10c's sketch-derived bin edges:
+    for every edge e_i (target pooled quantile i/B), the EXACT pooled
+    rank interval [#{value < e_i}+1, #{value ≤ e_i}] — computed from
+    the same broadcast-edge pass, no ranks machinery — must intersect
+    i·N/B ± (N/accuracy + 1) [PK: Greenwald & Khanna SIGMOD'01; the +1
+    absorbs the discrete-rank convention gap, as in a15b], and the
+    edge array must be sorted. Flags are aggregated with bool_and so
+    ONE failing edge fails the row; the oracle pins the expected
+    all-TRUE row with exact totals.
+
+    Plan shape for 100 TB: identical to dq10c (two map passes + a
+    31-row aggregate) — the certificate rides the statistic's own
+    plan, the a15b discipline.
+    """
+    from pyspark.sql import Window
+
+    stats = _dq10_sketch_edge_stats(spark, sf_dir)
+    target = (
+        (F.col("ei") + 1).cast("double")
+        * F.col("n_pool")
+        / F.lit(_DQ10C_B)
+    )
+    err = F.col("n_pool").cast("double") / F.lit(_DQ10C_ACC) + F.lit(1.0)
+    band_ok = (
+        (F.col("pool_lt") + F.lit(1) <= target + err)
+        & (F.col("pool_le") >= target - err)
+    )
+    w = Window.orderBy("ei")
+    # sortedness over the 31-row edge table: lag over a bounded
+    # aggregate (31 rows at any data size)
+    sorted_ok = F.col("edge") >= F.coalesce(
+        F.lag("edge").over(w), F.lit(float("-inf"))
+    )
+    flags = stats.select(
+        "n1", "n2", band_ok.alias("bok"), sorted_ok.alias("sok")
+    )
+    return flags.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.bool_and("sok").alias("edges_sorted"),
+        F.bool_and("bok").alias("all_edges_in_band"),
+    )

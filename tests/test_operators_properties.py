@@ -4117,3 +4117,61 @@ def test_cbs_convergence_matches_python_reference(spark):
     assert got == want
     assert len(got["step4"]) >= 4  # all three boundaries found
     assert got["flat"] == [(1, 12, 12, 3.0)]
+
+
+def test_sketch_binned_ks_sandwich_vs_exact(spark):
+    """dq10c's sketch-edge binned D̂ against a from-scratch exact KS on
+    crafted two-sample data (certified against dq10b's machinery at
+    fixture scale): D̂ ≤ D always, and D ≤ D̂ + gap where gap is the
+    max per-bin single-sample mass reconstructed from the same per-edge
+    counts; dq10d's GK band flags must be all-TRUE."""
+    import random
+
+    import nipd_spark.queries.quality as qmod
+
+    rng = random.Random(61)
+    rows = [("click", float(rng.gauss(100, 20))) for _ in range(700)]
+    rows += [("purchase", float(rng.gauss(112, 25))) for _ in range(500)]
+    rows += [("click", 100.0)] * 40  # heavy atom straddling a bin
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+
+    orig_load = qmod.load
+    qmod.load = lambda _s, _d, _t, _ev=ev: _ev
+    try:
+        stats = sorted(
+            qmod._dq10_sketch_edge_stats(spark, "x").collect(),
+            key=lambda r: r.ei,
+        )
+        out = qmod.dq10c_ks_sketch_binned(spark, "x").collect()[0]
+        cert = qmod.dq10d_ks_sketch_certificate(spark, "x").collect()[0]
+    finally:
+        qmod.load = orig_load
+
+    xs1 = sorted(v for t, v in rows if t == "click")
+    xs2 = sorted(v for t, v in rows if t == "purchase")
+    n1, n2 = len(xs1), len(xs2)
+    import bisect
+
+    d_exact = max(
+        abs(
+            bisect.bisect_right(xs1, v) / n1
+            - bisect.bisect_right(xs2, v) / n2
+        )
+        for v in xs1 + xs2
+    )
+    d_binned = max(
+        abs(r.n1_le / n1 - r.n2_le / n2) for r in stats
+    )
+    # per-bin masses from consecutive edge counts (+ the open tails)
+    gap = 0.0
+    prev1 = prev2 = 0
+    for r in stats:
+        gap = max(gap, (r.n1_le - prev1) / n1, (r.n2_le - prev2) / n2)
+        prev1, prev2 = r.n1_le, r.n2_le
+    gap = max(gap, (n1 - prev1) / n1, (n2 - prev2) / n2)
+
+    assert abs(out.d_binned - round(d_binned, 6)) <= 1e-9
+    assert d_binned <= d_exact + 1e-12          # lower bound: always
+    assert d_exact <= d_binned + gap + 1e-12    # ECDF oscillation bound
+    assert cert.edges_sorted and cert.all_edges_in_band
+    assert (cert.n1, cert.n2, cert.n_edges) == (n1, n2, 31)

@@ -18,6 +18,28 @@ def _plan(spark, sf_dir, name: str) -> str:
     )
 
 
+def _has_global_window(spark, sf_dir, name: str) -> bool:
+    """True when the executed plan contains an UNPARTITIONED WindowExec
+    (the single-partition funnel). Node-walk on partitionSpec() — the
+    formatted-text probe ', [], [' never fires (empty partition specs
+    print two bracket groups, not three; r11 finding), so string
+    matching is NOT a valid check for this property."""
+    df = registry.all_specs()[name].fn(spark, sf_dir)
+    def walk(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from walk(cs.apply(i))
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    for node in walk(qe.executedPlan()):
+        if node.getClass().getSimpleName() in (
+            "WindowExec",
+            "WindowGroupLimitExec",
+        ) and node.partitionSpec().size() == 0:
+            return True
+    return False
+
+
 def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -74,11 +96,11 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
     histogram rank (operators/ranks.py: bucket-partitioned prefixes +
     offset join), never an unpartitioned Window — Window.orderBy(...)
     with no partition spec moves the whole input to a single partition.
-    In formatted plans an empty window partition spec prints as
-    ', [], [' before the sort spec."""
+    Checked by node walk (partitionSpec().size()) — the old formatted-
+    text probe ', [], [' was vacuous (r11 finding)."""
     plan = _plan(spark, sf_dir, name)
     assert "windowspecdefinition" in plan  # the local pass exists
-    assert ", [], [" not in plan
+    assert not _has_global_window(spark, sf_dir, name)
 
 
 def test_w8_zscore_is_group_agg_not_window(spark, sf_dir):
@@ -886,3 +908,19 @@ def test_sql7_qualify_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" in plan
     assert ", [], [" not in plan  # windows are key-partitioned
     assert plan.count("Exchange") <= 2  # one shuffle feeds both windows
+
+
+@pytest.mark.parametrize(
+    "name", ["dq10c_ks_sketch_binned", "dq10d_ks_sketch_certificate"]
+)
+def test_sketch_binned_ks_has_no_ranks_pass(spark, sf_dir, name):
+    """The binned-ONLY KS production path must be two map passes + a
+    31-row aggregate: NO distinct-value collapse feeding the bucketed
+    rank machinery (no __rk_ columns anywhere) and, for the statistic
+    itself, no window at all — the whole point of the sketch-edge
+    variant (dq10b's in-plan exact-D twin keeps the ranks pass; this
+    one must not)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "__rk_" not in plan
+    if name == "dq10c_ks_sketch_binned":
+        assert "windowspecdefinition" not in plan

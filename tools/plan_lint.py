@@ -137,10 +137,38 @@ ALLOW: dict[str, dict[str, str]] = {
         "(50 rows, fixed domain); continuous-x path documented onto "
         "the bucketed rank machinery"
     },
+    "dq10d_ks_sketch_certificate": {
+        "window": "sortedness lag over the 31-row per-edge aggregate "
+        "(B-1 rows at ANY data size — the certificate's edge table)"
+    },
+    "l60_unimax_allocation": {
+        "window": "waterfilling prefix over the per-SOURCE caps "
+        "aggregate (L rows = languages/domains, never documents — "
+        "surfaced when the r11 node-walk made this rule live)"
+    },
 }
 
-GLOBAL_WINDOW = re.compile(r", \[\], \[")
 PY_EVAL = re.compile(r"BatchEvalPython")
+
+
+def _global_window_hits(qe) -> bool:
+    """Unpartitioned WindowExec nodes — the 'Moving all data to a
+    single partition' funnel. Detected on the executed-plan NODES
+    (partitionSpec().size() == 0): the old text probe for ', [], ['
+    never fires in formatted mode (empty partition specs simply print
+    two bracket groups instead of three), which left this rule vacuous
+    for several rounds (r11 finding) — the ALLOW entries below are the
+    queries whose global windows run over provably bounded aggregated
+    tables."""
+    for node in _walk(qe.executedPlan()):
+        if node.getClass().getSimpleName() not in (
+            "WindowExec",
+            "WindowGroupLimitExec",
+        ):
+            continue
+        if node.partitionSpec().size() == 0:
+            return True
+    return False
 
 # Columns whose domain stays bounded as data grows (fixture semantics):
 # a window partitioned solely on these over raw rows caps parallelism
@@ -290,7 +318,7 @@ def main() -> int:
             findings.append(("cartesian", False))  # never allowable
         elif bn:
             findings.append(("bnlj", True))
-        if GLOBAL_WINDOW.search(plan):
+        if _global_window_hits(qe):
             findings.append(("window", True))
         if _lowcard_window_hits(qe):
             findings.append(("lowcard", True))

@@ -170,6 +170,8 @@ PROBE = [
     "j22b_asof_nearest_sql",  # NEAREST SQL splice + bounded-match aggregate
     "o7c_skyline_grid3d",  # d=3 grid-pruned skyline on distinct value triples
     "c39c_cbs_convergence",  # CBS supersteps to convergence on one prefix pass
+    "dq10c_ks_sketch_binned",  # binned-only KS: sketch edges, no ranks pass
+    "dq10d_ks_sketch_certificate",  # GK band certificate on the same plan
 ]
 
 
