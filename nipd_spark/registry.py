@@ -46,82 +46,86 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 10): the driver hash-checks the FIRST
-# 50 queries() entries per round. Every name carries a passing (or
-# clean rows-only) driver row as of r9, so the standing rule applies:
-# (1) this round's additions first — dq10b (binned-KS sandwich
-# certificate), j21c (composite-key + bounded ASOF SQL grammar), c39
-# (CBS split call), t23 (timer-driven absolute-TTL eviction);
+# Verification rotation (round 11): the driver hash-checks the FIRST
+# 50 queries() entries per round. Every registered name carries a
+# passing (or clean rows-only) driver row cumulatively, so the
+# standing rule applies:
+# (1) this round's additions first — j22/j22b (ASOF nearest operator +
+# NEAREST SQL grammar), o7c (d=3 grid-pruned skyline), c39c (CBS
+# recursion to convergence), dq10c/dq10d (sketch-edge binned KS +
+# GK-band certificate);
 # (2) re-checks of queries whose implementation or oracle changed
-# since their last attestation — dq10 (re-expressed on the
-# single-pass multi-column running sum), j21/j21b (the sqlext v2
-# rewriter: both-side alias validation, literal-safe case-insensitive
-# rewrite, strict NULL semantics), j9/j9b (operators/asof gained
-# composite keys; the single-key path is the same window with renamed
-# internals, re-checked anyway), and the heaviest consumers of the
-# refactored ranks operators (multi-val single-pass bodies): w20
-# (min_out path), a32, w18, c27, l64, a24, w7 — the REMAINING ranks
-# consumers (w8/w16/w22/w23/a31/c35/l58/l59/c37/c36) are covered by
-# the full dual-SF sweep and the bit-equality property tests, not
-# front-loaded, because the single-val semantics are pinned unchanged;
-# (3) padding with the LONGEST-unattested names (r01 cohort
-# alphabetical, then the r02 cohort). The full-sweep ritual
-# (tools/diffcheck.py at sf0.001 AND sf0.01) still gates every query
-# every round regardless.
+# since their last attestation — q3/q5 FIRST (r10 VERDICT item 2:
+# their shuffle_hash hints changed after r10's rotation froze, and
+# r11 reverted q3's again), j6 (hint dropped), o7/o7b (forced frontier
+# broadcast removed), the consumers of the r11 ranks._offsets
+# refactor (with_global_rn / with_global_running_sum / _min now share
+# one triangle-join helper): a32, c20, c27, c37, dq10, dq10b, l43,
+# l47, l64, w18 — the grouped form is untouched, so its consumers
+# stay on the full-sweep gate — and the sqlext rewriter's consumers
+# (ON trailing-conjunct + QUALIFY set-op rejections landed): j21,
+# j21b, j21c, sql7;
+# (3) padding with the LONGEST-unattested names (last driver row r02,
+# alphabetical). The full-sweep ritual (tools/diffcheck.py at sf0.001
+# AND sf0.01) still gates every query every round regardless.
+# Standing rule (adopted r11 after the r10 miss): a plan-affecting
+# change landing AFTER the round's rotation is frozen RE-OPENS the
+# rotation — the changed query moves to the head of category (2) for
+# the next round if the current window can no longer cover it.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # (1) round-10 additions
-    "dq10b_ks_binned_certificate",
-    "j21c_asof_sql_bounded_using",
-    "c39_cbs_split",
-    "t23_state_ttl_eviction",
-    "sql7_qualify",
-    "o7_skyline",
-    "c39b_cbs_recursion",
-    "o7b_skyline_continuous",
+    # (1) round-11 additions
+    "j22_asof_nearest",
+    "j22b_asof_nearest_sql",
+    "o7c_skyline_grid3d",
+    "c39c_cbs_convergence",
+    "dq10c_ks_sketch_binned",
+    "dq10d_ks_sketch_certificate",
     # (2) changed since last attestation
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "j6_broadcast_star",
+    "o7_skyline",
+    "o7b_skyline_continuous",
+    "a32_equidepth_histogram",
+    "c20_rfm_segmentation",
+    "c27_pareto_abc",
+    "c37_bh_fdr_screen",
     "dq10_ks_two_sample",
+    "dq10b_ks_binned_certificate",
+    "l43_perplexity_pruning",
+    "l47_balanced_shards",
+    "l64_systematic_token_sample",
+    "w18_mann_whitney_u",
     "j21_asof_sql_surface",
     "j21b_asof_sql_left_forward",
-    "j9_asof_join",
-    "j9b_asof_bounded",
-    "w20_cusum_drift",
-    "a32_equidepth_histogram",
-    "w18_mann_whitney_u",
-    "c27_pareto_abc",
-    "l64_systematic_token_sample",
-    "a24_weighted_median",
-    "w7_pct_rank_cume",
-    # (3) longest-unattested padding (last green row: r01, then r02)
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "s2_csv_roundtrip",
-    "s3_json_roundtrip",
-    "s4_semistructured_vcf",
-    "s5_inmemory_values",
-    "s6b_bucketed_join",
-    "s6c_partitioned_prune",
-    "s6d_dynamic_prune",
-    "s6e_dynamic_overwrite",
-    "s7_orc_roundtrip",
-    "sql1_sql_api",
-    "a10_stats",
-    "a11_minmax_by",
-    "a2_global_agg",
-    "a3_count_distinct",
-    "a4_approx_count_distinct",
-    "a5_having",
-    "a6_rollup",
-    "a6b_cube",
-    "a6c_grouping_sets",
-    "a7_pivot",
-    "a8_collect_sorted",
-    "a9_percentiles",
+    "j21c_asof_sql_bounded_using",
+    "sql7_qualify",
+    # (3) longest-unattested padding (last driver row: r02)
+    "l11_centroids",
+    "l12_language_id",
+    "l13_doc_fingerprint",
+    "l13b_winnow_fingerprint",
+    "l14_embedding_neardup",
+    "l15_token_count",
+    "l16_dedup_clusters",
+    "l17_hash_sample",
+    "l18_kmeans",
+    "l19_decontaminate",
+    "l1_exact_dedup",
+    "l20_text_clean",
+    "l21_stratified_sample",
+    "l22_unigram_logprob",
+    "l2_hash_dedup",
+    "l3_jaccard_pairs",
+    "l3b_minhash_lsh",
+    "l3c_simhash",
+    "l4_knn_bruteforce",
+    "l4b_knn_per_query",
+    "l5_ann_lsh",
+    "l5b_ann_ivf",
+    "l6_token_tf",
+    "l7_tfidf",
+    "l8_ngrams",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list
