@@ -688,8 +688,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem stream, while hash-building the year-filtered orders
     partition (~1/7 of orders per shuffle partition) streams lineitem
     unsorted — measured 10.3→6.7 s / 27.8→7.3 s on the 100× replica
-    (the customer join stays SMJ: a fact-sized build side should sort
-    and spill gracefully, not hash-build).
+    in r10, re-measured 4.3 s in r11 (the customer join stays SMJ: a
+    fact-sized build side should sort and spill gracefully, not
+    hash-build; q3's and j6's hints were reverted in r11 for exactly
+    that reason — their build sides are fact-sized).
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
