@@ -1786,3 +1786,76 @@ def sql7_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND count(*) OVER (PARTITION BY o_custkey) >= 2
         """,
     )
+
+
+@query(
+    "sql8_asof_qualify",
+    # Oracle: DuckDB runs BOTH surfaces natively — its ASOF JOIN and
+    # its QUALIFY in one statement — an independent end-to-end
+    # implementation of the same composed semantics. gap_us is an
+    # exact integer; rank ties break on the unique event_id.
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, c.click_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.cts) AS gap_us,
+           row_number() OVER (PARTITION BY p.user_id
+                              ORDER BY epoch_us(p.ts) - epoch_us(c.cts),
+                                       p.event_id) AS rn
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts
+    QUALIFY rn = 1
+    """,
+    tags=("J9", "W1", "O4"),
+)
+def sql8_asof_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH SQL-surface extensions composed in ONE statement
+    (nipd_spark/sqlext.sql — r11): an ASOF JOIN pairing each purchase
+    with the user's latest prior click, then a QUALIFY keeping each
+    user's TIGHTEST purchase→click pair (rank by exact-µs gap,
+    event_id tie-break). This is the drop-in ``spark.sql`` a reference
+    user migrating raw Snowflake/DuckDB SQL calls — the ASOF splice
+    rewrites the FROM clause onto the union+window operator, then the
+    QUALIFY rewrite turns the trailing clause into the ordinary
+    window+filter, all driver-side text work. Oracle: DuckDB executes
+    the SAME composition through its native ASOF JOIN and native
+    QUALIFY — two independent engine implementations of both surfaces,
+    hash-compared.
+
+    Plan shape for 100 TB: the as-of pairing is one shuffle on
+    user_id + an in-partition sort; the QUALIFY window rides the SAME
+    user_id partitioning (Catalyst reuses the exchange), so the
+    composed statement costs the as-of join plus one in-partition
+    rank — no extra shuffle, nothing materializes.
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    ).createOrReplaceTempView("sql8_clicks")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    ).createOrReplaceTempView("sql8_purchases")
+    return sqlx(
+        spark,
+        """
+        SELECT p.user_id, p.event_id, c.click_id AS click_id,
+               unix_micros(p.ts) - unix_micros(c.cts) AS gap_us,
+               row_number() OVER (PARTITION BY p.user_id
+                                  ORDER BY unix_micros(p.ts)
+                                           - unix_micros(c.cts),
+                                           p.event_id) AS rn
+        FROM sql8_purchases p
+        ASOF JOIN sql8_clicks c
+        MATCH_CONDITION (p.ts >= c.cts)
+        ON p.user_id = c.user_id
+        QUALIFY rn = 1
+        """,
+    )

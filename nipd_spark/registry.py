@@ -53,7 +53,7 @@ _QUERY_MODULES = (
 # (1) this round's additions first — j22/j22b (ASOF nearest operator +
 # NEAREST SQL grammar), o7c (d=3 grid-pruned skyline), c39c (CBS
 # recursion to convergence), dq10c/dq10d (sketch-edge binned KS +
-# GK-band certificate);
+# GK-band certificate), sql8 (ASOF + QUALIFY composed via sqlext.sql);
 # (2) re-checks of queries whose implementation or oracle changed
 # since their last attestation — q3/q5 FIRST (r10 VERDICT item 2:
 # their shuffle_hash hints changed after r10's rotation froze, and
@@ -80,6 +80,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "c39c_cbs_convergence",
     "dq10c_ks_sketch_binned",
     "dq10d_ks_sketch_certificate",
+    "sql8_asof_qualify",
     # (2) changed since last attestation
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -125,7 +126,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l5b_ann_ivf",
     "l6_token_tf",
     "l7_tfidf",
-    "l8_ngrams",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -213,6 +213,14 @@ def asof_sql(spark: SparkSession, text: str) -> DataFrame:
     """Run a Spark SQL string that may contain ASOF JOIN clauses (see
     module docstring for the grammar). Non-ASOF SQL passes through to
     ``spark.sql`` untouched."""
+    return spark.sql(_rewrite_asof(spark, text))
+
+
+def _rewrite_asof(spark: SparkSession, text: str) -> str:
+    """The ASOF splice as TEXT → TEXT: materialize each ASOF JOIN
+    through operators.asof.asof_join behind a temp view and return the
+    rewritten statement (still ordinary Spark SQL), so other text-level
+    surfaces (QUALIFY) can compose on top."""
     while True:
         m = _HEAD_RE.search(text)
         if m is None:
@@ -350,7 +358,7 @@ def asof_sql(spark: SparkSession, text: str) -> DataFrame:
 
         rest = text[: m.start()] + f"FROM {view}" + text[clause_end:]
         text = _rewrite_refs(rest, la, ra, pref)
-    return spark.sql(text)
+    return text
 
 
 # ---------------------------------------------------------------------------
@@ -529,3 +537,20 @@ def qualify_sql(spark: SparkSession, text: str) -> DataFrame:
         df.createOrReplaceTempView(view)
         df = spark.sql(f"SELECT * FROM {view} {tail}")
     return df
+
+
+def sql(spark: SparkSession, text: str) -> DataFrame:
+    """The combined SQL-surface entry point: run a Spark SQL string
+    that may contain BOTH extensions this module adds — ASOF JOIN
+    clauses (incl. NEAREST) anywhere in the statement and a trailing
+    QUALIFY clause — in the order the semantics require: the ASOF
+    splice first (it only replaces FROM-clause join text with temp
+    views, leaving ordinary SQL), then the QUALIFY rewrite on the
+    result. Plain Spark SQL passes through untouched, so this is a
+    drop-in ``spark.sql`` for the documented grammar.
+
+    Scale notes (100 TB): pure text-level composition of the two
+    rewrites — the plan is whatever the individual surfaces produce;
+    nothing additional materializes.
+    """
+    return qualify_sql(spark, _rewrite_asof(spark, text))

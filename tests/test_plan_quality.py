@@ -924,3 +924,25 @@ def test_sketch_binned_ks_has_no_ranks_pass(spark, sf_dir, name):
     assert "__rk_" not in plan
     if name == "dq10c_ks_sketch_binned":
         assert "windowspecdefinition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["o7_skyline", "o7b_skyline_continuous", "o7c_skyline_grid3d"]
+)
+def test_skyline_join_back_strategy_tolerant(spark, sf_dir, name):
+    """The skyline join-backs must never be a CartesianProduct, and the
+    frontier join-back must be an EQUI join the optimizer is free to
+    plan as broadcast OR shuffle (r11: the forced F.broadcast on the
+    data-dependent frontier was removed — an anti-correlated frontier
+    is O(distinct keys) and must not be forced driver-side). o7c's
+    BNLJs are the bounded ≤G³-row cell-table passes, allowed by the
+    lint entry; the point-level joins stay equi."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    # the join-back exists as SOME hash/merge equi join — any of the
+    # three strategies is acceptable, a forced one is not pinned
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
