@@ -4175,3 +4175,60 @@ def test_sketch_binned_ks_sandwich_vs_exact(spark):
     assert d_exact <= d_binned + gap + 1e-12    # ECDF oscillation bound
     assert cert.edges_sorted and cert.all_edges_in_band
     assert (cert.n1, cert.n2, cert.n_edges) == (n1, n2, 31)
+
+
+def test_asof_nearest_composite_keys_and_using(spark):
+    """nearest with COMPOSITE match keys — the operator directly
+    (payload including a key column, exercising the rename-proof
+    internal payload) and the SQL surface via USING + LEFT, against a
+    python reference."""
+    from nipd_spark.operators.asof import asof_join
+    from nipd_spark.sqlext import asof_sql
+
+    lrows = [(0, 0, 5, 1), (0, 1, 5, 2), (1, 0, 3, 3), (2, 2, 9, 4)]
+    rrows = [(0, 0, 3, 10), (0, 0, 8, 11), (0, 1, 6, 12), (1, 0, 30, 13)]
+    ldf = spark.createDataFrame(lrows, "k1 int, k2 int, ts int, lid int")
+    rdf = spark.createDataFrame(rrows, "k1 int, k2 int, rts int, rid int")
+
+    def ref(k1, k2, ts):
+        cands = [(rts, rid) for (a, b, rts, rid) in rrows if (a, b) == (k1, k2)]
+        back = [c for c in cands if c[0] <= ts]
+        fwd = [c for c in cands if c[0] >= ts]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None:
+            return f[1] if f else None
+        if f is None:
+            return b[1]
+        return b[1] if (ts - b[0]) <= (f[0] - ts) else f[1]
+
+    want = {lid: ref(k1, k2, ts) for (k1, k2, ts, lid) in lrows}
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf,
+            rdf,
+            key=["k1", "k2"],
+            left_ts="ts",
+            right_ts="rts",
+            right_payload=["rid", "k1"],  # payload includes a key col
+            tiebreak="rid",
+            direction="nearest",
+        ).collect()
+    }
+    assert got == want
+    # (0,0,5): back 3 (gap 2) vs fwd 8 (gap 3) -> 10; (0,1,5): fwd-only
+    # within... rts 6 >= 5 and <= none; back none -> 12; (1,0,3): only
+    # 30 (fwd) -> 13; (2,2,9): no candidates -> None
+    assert want == {1: 10, 2: 12, 3: 13, 4: None}
+
+    ldf.createOrReplaceTempView("ncu_l")
+    rdf.createOrReplaceTempView("ncu_r")
+    rows = asof_sql(
+        spark,
+        """SELECT a.lid, b.rid AS rid FROM ncu_l a
+           ASOF LEFT JOIN ncu_r b
+           MATCH_CONDITION (NEAREST(a.ts, b.rts))
+           USING (k1, k2)""",
+    ).collect()
+    assert {r.lid: r.rid for r in rows} == want
