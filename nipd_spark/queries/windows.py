@@ -1365,3 +1365,117 @@ def w23_spearman_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "w24_pattern_vshape",
+    # Oracle: the identical gaps-and-islands compilation spelled as
+    # DuckDB window SQL — labels from lag, change-point cumsum islands,
+    # per-island collapse, adjacent-pair detection. Counts are exact
+    # integers; bottom_val/recovery are stored doubles / one identical-
+    # shape subtraction — bit-equal cross-engine, unrounded.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id, value,
+             row_number() OVER w AS rn,
+             lag(value) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN value > prev THEN 'UP'
+                     WHEN value < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             arg_max(value, rn) AS last_val
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab, lag(lab) OVER wi AS plab,
+             lag(n) OVER wi AS n_down, n AS n_up,
+             lag(start_ts) OVER wi AS start_ts,
+             lag(end_ts) OVER wi AS bottom_ts,
+             end_ts,
+             lag(last_val) OVER wi AS bottom_val,
+             last_val
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, start_ts, bottom_ts, end_ts,
+           n_down, n_up, bottom_val,
+           last_val - bottom_val AS recovery
+    FROM m WHERE lab = 'UP' AND plab = 'DOWN'
+    """,
+    tags=("W10", "W5", "A11"),
+)
+def w24_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (SURVEY §2.5 W10): the MATCH_RECOGNIZE
+    run-pattern subset [PK: ISO/IEC SQL:2016 row pattern recognition;
+    Oracle/Snowflake MATCH_RECOGNIZE; Flink CEP], compiled to keyed
+    windows by operators/patterns.match_runs — here the classic
+    V-shape: per user, every maximal DOWN+ UP+ dip-and-recover in the
+    event-value sequence, ONE ROW PER MATCH with SKIP PAST LAST ROW
+    semantics (exact for this pattern — DOWN/UP has no border, so
+    matches provably cannot overlap; self-overlapping patterns like
+    the W-shape are loudly rejected by the operator). Measures: the
+    dip's start/bottom/end timestamps, run lengths, bottom value and
+    recovery height.
+
+    Plan shape for 100 TB: label + island windows and the detection
+    window all partition on user_id — a key whose cardinality GROWS
+    with the data, so parallelism scales (the sql7 lesson); the island
+    collapse shrinks the relation before detection; no bounded-domain
+    partition key, no Python, no sequential scan anywhere.
+    """
+    from nipd_spark.operators.patterns import match_runs
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(w))
+    prev = F.lag("value").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("value") > prev, F.lit("UP"))
+        .when(F.col("value") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "UP"],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+            "last_val": F.max_by("value", F.col("rn")),
+        },
+    )
+    return matches.select(
+        "user_id",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg0_end_ts").alias("bottom_ts"),
+        F.col("seg1_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_down"),
+        F.col("seg1_n").alias("n_up"),
+        F.col("seg0_last_val").alias("bottom_val"),
+        (F.col("seg1_last_val") - F.col("seg0_last_val")).alias(
+            "recovery"
+        ),
+    )

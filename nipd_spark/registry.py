@@ -53,7 +53,8 @@ _QUERY_MODULES = (
 # (1) this round's additions first — j22/j22b (ASOF nearest operator +
 # NEAREST SQL grammar), o7c (d=3 grid-pruned skyline), c39c (CBS
 # recursion to convergence), dq10c/dq10d (sketch-edge binned KS +
-# GK-band certificate), sql8 (ASOF + QUALIFY composed via sqlext.sql);
+# GK-band certificate), sql8 (ASOF + QUALIFY composed via sqlext.sql),
+# w24 (W10 row-pattern matching — MATCH_RECOGNIZE run subset);
 # (2) re-checks of queries whose implementation or oracle changed
 # since their last attestation — q3/q5 FIRST (r10 VERDICT item 2:
 # their shuffle_hash hints changed after r10's rotation froze, and
@@ -81,6 +82,7 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "dq10c_ks_sketch_binned",
     "dq10d_ks_sketch_certificate",
     "sql8_asof_qualify",
+    "w24_pattern_vshape",
     # (2) changed since last attestation
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -125,7 +127,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l5_ann_lsh",
     "l5b_ann_ivf",
     "l6_token_tf",
-    "l7_tfidf",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

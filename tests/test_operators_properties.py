@@ -4232,3 +4232,75 @@ def test_asof_nearest_composite_keys_and_using(spark):
            USING (k1, k2)""",
     ).collect()
     assert {r.lid: r.rid for r in rows} == want
+
+
+def test_match_runs_matches_python_nfa(spark):
+    """operators/patterns.match_runs == a from-scratch sequential
+    matcher (maximal-run collapse + greedy non-overlapping occurrence
+    scan) on crafted per-key label sequences with FLAT breaks,
+    back-to-back matches, and a 3-label pattern; the W-shape
+    (self-overlapping border) and adjacent-equal patterns are loudly
+    rejected."""
+    import pytest
+
+    from nipd_spark.operators import patterns as pat
+
+    # key 1: V, FLAT break, V again (back-to-back matches)
+    # key 2: three-run A B C sequence embedded in noise
+    rows = []
+    def seq(k, labs):
+        for i, lb in enumerate(labs):
+            rows.append((k, i, lb))
+    seq(1, ["D", "D", "U", "F", "D", "U", "U"])
+    seq(2, ["B", "A", "A", "B", "C", "C", "A", "C"])
+    seq(3, ["U", "U", "U"])  # no match for any pattern below
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+
+    def ref_matches(labs, pattern):
+        # maximal runs
+        runs = []
+        for i, lb in enumerate(labs):
+            if runs and runs[-1][0] == lb:
+                runs[-1][2] += 1
+            else:
+                runs.append([lb, i, 1])
+        out = []
+        i = 0
+        while i + len(pattern) <= len(runs):
+            window = [r[0] for r in runs[i : i + len(pattern)]]
+            if window == pattern:
+                out.append(tuple(r[1] for r in runs[i : i + len(pattern)]))
+                i += len(pattern)  # SKIP PAST LAST ROW
+            else:
+                i += 1
+        return out
+
+    by_key = {}
+    for k, pos, lb in rows:
+        by_key.setdefault(k, []).append(lb)
+
+    for pattern in (["D", "U"], ["A", "B", "C"]):
+        got = {
+            tuple([r.k] + [r[f"seg{i}_start"] for i in range(len(pattern))])
+            for r in pat.match_runs(
+                df,
+                key="k",
+                order=["pos"],
+                label=F.col("lab"),
+                pattern=pattern,
+                island_aggs={"start": F.min("pos")},
+            ).collect()
+        }
+        want = {
+            (k, *m)
+            for k, labs in by_key.items()
+            for m in ref_matches(labs, pattern)
+        }
+        assert got == want, (pattern, got, want)
+
+    with pytest.raises(ValueError, match="border"):
+        pat.match_runs(
+            df, "k", ["pos"], F.col("lab"), ["D", "U", "D", "U"], {}
+        )
+    with pytest.raises(ValueError, match="adjacent equal"):
+        pat.match_runs(df, "k", ["pos"], F.col("lab"), ["D", "D"], {})

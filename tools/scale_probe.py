@@ -172,6 +172,7 @@ PROBE = [
     "c39c_cbs_convergence",  # CBS supersteps to convergence on one prefix pass
     "dq10c_ks_sketch_binned",  # binned-only KS: sketch edges, no ranks pass
     "dq10d_ks_sketch_certificate",  # GK band certificate on the same plan
+    "w24_pattern_vshape",  # MATCH_RECOGNIZE run subset via islands compile
 ]
 
 
