@@ -1479,3 +1479,178 @@ def w24_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recovery"
         ),
     )
+
+
+@query(
+    "w24b_pattern_dip_stabilize_recover",
+    # Oracle: the same islands compilation with a TWO-lag detection
+    # chain (k=3) in DuckDB window SQL. Labels classify the QUANTIZED
+    # value band (floor(value/25)) so FLAT plateaus actually occur on
+    # a continuous measure; every output is an exact integer or µs
+    # timestamp.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             arg_max(band, rn) AS last_band
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab,
+             lag(lab) OVER wi AS lab1, lag(lab, 2) OVER wi AS lab2,
+             lag(n, 2) OVER wi AS n_down,
+             lag(n) OVER wi AS n_flat, n AS n_up,
+             lag(start_ts, 2) OVER wi AS start_ts,
+             end_ts,
+             lag(last_band) OVER wi AS plateau_band
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, start_ts, end_ts, n_down, n_flat, n_up, plateau_band
+    FROM m WHERE lab = 'UP' AND lab1 = 'FLAT' AND lab2 = 'DOWN'
+    """,
+    tags=("W10", "W5"),
+)
+def w24b_pattern_dip_stabilize_recover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The k=3 run pattern DOWN+ FLAT+ UP+ — dip, stabilize, recover —
+    through the same W10 compiler (operators/patterns.match_runs): the
+    three-label sequence is border-free (no proper prefix equals a
+    suffix), so the lag-chain detection is still exactly SKIP PAST
+    LAST ROW. Exercises the multi-lag detection path the V-shape
+    (k=2) doesn't. Labels classify the QUANTIZED value band
+    (floor(value/25)) — on a continuous measure exact-equality FLAT
+    never fires (measured: zero matches on the raw doubles), so the
+    stabilize leg is defined on the banded level, the standard
+    practice for plateau detection on noisy series. Measures: the
+    full span, the three run lengths and the plateau band.
+
+    Plan shape for 100 TB: identical to w24 — every window on the
+    growing user_id key; detection adds one more lag over the SAME
+    island window (no extra shuffle).
+    """
+    from nipd_spark.operators.patterns import match_runs
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(w))
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "FLAT", "UP"],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+            "last_band": F.max_by("band", F.col("rn")),
+        },
+    )
+    return matches.select(
+        "user_id",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg2_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_down"),
+        F.col("seg1_n").alias("n_flat"),
+        F.col("seg2_n").alias("n_up"),
+        F.col("seg1_last_band").alias("plateau_band"),
+    )
+
+
+@query("w24c_pattern_wshape", sql=None, tags=("W10", "D6"))
+def w24c_pattern_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W-shape (double dip: DOWN+ UP+ DOWN+ UP+) per user over the
+    banded event values — a SELF-OVERLAPPING pattern (the label
+    sequence has the border DOWN UP), so the windows-compiled matcher
+    rejects it by design and the sequential escape hatch runs instead:
+    operators/patterns.match_runs_sequential — the SAME distributed
+    island collapse, then one Arrow-batched applyInPandas greedy scan
+    per user over the ISLAND sequence (never raw rows).
+
+    rows-only by design: AFTER MATCH SKIP PAST LAST ROW over a
+    self-overlapping pattern is an inherently sequential greedy
+    consumption — not expressible as set-based SQL (the same status as
+    the iterative/EM families). The semantics gate is the property
+    test pinning match_runs_sequential against a from-scratch
+    sequential reference AND against match_runs on border-free
+    patterns (where both must agree exactly).
+
+    Plan shape for 100 TB: two keyed window stages + one keyed
+    applyInPandas over the collapsed islands — per-user island
+    sequences are bounded by the user's row share; Python sees runs,
+    not rows.
+    """
+    from nipd_spark.operators.patterns import match_runs_sequential
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs_sequential(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "UP", "DOWN", "UP"],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+        },
+    )
+    return matches.select(
+        "user_id",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg1_end_ts").alias("mid_ts"),
+        F.col("seg3_end_ts").alias("end_ts"),
+        (
+            F.col("seg0_n") + F.col("seg1_n")
+            + F.col("seg2_n") + F.col("seg3_n")
+        ).alias("n_rows"),
+    )

@@ -54,7 +54,8 @@ _QUERY_MODULES = (
 # NEAREST SQL grammar), o7c (d=3 grid-pruned skyline), c39c (CBS
 # recursion to convergence), dq10c/dq10d (sketch-edge binned KS +
 # GK-band certificate), sql8 (ASOF + QUALIFY composed via sqlext.sql),
-# w24 (W10 row-pattern matching — MATCH_RECOGNIZE run subset);
+# w24/w24b/w24c (W10 row-pattern matching — MATCH_RECOGNIZE run
+# subset incl. the sequential W-shape escape hatch);
 # (2) re-checks of queries whose implementation or oracle changed
 # since their last attestation — q3/q5 FIRST (r10 VERDICT item 2:
 # their shuffle_hash hints changed after r10's rotation froze, and
@@ -83,6 +84,8 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "dq10d_ks_sketch_certificate",
     "sql8_asof_qualify",
     "w24_pattern_vshape",
+    "w24b_pattern_dip_stabilize_recover",
+    "w24c_pattern_wshape",
     # (2) changed since last attestation
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -125,8 +128,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "l4_knn_bruteforce",
     "l4b_knn_per_query",
     "l5_ann_lsh",
-    "l5b_ann_ivf",
-    "l6_token_tf",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

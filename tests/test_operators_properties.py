@@ -4304,3 +4304,74 @@ def test_match_runs_matches_python_nfa(spark):
         )
     with pytest.raises(ValueError, match="adjacent equal"):
         pat.match_runs(df, "k", ["pos"], F.col("lab"), ["D", "D"], {})
+
+
+def test_match_runs_sequential_matches_reference_and_compiled(spark):
+    """match_runs_sequential (applyInPandas greedy scan over islands):
+    (a) == a from-scratch sequential reference on a SELF-OVERLAPPING
+    W-shape pattern where skip-past-last drops the overlapped second
+    occurrence; (b) == the windows-compiled match_runs on border-free
+    patterns (both matchers must agree exactly)."""
+    from nipd_spark.operators import patterns as pat
+
+    rows = []
+    def seq(k, labs):
+        for i, lb in enumerate(labs):
+            rows.append((k, i, lb))
+    # key 1: D U D U D U — naive detection would find overlapping
+    # W-matches at islands (1-4) and (3-6); skip-past-last keeps ONE
+    seq(1, ["D", "U", "D", "U", "D", "U"])
+    # key 2: two clean back-to-back Ws
+    seq(2, ["D", "U", "D", "U", "F", "D", "U", "D", "U"])
+    seq(3, ["D", "U"])  # too short for W
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+
+    def ref_matches(labs, pattern):
+        runs = []
+        for i, lb in enumerate(labs):
+            if runs and runs[-1][0] == lb:
+                continue
+            runs.append((lb, i))
+        out, i = [], 0
+        while i + len(pattern) <= len(runs):
+            if [r[0] for r in runs[i : i + len(pattern)]] == pattern:
+                out.append(tuple(r[1] for r in runs[i : i + len(pattern)]))
+                i += len(pattern)
+            else:
+                i += 1
+        return out
+
+    by_key = {}
+    for k, pos, lb in rows:
+        by_key.setdefault(k, []).append(lb)
+
+    wpat = ["D", "U", "D", "U"]
+    got = {
+        tuple([r.k] + [r[f"seg{i}_start"] for i in range(4)])
+        for r in pat.match_runs_sequential(
+            df, "k", ["pos"], F.col("lab"), wpat,
+            {"start": F.min("pos")},
+        ).collect()
+    }
+    want = {
+        (k, *m) for k, labs in by_key.items() for m in ref_matches(labs, wpat)
+    }
+    assert got == want
+    assert (1, 0, 1, 2, 3) in got and len([g for g in got if g[0] == 1]) == 1
+    assert len([g for g in got if g[0] == 2]) == 2
+
+    # border-free agreement: both matchers identical on the V pattern
+    vpat = ["D", "U"]
+    a = {
+        tuple([r.k] + [r[f"seg{i}_start"] for i in range(2)])
+        for r in pat.match_runs(
+            df, "k", ["pos"], F.col("lab"), vpat, {"start": F.min("pos")}
+        ).collect()
+    }
+    b = {
+        tuple([r.k] + [r[f"seg{i}_start"] for i in range(2)])
+        for r in pat.match_runs_sequential(
+            df, "k", ["pos"], F.col("lab"), vpat, {"start": F.min("pos")}
+        ).collect()
+    }
+    assert a == b

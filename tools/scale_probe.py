@@ -173,6 +173,8 @@ PROBE = [
     "dq10c_ks_sketch_binned",  # binned-only KS: sketch edges, no ranks pass
     "dq10d_ks_sketch_certificate",  # GK band certificate on the same plan
     "w24_pattern_vshape",  # MATCH_RECOGNIZE run subset via islands compile
+    "w24b_pattern_dip_stabilize_recover",  # k=3 banded run pattern
+    "w24c_pattern_wshape",  # self-overlapping W via bucketed sequential scan
 ]
 
 
