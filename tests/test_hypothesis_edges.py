@@ -1363,3 +1363,69 @@ def test_asof_sql_nearest_matches_duckdb_argmin(
         q = f"SELECT lid, rid FROM ({base}) WHERE rid IS NOT NULL"
     want = {(lid, rid) for lid, rid in con.execute(q).fetchall()}
     assert got == want
+
+
+_lab = st.sampled_from(["D", "U", "F"])
+
+
+@given(
+    seqs=st.lists(
+        st.lists(_lab, min_size=1, max_size=14), min_size=1, max_size=4
+    ),
+    pidx=st.integers(min_value=0, max_value=2),
+)
+@settings(**_SETTINGS)
+def test_match_runs_randomized_vs_reference(spark, seqs, pidx):
+    """Randomized label sequences: both W10 matchers == the greedy
+    run-scan reference; on border-free patterns the compiled and
+    sequential matchers must also agree with each other."""
+    from nipd_spark.operators import patterns as pat
+
+    from pyspark.sql import functions as F
+
+    pattern = [["D", "U"], ["D", "F", "U"], ["U", "D"]][pidx]
+    rows = [
+        (k, i, lb)
+        for k, labs in enumerate(seqs)
+        for i, lb in enumerate(labs)
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+
+    def ref(labs):
+        runs = []
+        for i, lb in enumerate(labs):
+            if runs and runs[-1][0] == lb:
+                continue
+            runs.append((lb, i))
+        out, i = [], 0
+        while i + len(pattern) <= len(runs):
+            if [r[0] for r in runs[i : i + len(pattern)]] == pattern:
+                out.append(
+                    tuple(r[1] for r in runs[i : i + len(pattern)])
+                )
+                i += len(pattern)
+            else:
+                i += 1
+        return out
+
+    want = {
+        (k, *m) for k, labs in enumerate(seqs) for m in ref(labs)
+    }
+    norm = lambda rs: {
+        tuple([r.k] + [r[f"seg{i}_start"] for i in range(len(pattern))])
+        for r in rs
+    }
+    got_seq = norm(
+        pat.match_runs_sequential(
+            df, "k", ["pos"], F.col("lab"), pattern,
+            {"start": F.min("pos")},
+        ).collect()
+    )
+    assert got_seq == want
+    got_cmp = norm(
+        pat.match_runs(
+            df, "k", ["pos"], F.col("lab"), pattern,
+            {"start": F.min("pos")},
+        ).collect()
+    )
+    assert got_cmp == want
