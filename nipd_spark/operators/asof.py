@@ -133,6 +133,24 @@ def _ts_num(col_name: str, df: DataFrame):
     return F.col(col_name)
 
 
+def _ts_class(dt) -> str:
+    """Comparison class of an ordering column's type: 'timestamp',
+    'date', or 'numeric' — the three families _ts_num maps to distinct
+    numeric scales (µs, days, identity)."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    if isinstance(dt, TimestampType):
+        return "timestamp"
+    if isinstance(dt, DateType):
+        return "date"
+    if isinstance(dt, NumericType):
+        return "numeric"
+    raise ValueError(
+        f"asof nearest: ordering column type {dt.simpleString()} is not "
+        "a timestamp, date, or numeric type"
+    )
+
+
 def _asof_nearest(
     left: DataFrame,
     right: DataFrame,
@@ -148,6 +166,19 @@ def _asof_nearest(
     every left row and only appends columns), so no row-id join-back
     is ever needed — two key-shuffles, zero extra joins."""
     keys = [key] if isinstance(key, str) else list(key)
+    # The gap arithmetic below maps each side's ts through ITS OWN
+    # type's numeric image — a timestamp-vs-date (or numeric-vs-
+    # temporal) pair would silently compare microseconds against days
+    # and pick the wrong nearest candidate. Same-class or loud error
+    # (r11 ADVICE).
+    lcls = _ts_class(left.schema[left_ts].dataType)
+    rcls = _ts_class(right.schema[right_ts].dataType)
+    if lcls != rcls:
+        raise ValueError(
+            "asof nearest: left and right ordering columns must be the "
+            f"same comparison class, got {left_ts}={lcls} vs "
+            f"{right_ts}={rcls}"
+        )
     # each leg's payload (plus the right ts for the gap) renamed so the
     # two carries never collide, even when right_payload includes the
     # ts/key columns themselves

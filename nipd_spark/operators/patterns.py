@@ -217,7 +217,11 @@ def match_runs_sequential(
     def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         out: list[dict] = []
         pdf = pdf.sort_values([*keys, "__island"])
-        for kv, g in pdf.groupby(keys, sort=False):
+        # dropna=False: the Spark window path groups NULL keys together
+        # and can emit matches for them; pandas groupby defaults to
+        # dropping NULL-key groups, which would silently diverge from
+        # match_runs' contract (r11 ADVICE).
+        for kv, g in pdf.groupby(keys, sort=False, dropna=False):
             kt = kv if isinstance(kv, tuple) else (kv,)
             krec = dict(zip(keys, kt))
             labs = g["__lab"].tolist()

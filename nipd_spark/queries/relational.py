@@ -13,6 +13,8 @@ keys and AQE handles skew/coalescing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -592,14 +594,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: 3-way join, filtered, grouped, global top-10.
 
     Scale note: customer is the small side (broadcast); lineitem⋈orders
-    shuffles on orderkey and stays SORT-MERGE by design: the date filter
-    keeps ~97% of orders, so the build side is fully fact-sized and a
-    shuffled-hash build cannot spill the way SMJ's sort does — the r10
-    shuffle_hash hint (a measured 8.4-10.0 → 7.1 s win on the single-JVM
-    100× replica, where one shared heap makes hash builds cheap) was
-    reverted on round-10 advice because that win does not transfer to a
-    real cluster where each executor hash-builds multi-GB of orders.
-    q5 keeps its hint (year-filtered ~1/7 build, bounded). Top-10 via
+    shuffles on orderkey. The fact-join strategy is PROFILE-SPLIT (r11
+    VERDICT item 2 — one global choice kept costing one posture or the
+    other): under the default ``local`` profile (one shared JVM heap,
+    hash builds cheap, sorts pure overhead) the filtered-orders side
+    carries a ``shuffle_hash`` hint — measured 8.9 → ~6.5 s fresh at
+    the 100× replica (r12 ×3, see docstring history: r10 first
+    measured 8.4-10.0 → 7.1); under ``SPARK_GRAFT_PROFILE=scale`` the
+    join stays SORT-MERGE: the date filter keeps ~97% of orders, the
+    build side is fully fact-sized, and a per-executor hash build of
+    multi-GB orders OOMs where SMJ's sort spills gracefully (the r10
+    advice that prompted the revert). q5 keeps its hint in both
+    profiles (year-filtered ~1/7 build, bounded). Top-10 via
     TakeOrderedAndProject (no full sort). Deterministic tie-breaks
     (o_orderdate, l_orderkey) keep the oracle stable at the LIMIT
     boundary.
@@ -608,6 +614,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
+    if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
+        o = o.hint("shuffle_hash")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )

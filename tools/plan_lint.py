@@ -9,9 +9,10 @@ Rules:
     SCALAR frame (global aggregate, keys=[] — the broadcast-of-1-row
     idiom used for totals/thresholds); any other BNLJ needs an ALLOW
     entry stating why its broadcast side stays bounded as data grows.
-  - Unpartitioned Window (', [], [' in the formatted spec): the
-    "Moving all data to a single partition" funnel; ALLOW only with a
-    boundedness argument.
+  - Unpartitioned Window (executedPlan node walk: a WindowExec whose
+    partitionSpec() is empty — never the formatted-text probe, which
+    r11 showed cannot fire): the "Moving all data to a single
+    partition" funnel; ALLOW only with a boundedness argument.
   - BatchEvalPython / BatchEvalPythonUDTF: row-at-a-time Python in the
     plan; ALLOW only for the deliberate D-surface exemplars.
   - Low-cardinality raw-row window (rule "lowcard"): a WindowExec whose
