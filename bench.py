@@ -170,11 +170,66 @@ def _bench_duck(specs, sf_dir, n_runs, skip=frozenset()):
     return timings
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Host-variance normalizers (r11 VERDICT item 4 — three headline
+    rises in a row were indistinguishable from host drift):
+
+      - noop_floor_sec: best toPandas() of a trivial 3,600-row
+        1-partition frame (events_hourly's result size; the compute is
+        ~µs of xxhash64) — the fixed per-action cost (job submit +
+        1-task schedule + Arrow collect). Any warm per-query number is
+        bounded below by this; events_hourly's 2.2x-of-DuckDB r11
+        driver reading is graded against it (measured: the floor ≈
+        the whole events_hourly warm number).
+      - calib_jvm_sec: a fixed pure-JVM aggregate over spark.range
+        (64M xxhash64 sums, 32 splits, fresh lineage per run) — zero
+        repo code, zero IO, so round-over-round movement here is the
+        HOST, not the engine.
+      - calib_duckdb_sec: the DuckDB twin of the same hash-sum loop,
+        normalizing the baseline side identically.
+    """
+    from pyspark.sql import functions as F
+
+    floor_df = spark.range(0, 3600, 1, 1).select(
+        F.col("id"), F.xxhash64("id").alias("h")
+    )
+    floor_runs = []
+    for _ in range(10):
+        t0 = time.time()
+        floor_df.toPandas()
+        floor_runs.append(time.time() - t0)
+    jvm_runs = []
+    for _ in range(6):
+        df = spark.range(0, 64_000_000, 1, 32).select(
+            # pmod keeps the ANSI sum far from long overflow
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1000))).alias("s")
+        )
+        t0 = time.time()
+        df.toPandas()
+        jvm_runs.append(time.time() - t0)
+    import duckdb
+
+    con = duckdb.connect()
+    duck_runs = []
+    for _ in range(4):
+        t0 = time.time()
+        con.execute(
+            "SELECT sum(hash(r) % 1000) FROM range(64000000) t(r)"
+        ).fetch_arrow_table()
+        duck_runs.append(time.time() - t0)
+    return {
+        "noop_floor_sec": round(min(floor_runs[1:]), 4),
+        "calib_jvm_sec": round(min(jvm_runs[1:]), 4),
+        "calib_duckdb_sec": round(min(duck_runs[1:]), 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("nipd-bench")
     specs = registry.all_specs()
+    calib = _calibrate(spark)
     timings, build_total = _bench_specs(spark, specs, sf_dir, n_runs=8)
     fresh = _bench_specs_fresh(spark, specs, sf_dir, n_runs=2)
     out = {
@@ -190,6 +245,10 @@ def main() -> None:
         "fresh_value": round(sum(fresh.values()), 4),
         "fresh_queries": fresh,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-drift attribution: fixed workloads with zero repo code
+        # (see _calibrate) — compare these across BENCH_r{N}.json before
+        # reading a headline delta as an engine change
+        **calib,
     }
     # 16× tier (VERDICT r8 item 6): at sf0.1 several headline queries
     # are floor-bound — Spark's fixed per-action cost (~0.04 s on this
