@@ -5,57 +5,270 @@ ISO SQL:2016 row pattern recognition (Oracle/Snowflake MATCH_RECOGNIZE,
 Flink CEP [PK: ISO/IEC 9075-2:2016 §R; Flink MATCH_RECOGNIZE docs])
 has no Spark SQL 4.1 surface. The general feature runs an NFA
 sequentially per partition — inherently stateful. This operator
-implements the exactly-compilable subset that covers the classic
-analytics uses (V/U-shapes, dip-and-recover, escalation runs):
+implements the exactly-compilable subset covering the classic
+analytics uses (V/U-shapes, dip-and-recover, escalation runs), with
+ONE ROW PER MATCH and AFTER MATCH SKIP PAST LAST ROW semantics:
 
-    PATTERN (L1+ L2+ ... Lk+)   over caller-supplied row labels,
+    PATTERN (L1[q1] L2[q2] ... Lk[qk])
 
-i.e. one-or-more runs of each label, strictly contiguous, with ONE ROW
-PER MATCH and AFTER MATCH SKIP PAST LAST ROW semantics. The compile
-target is the gaps-and-islands idiom — pure keyed windows + one
-aggregation, no per-row Python, no sequential scan:
+where each quantifier ``qi`` bounds the ROW length of the i-th
+maximal same-label run: ``+`` = {1,}, ``*`` = {0,} (leg optional),
+``?`` = {0,1}, ``{m}``, ``{m,}``, ``{m,n}``. The compile target is
+the gaps-and-islands idiom — pure keyed windows + one aggregation, no
+per-row Python, no sequential scan:
 
   1. label change-points → per-key island ids (one keyed window);
   2. collapse rows to (key, island) with the caller's island-level
      aggregates (keyed partial agg — islands, not rows, flow on);
   3. detect the pattern on the ISLAND sequence: a match ends at an
-     island whose k-1 predecessors carry exactly the pattern's labels
-     (lag chain over the islands table, same keyed window).
+     island whose predecessors carry the pattern's labels with run
+     lengths inside each leg's [m, n] bounds (lag chain over the
+     islands table, same keyed window). Quantifier bounds are pure
+     per-island filters because an INTERIOR leg must consume its
+     whole island (the neighbors' labels differ) — m <= len <= n
+     exactly; the FIRST and LAST legs must consume whole islands too,
+     which is exact only when their max is unbounded, so a finite max
+     on an end leg is rejected loudly (see "Exactness" below).
+
+Optional legs (min 0) compile to the set of EXPANSIONS (present/absent
+subsets); the island string is deterministic (adjacent islands never
+share a label), so at most one expansion can match at a given start,
+and the detection ORs the expansions' lag chains, preferring the
+longest at a shared end — exactly the greedy NFA's present-first
+preference.
 
 Exactness of the skip-past-last semantics WITHOUT sequential state:
-maximal runs mean an occurrence of the label sequence in the island
-string corresponds 1:1 to a pattern match, and occurrences of a
-sequence can OVERLAP only when the sequence has a nontrivial border
-(a proper prefix that is also a suffix — the KMP overlap condition).
-The constructor therefore REJECTS patterns with a nontrivial border
-(and adjacent-equal labels, whose greedy split is ambiguous): for
-every accepted pattern, lag-chain detection emits exactly the
-non-overlapping greedy matches MATCH_RECOGNIZE would. Self-overlapping
-patterns (e.g. W-shapes DOWN UP DOWN UP) need the sequential matcher
-and are loudly refused — the documented escape hatch is an
-applyInPandas NFA per key, not a silent wrong answer.
+maximal runs mean an occurrence of an expansion's label sequence in
+the island string corresponds 1:1 to a pattern match, and the greedy
+non-overlapping scan equals "emit every satisfying window" exactly
+when no two occurrences with DIFFERENT ends can overlap. The
+constructor therefore REJECTS patterns where any alignment of two
+expansion label sequences (other than same-end nesting, resolved
+longest-first) is label-consistent — for a single quantifier-free
+expansion this reduces to the classic KMP border condition. It also
+rejects (for BOTH matchers, island granularity cannot express them):
+  - adjacent equal labels in any expansion (greedy run split of one
+    island across two legs is row-level state);
+  - a finite max bound on the first or last leg of any expansion (the
+    true NFA would consume a PARTIAL island there, so island-level
+    measures and SKIP PAST LAST would be wrong);
+  - patterns whose legs are all optional (empty match).
+Self-overlapping patterns (e.g. W-shapes DOWN UP DOWN UP) pass
+validation only in ``match_runs_sequential`` — the documented escape
+hatch running the greedy scan per key over the ISLAND table.
 
 Scale notes (100 TB): one shuffle on the (growing) key + in-partition
 sorts — the cost class of any per-key window; the island collapse
 shrinks the relation before the detection window, and no stage is
-keyed on a bounded-domain column.
+keyed on a bounded-domain column. Quantifiers add lag columns over
+the SAME island window — no extra shuffle.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# a leg: (label, min_rows, max_rows|None for unbounded)
+Leg = tuple[str, int, "int | None"]
+# an expansion leg: (original_leg_index, label, min_rows>=1, max|None)
+ExpLeg = tuple[int, str, int, "int | None"]
 
-def _border_free(pattern: list[str]) -> bool:
-    """True iff the label sequence has NO nontrivial border (KMP): no
-    proper prefix equals a suffix — the condition under which
-    occurrences cannot overlap."""
-    n = len(pattern)
-    for b in range(1, n):
-        if pattern[:b] == pattern[n - b:]:
-            return False
-    return True
+_MAX_EXPANSIONS = 32
+
+_TOKEN_RE = re.compile(
+    r"(?P<lab>\w+)\s*(?P<q>\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?"
+)
+
+
+def parse_pattern(text: str) -> list[Leg]:
+    """Parse a MATCH_RECOGNIZE PATTERN body (the run-pattern subset)
+    into legs: ``DOWN{2,} FLAT? UP+`` -> [("DOWN",2,None),
+    ("FLAT",0,1), ("UP",1,None)]. Per ISO, a BARE label means exactly
+    one row ({1,1}); note the difference from the PYTHON API, where a
+    bare string leg keeps its historical one-or-more meaning. Rejects
+    anything outside the subset (alternation, grouping, PERMUTE,
+    anchors) loudly."""
+    legs: list[Leg] = []
+    pos = 0
+    text = text.strip()
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(
+                "parse_pattern: expected 'LABEL[+*?{m,n}]' at "
+                f"{text[pos:pos + 20]!r} — alternation (|), grouping, "
+                "PERMUTE and anchors are outside the run-pattern "
+                "subset (see operators/patterns.py)"
+            )
+        q = m["q"]
+        if q is None:
+            lo, hi = 1, 1
+        elif q == "+":
+            lo, hi = 1, None
+        elif q == "*":
+            lo, hi = 0, None
+        elif q == "?":
+            lo, hi = 0, 1
+        else:
+            body = q.strip("{}").replace(" ", "")
+            if "," in body:
+                a, b = body.split(",")
+                lo, hi = int(a), (int(b) if b else None)
+            else:
+                lo = hi = int(body)
+        legs.append((m["lab"], lo, hi))
+        pos = m.end()
+    if not legs:
+        raise ValueError("parse_pattern: empty pattern")
+    return legs
+
+
+def _normalize(pattern) -> list[Leg]:
+    """Python-API legs: a bare string keeps the historical one-or-more
+    meaning (["DOWN","UP"] == DOWN+ UP+); tuples are (label, min,
+    max|None)."""
+    legs: list[Leg] = []
+    for p in pattern:
+        if isinstance(p, str):
+            legs.append((p, 1, None))
+        else:
+            lab, lo, hi = p
+            legs.append((str(lab), int(lo), None if hi is None else int(hi)))
+    if not legs:
+        raise ValueError("match_runs: empty pattern")
+    return legs
+
+
+def _expansions(legs: list[Leg], who: str) -> list[list[ExpLeg]]:
+    """All present/absent subsets of the optional (min 0) legs, in
+    GREEDY preference order (depth-first, present before absent per
+    optional leg in pattern order — the NFA's quantifier greed), each
+    validated for island-granularity exactness."""
+    for lab, lo, hi in legs:
+        if hi is not None and (hi < 1 or hi < lo):
+            raise ValueError(
+                f"{who}: leg {lab}{{{lo},{hi}}} has an empty or "
+                "inverted row-length range"
+            )
+    n_opt = sum(1 for _, lo, _ in legs if lo == 0)
+    if 2**n_opt > _MAX_EXPANSIONS:
+        raise ValueError(
+            f"{who}: {n_opt} optional legs expand to {2**n_opt} label "
+            f"sequences (cap {_MAX_EXPANSIONS})"
+        )
+    out: list[list[ExpLeg]] = []
+
+    def rec(i: int, cur: list[ExpLeg]) -> None:
+        if i == len(legs):
+            if cur:
+                out.append(list(cur))
+            return
+        lab, lo, hi = legs[i]
+        cur.append((i, lab, max(lo, 1), hi))
+        rec(i + 1, cur)
+        cur.pop()
+        if lo == 0:
+            rec(i + 1, cur)
+
+    rec(0, [])
+    if not out:
+        raise ValueError(f"{who}: all legs optional — empty match")
+    for e in out:
+        labs = [lab for _, lab, _, _ in e]
+        for a, b in zip(labs, labs[1:]):
+            if a == b:
+                raise ValueError(
+                    f"{who}: adjacent equal labels ({a!r} {b!r}) in the "
+                    f"expansion {labs} — a greedy split of one maximal "
+                    "run across two legs is row-level state the island "
+                    "compilation cannot express; merge the legs (or "
+                    "make the optional leg between them mandatory)"
+                )
+        for end in (0, -1):
+            _, lab, _, hi = e[end]
+            if hi is not None:
+                raise ValueError(
+                    f"{who}: leg {lab!r} has a finite max row bound "
+                    f"{{..,{hi}}} and sits at the "
+                    f"{'start' if end == 0 else 'end'} of the "
+                    f"expansion {labs} — the NFA would consume a "
+                    "PARTIAL island there, so island-level measures "
+                    "and SKIP PAST LAST ROW cannot be exact; use an "
+                    "unbounded max (+ / {m,}) on end legs"
+                )
+    return out
+
+
+def _overlap_conflict(p: list[ExpLeg], q: list[ExpLeg]) -> bool:
+    """True when some alignment of expansion q against expansion p is
+    label-consistent AND not one of the two nestings the detection
+    resolves exactly:
+      - same-END alignment where the shorter is an original-leg SUFFIX
+        of the longer (leading optionals absent): the longest-first
+        when-chain picks the greedy NFA's choice;
+      - same-START alignment where the shorter is an original-leg
+        PREFIX of the longer (trailing optionals absent): the lead
+        lookahead suppresses the short form when the long one extends.
+    Any other label-consistent alignment means two occurrences with
+    different ends could overlap on one island string, breaking the
+    equivalence of end-anchored detection and the greedy scan — for a
+    single quantifier-free expansion this is exactly the KMP border
+    condition."""
+    pl = [lab for _, lab, _, _ in p]
+    ql = [lab for _, lab, _, _ in q]
+    pi = [oi for oi, _, _, _ in p]
+    qi = [oi for oi, _, _, _ in q]
+    for o in range(-(len(ql) - 1), len(pl)):
+        if o + len(ql) == len(pl):
+            # same-end: exact only as original-leg suffix nesting
+            if (o >= 0 and qi == pi[o:]) or (o < 0 and pi == qi[-o:]):
+                continue
+        if o == 0:
+            # same-start: exact only as original-leg prefix nesting
+            n = min(len(pi), len(qi))
+            if pi[:n] == qi[:n]:
+                continue
+        lo, hi = max(0, o), min(len(pl), o + len(ql))
+        if lo >= hi:
+            continue
+        if all(pl[i] == ql[i - o] for i in range(lo, hi)):
+            return True
+    return False
+
+
+def _check_windows_compilable(exps: list[list[ExpLeg]], who: str) -> None:
+    for p in exps:
+        for q in exps:
+            if _overlap_conflict(p, q):
+                raise ValueError(
+                    f"{who}: label sequences "
+                    f"{[l for _, l, _, _ in p]} and "
+                    f"{[l for _, l, _, _ in q]} admit overlapping "
+                    "occurrences (a nontrivial border / "
+                    "cross-expansion overlap) — lag-chain detection "
+                    "cannot reproduce AFTER MATCH SKIP PAST LAST ROW; "
+                    "use match_runs_sequential for this pattern"
+                )
+
+
+def windows_compilable(pattern) -> bool:
+    """True when ``match_runs`` accepts the pattern (island-exact AND
+    overlap-free); patterns that are island-exact but self-overlapping
+    return False and belong to ``match_runs_sequential``. Patterns
+    outside the island subset raise in BOTH matchers."""
+    legs = _normalize(pattern)
+    exps = _expansions(legs, "windows_compilable")
+    try:
+        _check_windows_compilable(exps, "windows_compilable")
+        return True
+    except ValueError:
+        return False
 
 
 def _islands(
@@ -89,69 +302,117 @@ def _islands(
     )
 
 
+def _leg_cond(at, off: int, lab: str, lo: int, hi: int | None) -> Column:
+    c = at(off, "__lab") == lab
+    if lo > 1:
+        c = c & (at(off, "__n") >= lo)
+    if hi is not None:
+        c = c & (at(off, "__n") <= hi)
+    return c
+
+
 def match_runs(
     df: DataFrame,
     key: str | list[str],
     order: list[str],
     label: Column,
-    pattern: list[str],
+    pattern,
     island_aggs: dict[str, Column],
 ) -> DataFrame:
-    """One row per pattern match. ``label`` classifies each row (NULL =
-    matches nothing, breaks runs); ``order`` must be a deterministic
-    total order within each key (include a unique tiebreaker).
-    ``island_aggs`` are aggregates evaluated over each island's rows;
-    the output carries ``seg{i}_{name}`` for every pattern position i,
-    plus ``seg{i}_n`` (row count), for each match.
-    """
-    if len(pattern) < 1:
-        raise ValueError("match_runs: empty pattern")
-    for a, b in zip(pattern, pattern[1:]):
-        if a == b:
-            raise ValueError(
-                "match_runs: adjacent equal labels "
-                f"({a!r} {b!r}) — greedy run split is ambiguous; "
-                "merge them into one position"
-            )
-    if not _border_free(pattern):
-        raise ValueError(
-            "match_runs: pattern has a nontrivial border (a proper "
-            f"prefix equals a suffix): {pattern} — occurrences can "
-            "overlap, so lag-chain detection cannot reproduce AFTER "
-            "MATCH SKIP PAST LAST ROW; use a sequential per-key "
-            "matcher (applyInPandas NFA) for this pattern"
-        )
+    """One row per pattern match, all-JVM (keyed windows + lag chain).
+    ``label`` classifies each row (NULL = matches nothing, breaks
+    runs); ``order`` must be a deterministic total order within each
+    key (include a unique tiebreaker). ``pattern`` legs are bare
+    labels (one-or-more runs, the historical API) and/or
+    ``(label, min_rows, max_rows|None)`` tuples — see the module
+    docstring for the exactness rules (``parse_pattern`` maps the SQL
+    quantifier spellings onto the tuples). ``island_aggs`` are
+    aggregates evaluated over each leg's island rows; the output
+    carries ``seg{i}_{name}`` plus ``seg{i}_n`` (row count) for every
+    pattern position i — NULL when an optional leg is absent from the
+    match."""
+    legs = _normalize(pattern)
+    exps = _expansions(legs, "match_runs")
+    _check_windows_compilable(exps, "match_runs")
+    # longest-first: at a shared end island the longer expansion is the
+    # greedy NFA's choice (its extra legs are present-optionals)
+    exps = sorted(exps, key=len, reverse=True)
     keys = [key] if isinstance(key, str) else list(key)
     segs = _islands(df, keys, order, label, island_aggs)
-    k = len(pattern)
+    k = len(legs)
+    max_len = max(len(e) for e in exps)
+    # trailing-optional extensions need LOOKAHEAD: when expansion e is
+    # an original-leg PREFIX of a longer e2, the greedy NFA keeps
+    # consuming e2's extra legs, so e may only end a match here if no
+    # such extension matches the islands ahead
+    exts: dict[int, list[list[ExpLeg]]] = {}
+    max_lead = 0
+    for idx, e in enumerate(exps):
+        ei = [oi for oi, _, _, _ in e]
+        for e2 in exps:
+            if len(e2) > len(e) and [oi for oi, _, _, _ in e2[: len(e)]] == ei:
+                exts.setdefault(idx, []).append(e2[len(e) :])
+                max_lead = max(max_lead, len(e2) - len(e))
     w_isl = Window.partitionBy(*keys).orderBy("__island")
-    # the match ends at an island labelled pattern[-1] whose i-th
-    # predecessor (from the end) is labelled pattern[i]
-    cond = F.col("__lab") == pattern[-1]
-    for i in range(k - 1):
-        cond = cond & (
-            F.lag("__lab", k - 1 - i).over(w_isl) == pattern[i]
+    base = ["__lab", "__n"] + [f"__a_{name}" for name in island_aggs]
+    proj: list[Column] = [F.col(c) for c in segs.columns]
+    for off in range(1, max_len):
+        proj += [
+            F.lag(c, off).over(w_isl).alias(f"__lag{off}_{c}") for c in base
+        ]
+    for d in range(1, max_lead + 1):
+        # lead columns ride the SAME island window — no extra shuffle
+        proj += [
+            F.lag(c, -d).over(w_isl).alias(f"__lead{d}_{c}")
+            for c in ("__lab", "__n")
+        ]
+    lagged = segs.select(*proj)
+
+    def at(off: int, c: str) -> Column:
+        return F.col(c) if off == 0 else F.col(f"__lag{off}_{c}")
+
+    def ahead(d: int, c: str) -> Column:
+        return F.col(f"__lead{d}_{c}")
+
+    expi = None
+    for idx, e in enumerate(exps):
+        cond = F.lit(True)
+        for j, (_oi, lab, lo, hi) in enumerate(e):
+            cond = cond & _leg_cond(at, len(e) - 1 - j, lab, lo, hi)
+        for ext in exts.get(idx, ()):
+            ext_cond = F.lit(True)
+            for d, (_oi, lab, lo, hi) in enumerate(ext, start=1):
+                ext_cond = ext_cond & _leg_cond(
+                    lambda off, c, d=d: ahead(d, c), 0, lab, lo, hi
+                )
+            cond = cond & ~F.coalesce(ext_cond, F.lit(False))
+        expi = (
+            F.when(cond, F.lit(idx))
+            if expi is None
+            else expi.when(cond, F.lit(idx))
         )
+    matched = lagged.withColumn("__expi", expi).filter(
+        F.col("__expi").isNotNull()
+    )
     out_cols: list[Column] = [F.col(c) for c in keys]
     for i in range(k):
-        off = k - 1 - i
-        def at(colname: str) -> Column:
-            return (
-                F.lag(colname, off).over(w_isl)
-                if off > 0
-                else F.col(colname)
-            )
-        out_cols.append(at("__n").alias(f"seg{i}_n"))
-        out_cols += [
-            at(f"__a_{name}").alias(f"seg{i}_{name}")
-            for name in island_aggs
-        ]
-    return (
-        segs.withColumn("__match", cond)
-        .select(*out_cols, "__match")
-        .filter(F.col("__match"))
-        .drop("__match")
-    )
+        for c, out_name in [("__n", f"seg{i}_n")] + [
+            (f"__a_{name}", f"seg{i}_{name}") for name in island_aggs
+        ]:
+            chain = None
+            for idx, e in enumerate(exps):
+                for j, (oi, _lab, _lo, _hi) in enumerate(e):
+                    if oi == i:
+                        cnd = F.col("__expi") == idx
+                        v = at(len(e) - 1 - j, c)
+                        chain = (
+                            F.when(cnd, v)
+                            if chain is None
+                            else chain.when(cnd, v)
+                        )
+            col = chain if chain is not None else F.lit(None)
+            out_cols.append(col.alias(out_name))
+    return matched.select(*out_cols)
 
 
 def match_runs_sequential(
@@ -159,22 +420,28 @@ def match_runs_sequential(
     key: str | list[str],
     order: list[str],
     label: Column,
-    pattern: list[str],
+    pattern,
     island_aggs: dict[str, Column],
 ) -> DataFrame:
-    """The documented escape hatch for patterns ``match_runs`` rejects:
-    label sequences WITH a nontrivial border (self-overlapping — the
-    W-shape), where SKIP PAST LAST ROW is inherently a sequential
-    greedy scan. Same contract and output schema as ``match_runs``.
+    """The documented escape hatch for patterns ``match_runs`` rejects
+    as self-overlapping (label sequences with a nontrivial border /
+    cross-expansion overlap — the W-shape), where SKIP PAST LAST ROW
+    is inherently a sequential greedy scan. Same contract, quantifier
+    support, and output schema as ``match_runs``; the island-
+    granularity exactness rules (adjacent-distinct labels, unbounded
+    max on end legs) apply identically.
 
     Realization: the SAME distributed island collapse (the two keyed
     stages — nothing Python touches raw rows), then ONE
     ``applyInPandas`` per key over the ISLAND table running the
-    leftmost-greedy non-overlapping occurrence scan. The Python input
-    per key is the run sequence (≤ rows/1, typically ≪ rows), Arrow-
-    batched — the Pandas-UDF path the engine reserves for operators
-    whose semantics Spark's declarative layer genuinely cannot
-    express (iterative greedy consumption).
+    leftmost-greedy non-overlapping occurrence scan (expansions tried
+    in the NFA's present-first preference order — at most one can
+    label-match at a given start, so the order only breaks
+    prefix-nesting ties toward the greedy choice). The Python input
+    per key is the run sequence (<= rows, typically far fewer),
+    Arrow-batched — the Pandas-UDF path the engine reserves for
+    operators whose semantics Spark's declarative layer genuinely
+    cannot express (iterative greedy consumption).
 
     Scale notes (100 TB): one shuffle on the (growing) key for the
     windows, one more for the grouping; the applyInPandas grouping is
@@ -184,23 +451,17 @@ def match_runs_sequential(
     floor measured ~0.5 ms on the 100× replica before bucketing (79 s
     for 150k users; ~11 s after). Per-key island sequences are bounded
     by the key's row share, exactly like any per-key window. For
-    border-FREE patterns prefer ``match_runs`` — measured equal
+    overlap-free patterns prefer ``match_runs`` — measured equal
     results (property-tested), all-JVM plan.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
-    if len(pattern) < 1:
-        raise ValueError("match_runs_sequential: empty pattern")
-    for a, b in zip(pattern, pattern[1:]):
-        if a == b:
-            raise ValueError(
-                "match_runs_sequential: adjacent equal labels "
-                f"({a!r} {b!r}) — greedy run split is ambiguous"
-            )
+    legs = _normalize(pattern)
+    exps = _expansions(legs, "match_runs_sequential")
     keys = [key] if isinstance(key, str) else list(key)
     segs = _islands(df, keys, order, label, island_aggs)
-    k = len(pattern)
+    k = len(legs)
     agg_names = list(island_aggs)
     fields = [segs.schema[c] for c in keys]
     for i in range(k):
@@ -230,17 +491,30 @@ def match_runs_sequential(
                 name: g[f"__a_{name}"].tolist() for name in agg_names
             }
             i = 0
-            while i + k <= len(labs):
-                if labs[i : i + k] == pattern:
-                    rec = dict(krec)
-                    for j in range(k):
-                        rec[f"seg{j}_n"] = ns[i + j]
-                        for name in agg_names:
-                            rec[f"seg{j}_{name}"] = aggl[name][i + j]
-                    out.append(rec)
-                    i += k  # AFTER MATCH SKIP PAST LAST ROW
-                else:
+            while i < len(labs):
+                hit = None
+                for e in exps:  # present-first greedy preference
+                    L = len(e)
+                    if i + L > len(labs):
+                        continue
+                    if all(
+                        labs[i + j] == lab
+                        and ns[i + j] >= lo
+                        and (hi is None or ns[i + j] <= hi)
+                        for j, (_oi, lab, lo, hi) in enumerate(e)
+                    ):
+                        hit = e
+                        break
+                if hit is None:
                     i += 1
+                    continue
+                rec = dict(krec)
+                for j, (oi, _lab, _lo, _hi) in enumerate(hit):
+                    rec[f"seg{oi}_n"] = ns[i + j]
+                    for name in agg_names:
+                        rec[f"seg{oi}_{name}"] = aggl[name][i + j]
+                out.append(rec)
+                i += len(hit)  # AFTER MATCH SKIP PAST LAST ROW
         return pd.DataFrame(out, columns=cols)
 
     bkt = F.pmod(

@@ -362,6 +362,318 @@ def _rewrite_asof(spark: SparkSession, text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE clause (SURVEY.md §2.5 W10 / §4.3 SQL surface)
+# ---------------------------------------------------------------------------
+
+_MR_HEAD_RE = re.compile(
+    r"FROM\s+(?P<t>\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE
+)
+_MR_BODY_RE = re.compile(
+    r"""
+    \s*PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*)
+    \s+ORDER\s+BY\s+(?P<ord>\w+(?:\s*,\s*\w+)*)
+    \s+MEASURES\s+(?P<meas>.+?)
+    (?:\s+ONE\s+ROW\s+PER\s+MATCH)?
+    (?:\s+AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW)?
+    \s+PATTERN\s*\(\s*(?P<pat>[^()|^$]*)\)
+    \s+DEFINE\s+(?P<defs>.+?)\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+_MEAS_RE = re.compile(
+    r"^\s*(?P<fn>FIRST|LAST|MIN|MAX|SUM|COUNT)\s*\(\s*"
+    r"(?:(?P<lbl>\w+)\s*\.\s*)?(?P<col>\w+|\*)\s*\)\s+"
+    r"AS\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE,
+)
+_DEFINE_RE = re.compile(r"^\s*(?P<lbl>\w+)\s+AS\s+(?P<pred>.+)$", re.DOTALL)
+_PREV_RE = re.compile(r"\bPREV\s*\(", re.IGNORECASE)
+# the alias-looking token after MATCH_RECOGNIZE(...) that is really the
+# start of the next clause
+_MR_STOPWORDS = frozenset(
+    "WHERE GROUP ORDER LIMIT HAVING UNION INTERSECT EXCEPT QUALIFY "
+    "JOIN LEFT RIGHT INNER CROSS FULL ON ASOF SEMI ANTI".split()
+)
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0 (outside string literals)."""
+    parts: list[str] = []
+    last = 0
+    for i, ch in _top_level_spans(text):
+        if ch == ",":
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return parts
+
+
+def _null_skipping_sum(cols: list):
+    """SUM semantics across per-leg partials: NULL legs skipped, all
+    NULL -> NULL (SQL aggregate-over-empty)."""
+    out = cols[0]
+    for c in cols[1:]:
+        out = (
+            F.when(out.isNull(), c)
+            .when(c.isNull(), out)
+            .otherwise(out + c)
+        )
+    return out
+
+
+def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
+    """Run a Spark SQL string whose FROM clause may contain a
+    MATCH_RECOGNIZE block — the ISO SQL:2016 row-pattern clause
+    [PK: ISO/IEC 9075-2:2016 §R; Oracle/Snowflake MATCH_RECOGNIZE,
+    Flink CEP] that Spark SQL 4.1 lacks. The rewriter compiles the
+    block through ``operators.patterns`` (gaps-and-islands keyed
+    windows where the pattern is overlap-free; the bucketed sequential
+    island scan otherwise — auto-routed) and splices the result as a
+    temp view, so everything around it stays ordinary Spark SQL.
+
+    Supported grammar (the run-pattern subset, loudly rejected
+    otherwise; see operators/patterns.py for the exactness rules):
+
+        FROM <table> MATCH_RECOGNIZE (
+          PARTITION BY k [, ...]
+          ORDER BY o [, ...]                   -- plain columns, ASC
+          MEASURES <m> AS <alias> [, ...]
+          [ONE ROW PER MATCH]                  -- the only mode
+          [AFTER MATCH SKIP PAST LAST ROW]     -- the only mode
+          PATTERN ( L1[q] L2[q] ... )          -- quantifiers + * ? {m[,n]}
+          DEFINE L AS <predicate> [, ...]
+        ) [AS <alias>]
+
+    Semantics notes (documented divergences from full ISO):
+      - row labelling is deterministic: DEFINE predicates evaluate in
+        clause order, FIRST satisfied wins; rows satisfying none get a
+        NULL label (match nothing, break runs). Full MR lets the NFA
+        pick among simultaneously-true labels per state — that needs
+        sequential row state; the classic disjoint defines
+        (value > PREV(value) / < / =) are unaffected. Every PATTERN
+        label must be DEFINEd (an undefined label in ISO means TRUE,
+        which under first-wins would shadow everything — rejected).
+      - predicates may call PREV(<expr>) (offset 1), compiled to a lag
+        over the PARTITION BY/ORDER BY window; FIRST/LAST/NEXT
+        navigation inside DEFINE is not supported.
+      - MEASURES support FIRST/LAST/MIN/MAX/SUM(L.col), COUNT(L.*)
+        and COUNT(*); the output is PARTITION BY columns + measures
+        (ONE ROW PER MATCH). A label used on several legs aggregates
+        across its legs (FIRST = first present leg, COUNT = summed
+        rows, ...); legs absent from a match (optional) contribute
+        NULL / zero rows.
+      - a bare label in PATTERN means exactly one row ({1,1}) per ISO
+        — which the island compilation only accepts on interior legs
+        (end legs need an unbounded max; the operator explains why).
+
+    Scale notes (100 TB): text-only driver-side rewrite; the spliced
+    plan is the W10 operator's — keyed windows + island collapse on
+    the PARTITION BY key (growing-key parallelism), lag-chain
+    detection, no per-row Python unless the pattern self-overlaps (then
+    the bucketed island scan, Python seeing runs, never rows).
+    """
+    return spark.sql(_rewrite_match_recognize(spark, text))
+
+
+def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
+    from nipd_spark.operators import patterns as _pat
+
+    while True:
+        m = _MR_HEAD_RE.search(text)
+        if m is None:
+            return text
+        body_end = _scan_balanced(text, m.end())
+        body = text[m.end() : body_end - 1]
+        if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE):
+            raise ValueError(
+                "match_recognize_sql: ALL ROWS PER MATCH is not "
+                "supported (ONE ROW PER MATCH only)"
+            )
+        skip = re.search(r"\bSKIP\s+(?!PAST\s+LAST\s+ROW)", body, re.IGNORECASE)
+        if skip:
+            raise ValueError(
+                "match_recognize_sql: only AFTER MATCH SKIP PAST LAST "
+                "ROW is supported"
+            )
+        bm = _MR_BODY_RE.match(body)
+        if bm is None:
+            raise ValueError(
+                "match_recognize_sql: expected PARTITION BY ... ORDER "
+                "BY ... MEASURES ... PATTERN (...) DEFINE ... — got: "
+                f"{body.strip()[:120]!r}"
+            )
+        part = [c.strip() for c in bm["part"].split(",")]
+        order = [c.strip() for c in bm["ord"].split(",")]
+        legs = _pat.parse_pattern(bm["pat"])
+        pat_labels = {lab for lab, _, _ in legs}
+
+        # DEFINE: label -> predicate (PREV(expr) hoisted to lag columns)
+        defines: list[tuple[str, str]] = []
+        for item in _split_top_commas(bm["defs"]):
+            dm = _DEFINE_RE.match(item)
+            if dm is None:
+                raise ValueError(
+                    f"match_recognize_sql: DEFINE item {item.strip()!r} "
+                    "is not '<label> AS <predicate>'"
+                )
+            defines.append((dm["lbl"], dm["pred"].strip()))
+        def_labels = [lbl for lbl, _ in defines]
+        if len(set(l.upper() for l in def_labels)) != len(def_labels):
+            raise ValueError("match_recognize_sql: duplicate DEFINE label")
+        missing = pat_labels - {l for l in def_labels}
+        if missing:
+            raise ValueError(
+                f"match_recognize_sql: PATTERN labels {sorted(missing)} "
+                "have no DEFINE (ISO's implicit TRUE would shadow every "
+                "other label under first-wins labelling — define them)"
+            )
+        extra = [l for l in def_labels if l not in pat_labels]
+        if extra:
+            raise ValueError(
+                f"match_recognize_sql: DEFINE labels {extra} do not "
+                "appear in PATTERN"
+            )
+
+        # MEASURES
+        measures: list[tuple[str, str | None, str, str]] = []
+        for item in _split_top_commas(bm["meas"]):
+            mm = _MEAS_RE.match(item)
+            if mm is None:
+                raise ValueError(
+                    f"match_recognize_sql: measure {item.strip()!r} is "
+                    "not FIRST|LAST|MIN|MAX|SUM(<label>.<col>), "
+                    "COUNT(<label>.*) or COUNT(*) AS <alias>"
+                )
+            fn = mm["fn"].upper()
+            lbl, col, alias = mm["lbl"], mm["col"], mm["alias"]
+            if col == "*" and fn != "COUNT":
+                raise ValueError(
+                    f"match_recognize_sql: {fn}(*) is not a measure"
+                )
+            if fn != "COUNT" and lbl is None:
+                raise ValueError(
+                    f"match_recognize_sql: {fn} needs a label-qualified "
+                    f"column, got {item.strip()!r}"
+                )
+            if lbl is not None and lbl not in pat_labels:
+                raise ValueError(
+                    f"match_recognize_sql: measure label {lbl!r} not in "
+                    "PATTERN"
+                )
+            measures.append((fn, lbl, col, alias))
+
+        rel = spark.table(m["t"])
+        # PREV(expr) -> lag columns over the partition/order window
+        from pyspark.sql import Window as _W
+
+        w_row = _W.partitionBy(*part).orderBy(*[F.col(c) for c in order])
+        prev_map: dict[str, str] = {}
+
+        def hoist_prev(pred: str) -> str:
+            out = pred
+            while True:
+                pm = _PREV_RE.search(out)
+                if pm is None:
+                    return out
+                end = _scan_balanced(out, pm.end())
+                inner = out[pm.end() : end - 1].strip()
+                name = prev_map.get(inner)
+                if name is None:
+                    name = f"__mr_prev{len(prev_map)}"
+                    prev_map[inner] = name
+                out = out[: pm.start()] + name + out[end:]
+
+        preds = [(lbl, hoist_prev(pred)) for lbl, pred in defines]
+        for inner, name in prev_map.items():
+            rel = rel.withColumn(name, F.lag(F.expr(inner)).over(w_row))
+        label = None
+        for lbl, pred in preds:
+            cond = F.expr(pred)
+            label = (
+                F.when(cond, F.lit(lbl))
+                if label is None
+                else label.when(cond, F.lit(lbl))
+            )
+
+        # island aggs required by the measures (deduped)
+        ostruct = F.struct(*[F.col(c) for c in order])
+        aggs: dict[str, object] = {}
+        for fn, _lbl, col, _alias in measures:
+            if fn == "COUNT":
+                continue
+            key = f"{fn.lower()}_{col}"
+            if key in aggs:
+                continue
+            aggs[key] = {
+                "FIRST": F.min_by(F.col(col), ostruct),
+                "LAST": F.max_by(F.col(col), ostruct),
+                "MIN": F.min(col),
+                "MAX": F.max(col),
+                "SUM": F.sum(col),
+            }[fn]
+
+        matcher = (
+            _pat.match_runs
+            if _pat.windows_compilable(legs)
+            else _pat.match_runs_sequential
+        )
+        matched = matcher(rel, part, order, label, legs, aggs)
+
+        # assemble measures across the legs carrying each label
+        legs_of = {
+            lab: [i for i, (l2, _, _) in enumerate(legs) if l2 == lab]
+            for lab in pat_labels
+        }
+        out_cols = [F.col(c) for c in part]
+        for fn, lbl, col, alias in measures:
+            if fn == "COUNT":
+                idxs = (
+                    list(range(len(legs))) if lbl is None else legs_of[lbl]
+                )
+                v = None
+                for i in idxs:
+                    c = F.coalesce(F.col(f"seg{i}_n"), F.lit(0))
+                    v = c if v is None else v + c
+            else:
+                key = f"{fn.lower()}_{col}"
+                cols = [F.col(f"seg{i}_{key}") for i in legs_of[lbl]]
+                if fn == "FIRST":
+                    v = F.coalesce(*cols) if len(cols) > 1 else cols[0]
+                elif fn == "LAST":
+                    v = (
+                        F.coalesce(*reversed(cols))
+                        if len(cols) > 1
+                        else cols[0]
+                    )
+                elif fn == "MIN":
+                    v = F.least(*cols) if len(cols) > 1 else cols[0]
+                elif fn == "MAX":
+                    v = F.greatest(*cols) if len(cols) > 1 else cols[0]
+                else:  # SUM
+                    v = _null_skipping_sum(cols)
+            out_cols.append(v.alias(alias))
+        result = matched.select(*out_cols)
+        view = f"__mr_{next(_VIEW_SEQ)}"
+        result.createOrReplaceTempView(view)
+
+        # optional trailing alias (AS m | m), not a clause keyword
+        tail_at = body_end
+        am = re.match(
+            r"\s*(?:AS\s+)?(\w+)", text[tail_at:], re.IGNORECASE
+        )
+        alias = None
+        if am and am.group(1).upper() not in _MR_STOPWORDS:
+            alias = am.group(1)
+            tail_at += am.end()
+        text = text[: m.start()] + f"FROM {view}" + text[tail_at:]
+        if alias:
+            apat = re.compile(
+                rf"\b{re.escape(alias)}\.(\w+)", re.IGNORECASE
+            )
+            text = _sub_outside_literals(apat, r"\1", text)
+
+
+# ---------------------------------------------------------------------------
 # QUALIFY clause (SURVEY.md §2.5 windows / §4.3 SQL surface)
 # ---------------------------------------------------------------------------
 
@@ -541,16 +853,20 @@ def qualify_sql(spark: SparkSession, text: str) -> DataFrame:
 
 def sql(spark: SparkSession, text: str) -> DataFrame:
     """The combined SQL-surface entry point: run a Spark SQL string
-    that may contain BOTH extensions this module adds — ASOF JOIN
-    clauses (incl. NEAREST) anywhere in the statement and a trailing
-    QUALIFY clause — in the order the semantics require: the ASOF
-    splice first (it only replaces FROM-clause join text with temp
-    views, leaving ordinary SQL), then the QUALIFY rewrite on the
-    result. Plain Spark SQL passes through untouched, so this is a
-    drop-in ``spark.sql`` for the documented grammar.
+    that may contain ALL the extensions this module adds —
+    MATCH_RECOGNIZE blocks and ASOF JOIN clauses (incl. NEAREST)
+    anywhere in the statement, and a trailing QUALIFY clause — in the
+    order the semantics require: the MATCH_RECOGNIZE splice first
+    (it replaces a whole FROM-clause table expression with a temp
+    view), then the ASOF splice (FROM-clause join text), then the
+    QUALIFY rewrite on the result. Plain Spark SQL passes through
+    untouched, so this is a drop-in ``spark.sql`` for the documented
+    grammar.
 
-    Scale notes (100 TB): pure text-level composition of the two
+    Scale notes (100 TB): pure text-level composition of the three
     rewrites — the plan is whatever the individual surfaces produce;
     nothing additional materializes.
     """
-    return qualify_sql(spark, _rewrite_asof(spark, text))
+    return qualify_sql(
+        spark, _rewrite_asof(spark, _rewrite_match_recognize(spark, text))
+    )

@@ -1429,3 +1429,111 @@ def test_match_runs_randomized_vs_reference(spark, seqs, pidx):
         ).collect()
     )
     assert got_cmp == want
+
+
+# quantified W10 patterns (r12): valid under the island-exactness rules
+# (unbounded max on end legs, adjacent-distinct expansions). The last
+# two self-overlap, so only the sequential matcher accepts them.
+_QPATTERNS = [
+    [("D", 2, None), ("U", 1, None)],
+    [("D", 1, None), ("F", 1, 2), ("U", 1, None)],
+    [("D", 1, None), ("F", 0, 2), ("U", 1, None)],  # optional interior
+    [("D", 0, None), ("U", 2, None)],               # optional leading
+    # optional trailing must be unbounded (F? would be a finite-max
+    # end leg, which island granularity rejects)
+    [("D", 1, None), ("U", 1, None), ("F", 0, None)],
+    [("U", 1, None), ("D", 1, None), ("U", 1, None)],          # border
+    [("D", 1, None), ("U", 1, None), ("D", 1, None), ("U", 1, None)],
+]
+
+
+@given(
+    seqs=st.lists(
+        st.lists(_lab, min_size=1, max_size=14), min_size=1, max_size=4
+    ),
+    pidx=st.integers(min_value=0, max_value=len(_QPATTERNS) - 1),
+)
+@settings(**_SETTINGS)
+def test_match_runs_quantified_vs_regex_nfa(spark, seqs, pidx):
+    """Quantified/optional W10 patterns vs the ROW-LEVEL ground truth:
+    Python re.finditer has exactly the ISO MATCH_RECOGNIZE ONE ROW PER
+    MATCH / SKIP PAST LAST ROW semantics for greedy quantifiers
+    (leftmost non-overlapping matches, greedy with backtracking), so a
+    regex with one capture group per leg is an independent reference
+    for BOTH the per-leg row counts and the per-leg start positions —
+    including which optional legs participate in each match. Windows
+    and sequential matchers must equal it (windows only where
+    compilable)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import patterns as pat
+
+    pattern = _QPATTERNS[pidx]
+    k_legs = len(pattern)
+    rows = [
+        (k, i, lb)
+        for k, labs in enumerate(seqs)
+        for i, lb in enumerate(labs)
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+
+    rx = _re.compile(
+        "".join(
+            f"({lab}{{{lo},{'' if hi is None else hi}}})"
+            for lab, lo, hi in pattern
+        )
+    )
+
+    def ref(labs):
+        s = "".join(labs)
+        out = []
+        for m in rx.finditer(s):
+            segs = []
+            for g in range(1, k_legs + 1):
+                a, b = m.span(g)
+                segs += [None, None] if a == b else [b - a, a]
+            out.append(tuple(segs))
+        return out
+
+    want = {
+        (k, *m) for k, labs in enumerate(seqs) for m in ref(labs)
+    }
+    norm = lambda rs: {
+        tuple(
+            [r.k]
+            + [
+                x
+                for i in range(k_legs)
+                for x in (r[f"seg{i}_n"], r[f"seg{i}_start"])
+            ]
+        )
+        for r in rs
+    }
+    got_seq = norm(
+        pat.match_runs_sequential(
+            df, "k", ["pos"], F.col("lab"), pattern,
+            {"start": F.min("pos")},
+        ).collect()
+    )
+    assert got_seq == want
+    if pat.windows_compilable(pattern):
+        got_cmp = norm(
+            pat.match_runs(
+                df, "k", ["pos"], F.col("lab"), pattern,
+                {"start": F.min("pos")},
+            ).collect()
+        )
+        assert got_cmp == want
+    else:
+        assert pidx >= 5  # only the border patterns are sequential-only
+        # and the border patterns must NOT silently reach the windows
+        # matcher
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pat.match_runs(
+                df, "k", ["pos"], F.col("lab"), pattern,
+                {"start": F.min("pos")},
+            )
