@@ -1163,3 +1163,76 @@ def l75_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "l5_recall_certificate",
+    # Certificate oracle (the a4b precedent, r11 VERDICT item 6): the
+    # query-set size is recomputed by DuckDB; the two claims are
+    # verified Spark-side against the exact GEMM anchor and hashed:
+    # probe-all IVF == exact kNN EXACTLY (every vector lives in some
+    # probed list, so the candidate set is total and the re-rank is
+    # bit-exact — an integer 100), and the production nprobe=4 recall
+    # holds a measured floor (77-78% on this isotropic corpus at both
+    # gate SFs; bound 60% with margin).
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS probe_all_exact,
+           TRUE AS recall4_floor_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+    tags=("L5", "L4"),
+)
+def l5_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the IVF ANN path (l5b): against the
+    exact GEMM top-5 anchor (l4b), (a) probing ALL 8 lists returns
+    exactly the exact answer — the structural guarantee that IVF
+    search is exhaustive-search-with-pruning, previously only
+    property-pinned, now driver-hash-green; (b) the production
+    nprobe=4 setting keeps recall@5 >= 60% on this corpus (measured
+    0.77-0.78 at sf0.001/sf0.01 — isotropic Gaussian embeddings are
+    the worst case for coarse quantization [PK: Jégou et al., PQ/IVF
+    TPAMI 2011]; real clustered corpora sit far higher).
+
+    Plan shape for 100 TB: an AUDIT query over a bounded 20-query
+    probe set — the exact anchor costs 20×n dot products via
+    broadcast GEMM blocks; the scalar certificate row assembles via
+    broadcast-of-1-row crossJoins (the allowed scalar-frame idiom).
+    """
+    from nipd_spark.operators import ivf
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20)
+    ex = knn.topk_per_query_gemm(e, q, k=5).select("q_id", "neighbor_id")
+    cen = ivf.train_centroids(e, n_lists=8, iters=2).cache()
+    assigned = ivf.assign(e, cen)
+    pa = ivf.search(e, q, cen, assigned, k=5, nprobe=8).select(
+        "q_id", "neighbor_id"
+    )
+    a4 = ivf.search(e, q, cen, assigned, k=5, nprobe=4).select(
+        "q_id", "neighbor_id"
+    )
+    nq = ex.select("q_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_ex"))
+    pa_miss = ex.join(pa, ["q_id", "neighbor_id"], "left_anti").agg(
+        F.count(F.lit(1)).alias("pa_missed")
+    )
+    hits4 = ex.join(a4, ["q_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("hits4")
+    )
+    return (
+        nq.crossJoin(n_ex)
+        .crossJoin(pa_miss)
+        .crossJoin(hits4)
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            (F.col("pa_missed") == 0).alias("probe_all_exact"),
+            (
+                F.col("hits4") * 100 >= F.col("n_ex") * 60
+            ).alias("recall4_floor_ok"),
+        )
+    )

@@ -148,7 +148,7 @@ def s5_inmemory_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from nipd_spark.oracle import dround  # noqa: E402
+from nipd_spark.oracle import dround, ts_us  # noqa: E402
 
 
 @query(
@@ -1857,5 +1857,209 @@ def sql8_asof_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         MATCH_CONDITION (p.ts >= c.cts)
         ON p.user_id = c.user_id
         QUALIFY rn = 1
+        """,
+    )
+
+
+@query(
+    "sql9_match_recognize",
+    # Oracle: the identical gaps-and-islands compilation spelled as
+    # DuckDB window SQL (the w24 oracle with the MR measure aliases).
+    # Counts exact integers; bottom_val/recovery are stored doubles /
+    # one identical-shape subtraction — bit-equal cross-engine,
+    # unrounded.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id, value,
+             row_number() OVER w AS rn,
+             lag(value) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN value > prev THEN 'UP'
+                     WHEN value < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             arg_max(value, rn) AS last_val
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab, lag(lab) OVER wi AS plab,
+             lag(n) OVER wi AS n_down, n AS n_up,
+             lag(start_ts) OVER wi AS start_ts,
+             lag(end_ts) OVER wi AS bottom_ts,
+             end_ts,
+             lag(last_val) OVER wi AS bottom_val,
+             last_val
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, start_ts, bottom_ts, end_ts,
+           n_down, n_up, bottom_val,
+           last_val - bottom_val AS recovery
+    FROM m WHERE lab = 'UP' AND plab = 'DOWN'
+    """,
+    tags=("W10", "W5"),
+)
+def sql9_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATCH_RECOGNIZE SQL surface (nipd_spark/sqlext
+    .match_recognize_sql — W10 v2, r12): the ISO SQL:2016 row-pattern
+    clause [PK: ISO/IEC 9075-2:2016 §R; Oracle/Snowflake
+    MATCH_RECOGNIZE docs; Flink CEP] absent from Spark SQL 4.1 — the
+    first thing a user migrating Flink CEP / Snowflake pattern SQL
+    hits (r11 VERDICT gap #1). The w24 V-shape as ONE SQL string:
+    PARTITION BY / ORDER BY / MEASURES (FIRST/LAST/COUNT) / PATTERN
+    (DOWN+ UP+) / DEFINE with PREV() navigation, spliced through the
+    W10 operator and composed with an ordinary outer SELECT computing
+    the recovery height. Oracle: the same detection as DuckDB window
+    SQL — certifying the whole surface (labelling, island collapse,
+    measures, splice) end-to-end.
+
+    Plan shape for 100 TB: text-only driver-side rewrite; the spliced
+    plan is w24's — keyed windows on the growing user_id key, island
+    collapse before detection, no Python (the pattern is overlap-free
+    so the all-JVM matcher is auto-routed).
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("sql9_events")
+    return sqlx(
+        spark,
+        """
+        SELECT mr.user_id, start_ts, bottom_ts, end_ts, n_down, n_up,
+               bottom_val, last_val - bottom_val AS recovery
+        FROM sql9_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(DOWN.ts) AS start_ts,
+                   LAST(DOWN.ts) AS bottom_ts,
+                   LAST(UP.ts) AS end_ts,
+                   COUNT(DOWN.*) AS n_down,
+                   COUNT(UP.*) AS n_up,
+                   LAST(DOWN.value) AS bottom_val,
+                   LAST(UP.value) AS last_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ( DOWN+ UP+ )
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        ) AS mr
+        """,
+    )
+
+
+@query(
+    "sql10_match_recognize_quantified",
+    # Oracle: the w25 islands compilation + quantifier-bound filters
+    # in DuckDB window SQL (detect-then-filter == match-under-bounds
+    # for border-free patterns).
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             arg_max(band, rn) AS last_band
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab,
+             lag(lab) OVER wi AS lab1, lag(lab, 2) OVER wi AS lab2,
+             lag(n, 2) OVER wi AS n_down,
+             lag(n) OVER wi AS n_flat, n AS n_up,
+             lag(start_ts, 2) OVER wi AS start_ts,
+             end_ts,
+             lag(last_band) OVER wi AS plateau_band
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, start_ts, end_ts, n_down, n_flat, n_up, plateau_band
+    FROM m WHERE lab = 'UP' AND lab1 = 'FLAT' AND lab2 = 'DOWN'
+      AND n_down >= 2 AND n_flat <= 2
+    """,
+    tags=("W10", "W5"),
+)
+def sql10_match_recognize_quantified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE with QUANTIFIED legs through the SQL surface
+    (W10 v2, r12): PATTERN ( DOWN{{2,}} FLAT{{1,2}} UP+ ) — the ISO
+    quantifier spellings parsed by operators/patterns.parse_pattern
+    and compiled to per-island length filters; DEFINE classifies the
+    banded level (floor(value/25)) via PREV() navigation, and the
+    plateau band surfaces through a LAST measure. The twin of w25
+    reached purely through SQL text — certifying that a Snowflake/
+    Flink user's quantified pattern runs unmodified.
+
+    Plan shape for 100 TB: identical to w25 — the quantifier bounds
+    are predicates over already-lagged columns inside the one
+    detection window; the PREV() in DEFINE is one extra lag on the
+    same row window.
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    ).createOrReplaceTempView("sql10_events")
+    return sqlx(
+        spark,
+        """
+        SELECT user_id, start_ts, end_ts, n_down, n_flat, n_up,
+               plateau_band
+        FROM sql10_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(DOWN.ts) AS start_ts,
+                   LAST(UP.ts) AS end_ts,
+                   COUNT(DOWN.*) AS n_down,
+                   COUNT(FLAT.*) AS n_flat,
+                   COUNT(UP.*) AS n_up,
+                   LAST(FLAT.band) AS plateau_band
+          PATTERN ( DOWN{2,} FLAT{1,2} UP+ )
+          DEFINE DOWN AS band < PREV(band),
+                 FLAT AS band = PREV(band),
+                 UP AS band > PREV(band)
+        )
         """,
     )

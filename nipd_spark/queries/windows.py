@@ -1654,3 +1654,230 @@ def w24c_pattern_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("seg2_n") + F.col("seg3_n")
         ).alias("n_rows"),
     )
+
+
+@query(
+    "w25_pattern_quantified",
+    # Oracle: the w24b islands compilation with the quantifier bounds
+    # as plain per-island length predicates in the detection WHERE —
+    # exact because border-free occurrences cannot overlap, so
+    # detect-then-filter equals the NFA's match-under-bounds. Counts
+    # are exact integers; timestamps exact µs.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             arg_max(band, rn) AS last_band
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab,
+             lag(lab) OVER wi AS lab1, lag(lab, 2) OVER wi AS lab2,
+             lag(n, 2) OVER wi AS n_down,
+             lag(n) OVER wi AS n_flat, n AS n_up,
+             lag(start_ts, 2) OVER wi AS start_ts,
+             end_ts,
+             lag(last_band) OVER wi AS plateau_band
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, start_ts, end_ts, n_down, n_flat, n_up, plateau_band
+    FROM m WHERE lab = 'UP' AND lab1 = 'FLAT' AND lab2 = 'DOWN'
+      AND n_down >= 2 AND n_flat <= 2
+    """,
+    tags=("W10", "W5"),
+)
+def w25_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified run pattern (W10 v2, r12): DOWN{2,} FLAT{1,2} UP+ —
+    a sustained dip (at least 2 ticks), a SHORT plateau (1-2 ticks),
+    then recovery — through operators/patterns.match_runs, whose
+    bounded quantifiers compile to per-island row-count filters inside
+    the same lag-chain detection (no extra shuffle, no Python). The
+    bounds are exact at island granularity because an interior leg
+    must consume its whole maximal run and end legs are unbounded —
+    the rules the operator enforces loudly (fuzz-pinned against the
+    regex-NFA ground truth in tests/test_hypothesis_edges.py).
+
+    Plan shape for 100 TB: identical to w24b — every window on the
+    growing user_id key; quantifier bounds are extra predicates on
+    already-lagged columns, zero additional stages.
+    """
+    from nipd_spark.operators.patterns import match_runs
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(w))
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=[("DOWN", 2, None), ("FLAT", 1, 2), ("UP", 1, None)],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+            "last_band": F.max_by("band", F.col("rn")),
+        },
+    )
+    return matches.select(
+        "user_id",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg2_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_down"),
+        F.col("seg1_n").alias("n_flat"),
+        F.col("seg2_n").alias("n_up"),
+        F.col("seg1_last_band").alias("plateau_band"),
+    )
+
+
+@query(
+    "w25b_pattern_optional",
+    # Oracle: end-anchored detection with BOTH expansion forms of the
+    # optional leg spelled as a CASE — the long form (FLAT present,
+    # within bounds) and the short form (DOWN directly under UP). The
+    # two forms are mutually exclusive at one end island (lab1 is
+    # either FLAT or DOWN), so the CASE is exact; measures of the
+    # absent leg surface as NULL, matching the operator contract.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab,
+             lag(lab) OVER wi AS lab1, lag(lab, 2) OVER wi AS lab2,
+             lag(n) OVER wi AS n1, lag(n, 2) OVER wi AS n2, n AS n_up,
+             lag(start_ts) OVER wi AS s1, lag(start_ts, 2) OVER wi AS s2,
+             end_ts
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    ),
+    det AS (
+      SELECT *,
+             CASE WHEN lab = 'UP' AND lab1 = 'FLAT' AND n1 <= 2
+                       AND lab2 = 'DOWN' THEN 2
+                  WHEN lab = 'UP' AND lab1 = 'DOWN' THEN 1 END AS form
+      FROM m
+    )
+    SELECT user_id,
+           CASE WHEN form = 2 THEN s2 ELSE s1 END AS start_ts,
+           end_ts,
+           CASE WHEN form = 2 THEN n2 ELSE n1 END AS n_down,
+           CASE WHEN form = 2 THEN n1 END AS n_flat,
+           n_up
+    FROM det WHERE form IS NOT NULL
+    """,
+    tags=("W10", "W5"),
+)
+def w25b_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional pattern leg (W10 v2, r12): DOWN+ FLAT{0,2} UP+ — dip,
+    an OPTIONAL short plateau, recover. The operator expands the
+    optional leg into its present/absent forms ([DOWN,FLAT,UP] and
+    [DOWN,UP]), validates that no two expansion occurrences with
+    different ends can overlap (they cannot here: the expansions
+    diverge at position 1), and ORs their lag chains in one detection
+    pass; a match through the short form carries NULL seg columns for
+    the absent leg — exactly the greedy NFA's behavior, fuzz-pinned
+    against re.finditer in tests/test_hypothesis_edges.py.
+
+    Plan shape for 100 TB: same stages as w24b; the second expansion
+    adds predicates over the SAME lagged columns — one window, one
+    island collapse, one detection pass, regardless of expansion
+    count (bounded at 32).
+    """
+    from nipd_spark.operators.patterns import match_runs
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=[("DOWN", 1, None), ("FLAT", 0, 2), ("UP", 1, None)],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+        },
+    )
+    return matches.select(
+        "user_id",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg2_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_down"),
+        F.col("seg1_n").alias("n_flat"),
+        F.col("seg2_n").alias("n_up"),
+    )

@@ -46,88 +46,88 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 11): the driver hash-checks the FIRST
+# Verification rotation (round 12): the driver hash-checks the FIRST
 # 50 queries() entries per round. Every registered name carries a
 # passing (or clean rows-only) driver row cumulatively, so the
 # standing rule applies:
-# (1) this round's additions first — j22/j22b (ASOF nearest operator +
-# NEAREST SQL grammar), o7c (d=3 grid-pruned skyline), c39c (CBS
-# recursion to convergence), dq10c/dq10d (sketch-edge binned KS +
-# GK-band certificate), sql8 (ASOF + QUALIFY composed via sqlext.sql),
-# w24/w24b/w24c (W10 row-pattern matching — MATCH_RECOGNIZE run
-# subset incl. the sequential W-shape escape hatch);
-# (2) re-checks of queries whose implementation or oracle changed
-# since their last attestation — q3/q5 FIRST (r10 VERDICT item 2:
-# their shuffle_hash hints changed after r10's rotation froze, and
-# r11 reverted q3's again), j6 (hint dropped), o7/o7b (forced frontier
-# broadcast removed), the consumers of the r11 ranks._offsets
-# refactor (with_global_rn / with_global_running_sum / _min now share
-# one triangle-join helper): a32, c20, c27, c37, dq10, dq10b, l43,
-# l47, l64, w18 — the grouped form is untouched, so its consumers
-# stay on the full-sweep gate — and the sqlext rewriter's consumers
-# (ON trailing-conjunct + QUALIFY set-op rejections landed): j21,
-# j21b, j21c, sql7;
-# (3) padding with the LONGEST-unattested names (last driver row r02,
-# alphabetical). The full-sweep ritual (tools/diffcheck.py at sf0.001
-# AND sf0.01) still gates every query every round regardless.
+# (1) this round's additions first — w25/w25b (W10 v2: quantified and
+# optional pattern legs), sql9/sql10 (MATCH_RECOGNIZE SQL surface,
+# plain and quantified), l3b/l5 recall certificates (r11 VERDICT
+# item 6 — LSH/IVF accuracy contracts made driver-hashable);
+# (2) re-checks of queries whose implementation changed since their
+# last attestation — q3 (the shuffle_hash hint returned as a
+# PROFILE-SPLIT: local keeps it, scale stays SMJ — r11 VERDICT item
+# 2), w24/w24b/w24c (operators/patterns.py rewritten for quantifier
+# expansions; the detection lag machinery is shared), j22/j22b
+# (asof nearest gained ordering-type validation), sql8 (sqlext.sql()
+# now composes the MATCH_RECOGNIZE splice first). Deliberately NOT
+# re-fronted: sql7 and the j21 family call qualify_sql/asof_sql
+# directly — neither rewriter changed this round; l3b/l5b/l5 are
+# rows-only and their new certificates carry the hash evidence;
+# (3) padding with the LONGEST-unattested names: the entire r02
+# cohort (12 — closing the r11 VERDICT item 5 staleness tail), then
+# the r03 cohort alphabetically. The full-sweep ritual
+# (tools/diffcheck.py at sf0.001 AND sf0.01) still gates every query
+# every round regardless.
 # Standing rule (adopted r11 after the r10 miss): a plan-affecting
 # change landing AFTER the round's rotation is frozen RE-OPENS the
 # rotation — the changed query moves to the head of category (2) for
 # the next round if the current window can no longer cover it.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # (1) round-11 additions
-    "j22_asof_nearest",
-    "j22b_asof_nearest_sql",
-    "o7c_skyline_grid3d",
-    "c39c_cbs_convergence",
-    "dq10c_ks_sketch_binned",
-    "dq10d_ks_sketch_certificate",
-    "sql8_asof_qualify",
+    # (1) round-12 additions
+    "w25_pattern_quantified",
+    "w25b_pattern_optional",
+    "sql9_match_recognize",
+    "sql10_match_recognize_quantified",
+    "l3b_lsh_recall_certificate",
+    "l5_recall_certificate",
+    # (2) changed since last attestation
+    "q3_shipping_priority",
     "w24_pattern_vshape",
     "w24b_pattern_dip_stabilize_recover",
     "w24c_pattern_wshape",
-    # (2) changed since last attestation
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "j6_broadcast_star",
-    "o7_skyline",
-    "o7b_skyline_continuous",
-    "a32_equidepth_histogram",
-    "c20_rfm_segmentation",
-    "c27_pareto_abc",
-    "c37_bh_fdr_screen",
-    "dq10_ks_two_sample",
-    "dq10b_ks_binned_certificate",
-    "l43_perplexity_pruning",
-    "l47_balanced_shards",
-    "l64_systematic_token_sample",
-    "w18_mann_whitney_u",
-    "j21_asof_sql_surface",
-    "j21b_asof_sql_left_forward",
-    "j21c_asof_sql_bounded_using",
-    "sql7_qualify",
-    # (3) longest-unattested padding (last driver row: r02)
-    "l11_centroids",
-    "l12_language_id",
-    "l13_doc_fingerprint",
-    "l13b_winnow_fingerprint",
-    "l14_embedding_neardup",
-    "l15_token_count",
-    "l16_dedup_clusters",
-    "l17_hash_sample",
-    "l18_kmeans",
-    "l19_decontaminate",
-    "l1_exact_dedup",
-    "l20_text_clean",
-    "l21_stratified_sample",
-    "l22_unigram_logprob",
-    "l2_hash_dedup",
-    "l3_jaccard_pairs",
-    "l3b_minhash_lsh",
-    "l3c_simhash",
-    "l4_knn_bruteforce",
-    "l4b_knn_per_query",
-    "l5_ann_lsh",
+    "j22_asof_nearest",
+    "j22b_asof_nearest_sql",
+    "sql8_asof_qualify",
+    # (3) longest-unattested padding: the whole r02 cohort...
+    "l5b_ann_ivf",
+    "l6_token_tf",
+    "l7_tfidf",
+    "l8_ngrams",
+    "l9_doc_stats",
+    "l9b_quality_score",
+    "q12_late_lines",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "w1_rank_family",
+    "w3_cumsum",
+    "w4_moving_avg",
+    # ...then the r03 cohort, alphabetical
+    "c1_sprt_rhdo",
+    "c2_zscore_screen",
+    "c3_fetal_fraction",
+    "c4_coverage_qc",
+    "c5_version_diff",
+    "c6_rmd",
+    "c7_funnel",
+    "c8_lexical_semantic",
+    "cbo1_stats_join_reorder",
+    "cbo2_filter_cardinality",
+    "d1_scalar_udf",
+    "d2_pandas_udf",
+    "d3_iterator_udf",
+    "d4_grouped_zscore",
+    "d5_grouped_agg_udf",
+    "d6_mapinpandas",
+    "d7_udtf",
+    "d8_cogrouped",
+    "d9_pandas_api",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_funcs",
+    "f4_case_ladder",
+    "f5_array_ops",
+    "f6_map_ops",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

