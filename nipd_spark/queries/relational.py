@@ -598,13 +598,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT item 2 — one global choice kept costing one posture or the
     other): under the default ``local`` profile (one shared JVM heap,
     hash builds cheap, sorts pure overhead) the filtered-orders side
-    carries a ``shuffle_hash`` hint — measured 8.9 → ~6.5 s fresh at
-    the 100× replica (r12 ×3, see docstring history: r10 first
-    measured 8.4-10.0 → 7.1); under ``SPARK_GRAFT_PROFILE=scale`` the
-    join stays SORT-MERGE: the date filter keeps ~97% of orders, the
-    build side is fully fact-sized, and a per-executor hash build of
-    multi-GB orders OOMs where SMJ's sort spills gracefully (the r10
-    advice that prompted the revert). q5 keeps its hint in both
+    carries a ``shuffle_hash`` hint — measured 8.4-10.0 → 5.3-5.8 s
+    fresh at the 100× replica (r12 ×3; SCALE.md "r12: q3"); under
+    ``SPARK_GRAFT_PROFILE=scale`` the join stays SORT-MERGE: the date
+    filter keeps ~97% of orders, the build side is fully fact-sized,
+    and a per-executor hash build of multi-GB orders OOMs where SMJ's
+    sort spills gracefully (the r10 advice that prompted the revert) —
+    and with AQE on, the SMJ plan measured FASTER anyway (4.5-4.8 s at
+    100×), so the safe cluster plan costs nothing. q5 keeps its hint in both
     profiles (year-filtered ~1/7 build, bounded). Top-10 via
     TakeOrderedAndProject (no full sort). Deterministic tie-breaks
     (o_orderdate, l_orderkey) keep the oracle stable at the LIMIT
