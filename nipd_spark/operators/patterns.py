@@ -525,3 +525,168 @@ def match_runs_sequential(
         .groupBy("__bkt")
         .applyInPandas(scan_bucket, schema)
     )
+
+
+def match_runs_all_rows(
+    df: DataFrame,
+    key: str | list[str],
+    order: list[str],
+    label: Column,
+    pattern,
+) -> DataFrame:
+    """ISO ALL ROWS PER MATCH for the run-pattern subset: every INPUT
+    ROW that participates in a match, carrying ``classifier`` (the
+    row's matched label — CLASSIFIER()), ``match_no`` (1-based match
+    ordinal per key by match order — MATCH_NUMBER()) and ``leg`` (the
+    0-based original pattern position the row's island fills). Rows
+    outside any match are omitted (the ISO default; no SHOW EMPTY /
+    WITH UNMATCHED options). Same pattern grammar, validation, and
+    greedy semantics as ``match_runs`` (overlap-free patterns only —
+    self-overlapping patterns raise toward the sequential matcher,
+    which has no all-rows form yet).
+
+    Realization, all-JVM: label + island windows on the raw rows; the
+    SAME end-anchored lag-chain detection as match_runs on the
+    collapsed island table; a cumulative count of match ends gives
+    MATCH_NUMBER; each island then finds its match via BOUNDED
+    LOOKAHEAD (an island belongs to the match ending d islands ahead
+    iff that match's expansion is longer than d — matches never
+    overlap, so at most one d fires), and the attributed islands
+    equi-join back to the raw rows on (key, island). NULL keys join
+    null-safely, matching the window path's NULL-key grouping.
+
+    Scale notes (100 TB): two keyed window stages + one co-keyed
+    equi join back to the rows — one extra shuffle over match_runs
+    (the join's (key, island) re-key); every stage is keyed on the
+    growing caller key, no Python anywhere.
+    """
+    from functools import reduce as _reduce
+
+    legs = _normalize(pattern)
+    exps = _expansions(legs, "match_runs_all_rows")
+    _check_windows_compilable(exps, "match_runs_all_rows")
+    exps = sorted(exps, key=len, reverse=True)
+    keys = [key] if isinstance(key, str) else list(key)
+    in_cols = df.columns
+
+    w_row = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    rows = df.withColumn("__lab", label)
+    rows = rows.withColumn("__prevlab", F.lag("__lab").over(w_row))
+    change = (
+        F.col("__lab").isNull()
+        | F.col("__prevlab").isNull()
+        | (F.col("__lab") != F.col("__prevlab"))
+    ).cast("long")
+    rows = rows.withColumn(
+        "__island",
+        F.sum(change).over(w_row.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__prevlab")
+
+    segs = rows.groupBy(*keys, "__island").agg(
+        F.first("__lab").alias("__lab"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    k_max = max(len(e) for e in exps)
+    exts: dict[int, list[list[ExpLeg]]] = {}
+    max_lead = 0
+    for idx, e in enumerate(exps):
+        ei = [oi for oi, _, _, _ in e]
+        for e2 in exps:
+            if len(e2) > len(e) and [oi for oi, _, _, _ in e2[: len(e)]] == ei:
+                exts.setdefault(idx, []).append(e2[len(e) :])
+                max_lead = max(max_lead, len(e2) - len(e))
+    w_isl = Window.partitionBy(*keys).orderBy("__island")
+    proj: list[Column] = [F.col(c) for c in segs.columns]
+    for off in range(1, k_max):
+        proj += [
+            F.lag(c, off).over(w_isl).alias(f"__lag{off}_{c}")
+            for c in ("__lab", "__n")
+        ]
+    for d in range(1, max_lead + 1):
+        proj += [
+            F.lag(c, -d).over(w_isl).alias(f"__lead{d}_{c}")
+            for c in ("__lab", "__n")
+        ]
+    lagged = segs.select(*proj)
+
+    def at(off: int, c: str) -> Column:
+        return F.col(c) if off == 0 else F.col(f"__lag{off}_{c}")
+
+    expi = None
+    for idx, e in enumerate(exps):
+        cond = F.lit(True)
+        for j, (_oi, lab, lo, hi) in enumerate(e):
+            cond = cond & _leg_cond(at, len(e) - 1 - j, lab, lo, hi)
+        for ext in exts.get(idx, ()):
+            ext_cond = F.lit(True)
+            for d, (_oi, lab, lo, hi) in enumerate(ext, start=1):
+                ext_cond = ext_cond & _leg_cond(
+                    lambda off, c, d=d: F.col(f"__lead{d}_{c}"),
+                    0,
+                    lab,
+                    lo,
+                    hi,
+                )
+            cond = cond & ~F.coalesce(ext_cond, F.lit(False))
+        expi = (
+            F.when(cond, F.lit(idx))
+            if expi is None
+            else expi.when(cond, F.lit(idx))
+        )
+    det = lagged.withColumn("__expi", expi).withColumn(
+        "__mn",
+        F.sum(
+            F.when(F.col("__expi").isNotNull(), 1).otherwise(0)
+        ).over(w_isl.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # attribution: island i belongs to the match ending d islands ahead
+    # iff that end's expansion spans more than d islands (matches are
+    # disjoint, so at most one d fires)
+    det_cols = [F.col(c) for c in det.columns]
+    for d in range(1, k_max):
+        det_cols += [
+            F.lag(F.col(c), -d).over(w_isl).alias(f"__mlead{d}_{c}")
+            for c in ("__expi", "__mn")
+        ]
+    det = det.select(*det_cols)
+
+    def fwd(d: int, c: str) -> Column:
+        return F.col(c) if d == 0 else F.col(f"__mlead{d}_{c}")
+
+    mno = None
+    leg = None
+    for d in range(k_max):
+        for idx, e in enumerate(exps):
+            if len(e) <= d:
+                continue
+            cnd = fwd(d, "__expi") == idx
+            oi = e[len(e) - 1 - d][0]
+            mno = (
+                F.when(cnd, fwd(d, "__mn"))
+                if mno is None
+                else mno.when(cnd, fwd(d, "__mn"))
+            )
+            leg = (
+                F.when(cnd, F.lit(oi))
+                if leg is None
+                else leg.when(cnd, F.lit(oi))
+            )
+    attributed = (
+        det.withColumn("__match_no", mno)
+        .withColumn("__leg", leg)
+        .filter(F.col("__match_no").isNotNull())
+        .select(*keys, "__island", "__match_no", "__leg")
+        .alias("att")
+    )
+    r = rows.alias("r")
+    jc = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"r.{c}").eqNullSafe(F.col(f"att.{c}")) for c in keys],
+        F.col("r.__island") == F.col("att.__island"),
+    )
+    return r.join(attributed, jc).select(
+        *[F.col(f"r.{c}") for c in in_cols],
+        F.col("r.__lab").alias("classifier"),
+        F.col("att.__match_no").alias("match_no"),
+        F.col("att.__leg").alias("leg"),
+    )

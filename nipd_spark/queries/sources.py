@@ -2063,3 +2063,55 @@ def sql10_match_recognize_quantified(
         )
         """,
     )
+
+
+@query(
+    "sql11_match_recognize_all_rows",
+    # Oracle: the shared all-rows V-shape compilation (windows.py) —
+    # the SQL-surface twin must hash-equal the same DuckDB detection +
+    # attribution join.
+    sql=None,  # assigned below from windows.ALL_ROWS_VSHAPE_ORACLE
+    tags=("W10", "W5"),
+)
+def sql11_match_recognize_all_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE ... ALL ROWS PER MATCH through the SQL surface
+    (W10 v2, r12): the w26 row-level tagging reached purely as SQL
+    text — PARTITION BY / ORDER BY / ALL ROWS PER MATCH / PATTERN /
+    DEFINE with PREV(), no MEASURES clause (the all-rows form outputs
+    the input rows + match_no + classifier; running-measure semantics
+    are documented out of scope). Certifies a Snowflake/Oracle user's
+    row-level pattern extraction runs unmodified.
+
+    Plan shape for 100 TB: identical to w26 — the rewrite is
+    driver-side text; the spliced plan is match_runs_all_rows'.
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("sql11_events")
+    return sqlx(
+        spark,
+        """
+        SELECT mr.user_id, ts, event_id, value, match_no, classifier
+        FROM sql11_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ( DOWN+ UP+ )
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        ) AS mr
+        """,
+    )
+
+
+# the oracle is shared with w26 (same detection + attribution); late
+# assignment avoids a circular import at module load
+from nipd_spark.queries import windows as _windows_mod  # noqa: E402
+from nipd_spark import registry as _registry_mod  # noqa: E402
+
+_registry_mod._REGISTRY["sql11_match_recognize_all_rows"].sql = (
+    _windows_mod.ALL_ROWS_VSHAPE_ORACLE
+)

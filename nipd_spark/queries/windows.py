@@ -1881,3 +1881,93 @@ def w25b_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seg1_n").alias("n_flat"),
         F.col("seg2_n").alias("n_up"),
     )
+
+
+# shared DuckDB oracle for the ALL ROWS PER MATCH V-shape (w26 and its
+# SQL-surface twin sql11): islands + end-anchored detection + per-user
+# match ordinals + attribution of each island row to the match whose
+# span covers it (spans are [end-1, end] for the k=2 V pattern).
+ALL_ROWS_VSHAPE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, {ts_us()} AS ts, event_id, value,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+),
+lbl AS (
+  SELECT *, CASE WHEN prev IS NULL THEN NULL
+                 WHEN value > prev THEN 'UP'
+                 WHEN value < prev THEN 'DOWN'
+                 ELSE 'FLAT' END AS lab
+  FROM e
+),
+isl AS (
+  SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                      OR lab <> plab THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY rn) AS island
+  FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                    AS plab
+        FROM lbl)
+),
+seg AS (
+  SELECT user_id, island, min(lab) AS lab
+  FROM isl GROUP BY user_id, island
+),
+ends AS (
+  SELECT user_id, island AS end_isl,
+         row_number() OVER (PARTITION BY user_id ORDER BY island)
+           AS match_no
+  FROM (SELECT user_id, island, lab,
+               lag(lab) OVER (PARTITION BY user_id ORDER BY island)
+                 AS plab
+        FROM seg)
+  WHERE lab = 'UP' AND plab = 'DOWN'
+)
+SELECT i.user_id, i.ts, i.event_id, i.value,
+       CAST(m.match_no AS BIGINT) AS match_no, i.lab AS classifier
+FROM isl i JOIN ends m
+  ON i.user_id = m.user_id
+ AND i.island IN (m.end_isl - 1, m.end_isl)
+"""
+
+
+@query("w26_pattern_all_rows", sql=ALL_ROWS_VSHAPE_ORACLE, tags=("W10", "W5"))
+def w26_pattern_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH (W10 v2, r12): every event row participating
+    in a V-shape match, tagged with MATCH_NUMBER() (1-based per user,
+    in match order) and CLASSIFIER() (the row's matched label) — the
+    ISO output mode the ONE-ROW queries (w24 family) don't exercise,
+    via operators/patterns.match_runs_all_rows. Row-level tagging is
+    what a downstream pipeline consumes (e.g. extracting the raw
+    ticks inside every dip-and-recover episode for training windows).
+
+    Plan shape for 100 TB: the same keyed label/island windows and
+    lag-chain detection as w24, a cumulative match counter over the
+    SAME island window, bounded lead-lookahead attribution (pattern
+    length, not data, bounds the lookahead), then ONE co-keyed equi
+    join of the attributed islands back to the raw rows on
+    (user_id, island) — all stages keyed on the growing user_id.
+    Oracle: the identical compilation in DuckDB window SQL with an
+    IN-list attribution join.
+    """
+    from nipd_spark.operators.patterns import match_runs_all_rows
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("value") > prev, F.lit("UP"))
+        .when(F.col("value") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    return match_runs_all_rows(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "UP"],
+    ).select("user_id", "ts", "event_id", "value", "match_no", "classifier")

@@ -52,8 +52,9 @@ _QUERY_MODULES = (
 # standing rule applies:
 # (1) this round's additions first — w25/w25b (W10 v2: quantified and
 # optional pattern legs), sql9/sql10 (MATCH_RECOGNIZE SQL surface,
-# plain and quantified), l3b/l5 recall certificates (r11 VERDICT
-# item 6 — LSH/IVF accuracy contracts made driver-hashable);
+# plain and quantified), w26/sql11 (ALL ROWS PER MATCH, operator and
+# SQL spellings), l3b/l5 recall certificates (r11 VERDICT item 6 —
+# LSH/IVF accuracy contracts made driver-hashable);
 # (2) re-checks of queries whose implementation changed since their
 # last attestation — q3 (the shuffle_hash hint returned as a
 # PROFILE-SPLIT: local keeps it, scale stays SMJ — r11 VERDICT item
@@ -79,6 +80,8 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "w25b_pattern_optional",
     "sql9_match_recognize",
     "sql10_match_recognize_quantified",
+    "w26_pattern_all_rows",
+    "sql11_match_recognize_all_rows",
     "l3b_lsh_recall_certificate",
     "l5_recall_certificate",
     # (2) changed since last attestation
@@ -102,7 +105,8 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "w1_rank_family",
     "w3_cumsum",
     "w4_moving_avg",
-    # ...then the r03 cohort, alphabetical
+    # ...then the r03 cohort, alphabetical (f5/f6 displaced to r13 by
+    # the w26/sql11 additions)
     "c1_sprt_rhdo",
     "c2_zscore_screen",
     "c3_fetal_fraction",
@@ -126,8 +130,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "f2_datetime_funcs",
     "f3_math_funcs",
     "f4_case_ladder",
-    "f5_array_ops",
-    "f6_map_ops",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -380,8 +380,19 @@ _MR_BODY_RE = re.compile(
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+_MR_BODY_ALL_RE = re.compile(
+    r"""
+    \s*PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*)
+    \s+ORDER\s+BY\s+(?P<ord>\w+(?:\s*,\s*\w+)*)
+    \s+ALL\s+ROWS\s+PER\s+MATCH
+    (?:\s+AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW)?
+    \s+PATTERN\s*\(\s*(?P<pat>[^()|^$]*)\)
+    \s+DEFINE\s+(?P<defs>.+?)\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
 _MEAS_RE = re.compile(
-    r"^\s*(?P<fn>FIRST|LAST|MIN|MAX|SUM|COUNT)\s*\(\s*"
+    r"^\s*(?P<fn>FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*"
     r"(?:(?P<lbl>\w+)\s*\.\s*)?(?P<col>\w+|\*)\s*\)\s+"
     r"AS\s+(?P<alias>\w+)\s*$",
     re.IGNORECASE,
@@ -438,11 +449,27 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
           PARTITION BY k [, ...]
           ORDER BY o [, ...]                   -- plain columns, ASC
           MEASURES <m> AS <alias> [, ...]
-          [ONE ROW PER MATCH]                  -- the only mode
-          [AFTER MATCH SKIP PAST LAST ROW]     -- the only mode
+          [ONE ROW PER MATCH]
+          [AFTER MATCH SKIP PAST LAST ROW]     -- the only skip mode
           PATTERN ( L1[q] L2[q] ... )          -- quantifiers + * ? {m[,n]}
           DEFINE L AS <predicate> [, ...]
         ) [AS <alias>]
+
+    or, for row-level output, the ALL ROWS PER MATCH form — the same
+    clauses WITHOUT a MEASURES list:
+
+        FROM <table> MATCH_RECOGNIZE (
+          PARTITION BY k [, ...]  ORDER BY o [, ...]
+          ALL ROWS PER MATCH
+          [AFTER MATCH SKIP PAST LAST ROW]
+          PATTERN ( ... )  DEFINE ...
+        ) [AS <alias>]
+
+    which emits every input row participating in a match plus
+    ``match_no`` (MATCH_NUMBER()) and ``classifier`` (CLASSIFIER()) —
+    running-measure semantics inside ALL ROWS are out of scope, and
+    this form requires an overlap-free pattern (the all-rows
+    compilation has no sequential escape hatch yet).
 
     Semantics notes (documented divergences from full ISO):
       - row labelling is deterministic: DEFINE predicates evaluate in
@@ -456,8 +483,8 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
       - predicates may call PREV(<expr>) (offset 1), compiled to a lag
         over the PARTITION BY/ORDER BY window; FIRST/LAST/NEXT
         navigation inside DEFINE is not supported.
-      - MEASURES support FIRST/LAST/MIN/MAX/SUM(L.col), COUNT(L.*)
-        and COUNT(*); the output is PARTITION BY columns + measures
+      - MEASURES support FIRST/LAST/MIN/MAX/SUM/AVG(L.col),
+        COUNT(L.*) and COUNT(*); the output is PARTITION BY columns + measures
         (ONE ROW PER MATCH). A label used on several legs aggregates
         across its legs (FIRST = first present leg, COUNT = summed
         rows, ...); legs absent from a match (optional) contribute
@@ -484,22 +511,22 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
             return text
         body_end = _scan_balanced(text, m.end())
         body = text[m.end() : body_end - 1]
-        if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE):
-            raise ValueError(
-                "match_recognize_sql: ALL ROWS PER MATCH is not "
-                "supported (ONE ROW PER MATCH only)"
-            )
+        all_rows = re.search(
+            r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE
+        )
         skip = re.search(r"\bSKIP\s+(?!PAST\s+LAST\s+ROW)", body, re.IGNORECASE)
         if skip:
             raise ValueError(
                 "match_recognize_sql: only AFTER MATCH SKIP PAST LAST "
                 "ROW is supported"
             )
-        bm = _MR_BODY_RE.match(body)
+        bm = (_MR_BODY_ALL_RE if all_rows else _MR_BODY_RE).match(body)
         if bm is None:
             raise ValueError(
                 "match_recognize_sql: expected PARTITION BY ... ORDER "
-                "BY ... MEASURES ... PATTERN (...) DEFINE ... — got: "
+                "BY ... MEASURES ... PATTERN (...) DEFINE ... (or, for "
+                "ALL ROWS PER MATCH, the same WITHOUT a MEASURES "
+                "clause) — got: "
                 f"{body.strip()[:120]!r}"
             )
         part = [c.strip() for c in bm["part"].split(",")]
@@ -534,14 +561,16 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
                 "appear in PATTERN"
             )
 
-        # MEASURES
+        # MEASURES (absent by grammar in the ALL ROWS PER MATCH form:
+        # that mode outputs the input rows themselves + MATCH_NUMBER/
+        # CLASSIFIER; running-measure semantics are out of scope)
         measures: list[tuple[str, str | None, str, str]] = []
-        for item in _split_top_commas(bm["meas"]):
+        for item in [] if all_rows else _split_top_commas(bm["meas"]):
             mm = _MEAS_RE.match(item)
             if mm is None:
                 raise ValueError(
                     f"match_recognize_sql: measure {item.strip()!r} is "
-                    "not FIRST|LAST|MIN|MAX|SUM(<label>.<col>), "
+                    "not FIRST|LAST|MIN|MAX|SUM|AVG(<label>.<col>), "
                     "COUNT(<label>.*) or COUNT(*) AS <alias>"
                 )
             fn = mm["fn"].upper()
@@ -595,11 +624,42 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
                 else label.when(cond, F.lit(lbl))
             )
 
+        if all_rows:
+            # ALL ROWS PER MATCH: input columns + MATCH_NUMBER() AS
+            # match_no + CLASSIFIER() AS classifier (the __mr_prev
+            # helper columns are dropped)
+            base_cols = spark.table(m["t"]).columns
+            result = _pat.match_runs_all_rows(
+                rel, part, order, label, legs
+            ).select(*base_cols, "match_no", "classifier")
+            view = f"__mr_{next(_VIEW_SEQ)}"
+            result.createOrReplaceTempView(view)
+            tail_at = body_end
+            am = re.match(
+                r"\s*(?:AS\s+)?(\w+)", text[tail_at:], re.IGNORECASE
+            )
+            alias = None
+            if am and am.group(1).upper() not in _MR_STOPWORDS:
+                alias = am.group(1)
+                tail_at += am.end()
+            text = text[: m.start()] + f"FROM {view}" + text[tail_at:]
+            if alias:
+                apat = re.compile(
+                    rf"\b{re.escape(alias)}\.(\w+)", re.IGNORECASE
+                )
+                text = _sub_outside_literals(apat, r"\1", text)
+            continue
+
         # island aggs required by the measures (deduped)
         ostruct = F.struct(*[F.col(c) for c in order])
         aggs: dict[str, object] = {}
         for fn, _lbl, col, _alias in measures:
             if fn == "COUNT":
+                continue
+            if fn == "AVG":
+                # avg across a label's legs needs per-island partials
+                aggs.setdefault(f"sum_{col}", F.sum(col))
+                aggs.setdefault(f"cnt_{col}", F.count(col))
                 continue
             key = f"{fn.lower()}_{col}"
             if key in aggs:
@@ -634,6 +694,18 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
                 for i in idxs:
                     c = F.coalesce(F.col(f"seg{i}_n"), F.lit(0))
                     v = c if v is None else v + c
+            elif fn == "AVG":
+                # sum-of-partials / count-of-partials, NULL-skipping
+                # per SQL aggregate semantics (all-absent -> NULL)
+                idxs = legs_of[lbl]
+                tot = _null_skipping_sum(
+                    [F.col(f"seg{i}_sum_{col}") for i in idxs]
+                )
+                n = None
+                for i in idxs:
+                    c = F.coalesce(F.col(f"seg{i}_cnt_{col}"), F.lit(0))
+                    n = c if n is None else n + c
+                v = F.when(n > 0, tot / n)
             else:
                 key = f"{fn.lower()}_{col}"
                 cols = [F.col(f"seg{i}_{key}") for i in legs_of[lbl]]

@@ -4537,7 +4537,7 @@ def test_match_recognize_sql_surface(spark):
         "pos MEASURES COUNT(D.*) AS n PATTERN (D+ U+) DEFINE D AS "
         "v < PREV(v))",
         "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
-        "pos MEASURES AVG(D.v) AS n PATTERN (D+ U+) DEFINE D AS "
+        "pos MEASURES STDDEV(D.v) AS n PATTERN (D+ U+) DEFINE D AS "
         "v < PREV(v), U AS v > PREV(v))",
     ):
         with pytest.raises(ValueError):
@@ -4553,3 +4553,60 @@ def test_match_recognize_sql_surface(spark):
         w._jdf.queryExecution().executedPlan().toString()
     )
     assert w.count() >= 0
+
+
+def test_match_runs_all_rows_matches_regex_nfa(spark):
+    """match_runs_all_rows == the row-level regex NFA ground truth
+    (re.finditer group spans give exactly the rows each leg consumes,
+    match enumeration order gives MATCH_NUMBER) on crafted sequences
+    covering back-to-back matches, quantifier bounds, and an optional
+    leg; self-overlapping patterns are loudly rejected (no sequential
+    all-rows form)."""
+    import re
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import patterns as pat
+
+    seqs = {
+        1: "xDDUUFDU",    # two V matches, FLAT break
+        2: "DFFU",        # long form of the optional pattern
+        3: "DUUU",        # short form
+        4: "UUDD",        # no match
+    }
+    rows = [
+        (k, i, lb) for k, labs in seqs.items() for i, lb in enumerate(labs)
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+
+    for pattern in (
+        [("D", 1, None), ("U", 1, None)],
+        [("D", 1, None), ("F", 0, 2), ("U", 1, None)],
+        [("D", 2, None), ("U", 1, None)],
+    ):
+        rx = re.compile(
+            "".join(
+                f"({lab}{{{lo},{'' if hi is None else hi}}})"
+                for lab, lo, hi in pattern
+            )
+        )
+        want = set()
+        for k, labs in seqs.items():
+            for mn, m in enumerate(rx.finditer(labs), start=1):
+                for g in range(1, len(pattern) + 1):
+                    a, b = m.span(g)
+                    for p in range(a, b):
+                        want.add((k, p, labs[p], mn, g - 1))
+        got = {
+            (r.k, r.pos, r.classifier, r.match_no, r.leg)
+            for r in pat.match_runs_all_rows(
+                df, "k", ["pos"], F.col("lab"), pattern
+            ).collect()
+        }
+        assert got == want, (pattern, got ^ want)
+
+    with pytest.raises(ValueError):
+        pat.match_runs_all_rows(
+            df, "k", ["pos"], F.col("lab"), ["D", "U", "D", "U"]
+        )

@@ -990,6 +990,8 @@ def test_skyline_join_back_strategy_tolerant(spark, sf_dir, name):
         "w25b_pattern_optional",
         "sql9_match_recognize",
         "sql10_match_recognize_quantified",
+        "w26_pattern_all_rows",
+        "sql11_match_recognize_all_rows",
     ],
 )
 def test_w10_v2_patterns_stay_all_jvm(spark, sf_dir, name):
