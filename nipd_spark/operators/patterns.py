@@ -318,6 +318,7 @@ def match_runs(
     label: Column,
     pattern,
     island_aggs: dict[str, Column],
+    with_match_no: bool = False,
 ) -> DataFrame:
     """One row per pattern match, all-JVM (keyed windows + lag chain).
     ``label`` classifies each row (NULL = matches nothing, breaks
@@ -330,7 +331,10 @@ def match_runs(
     aggregates evaluated over each leg's island rows; the output
     carries ``seg{i}_{name}`` plus ``seg{i}_n`` (row count) for every
     pattern position i — NULL when an optional leg is absent from the
-    match."""
+    match. ``with_match_no=True`` appends ``match_no`` — the ISO
+    MATCH_NUMBER(): 1-based per key in match order (a cumulative
+    count of match ends over the SAME island window, no extra
+    shuffle)."""
     legs = _normalize(pattern)
     exps = _expansions(legs, "match_runs")
     _check_windows_compilable(exps, "match_runs")
@@ -391,9 +395,15 @@ def match_runs(
             if expi is None
             else expi.when(cond, F.lit(idx))
         )
-    matched = lagged.withColumn("__expi", expi).filter(
-        F.col("__expi").isNotNull()
-    )
+    matched = lagged.withColumn("__expi", expi)
+    if with_match_no:
+        matched = matched.withColumn(
+            "__mn",
+            F.sum(
+                F.when(F.col("__expi").isNotNull(), 1).otherwise(0)
+            ).over(w_isl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    matched = matched.filter(F.col("__expi").isNotNull())
     out_cols: list[Column] = [F.col(c) for c in keys]
     for i in range(k):
         for c, out_name in [("__n", f"seg{i}_n")] + [
@@ -412,6 +422,8 @@ def match_runs(
                         )
             col = chain if chain is not None else F.lit(None)
             out_cols.append(col.alias(out_name))
+    if with_match_no:
+        out_cols.append(F.col("__mn").cast("long").alias("match_no"))
     return matched.select(*out_cols)
 
 
@@ -422,6 +434,7 @@ def match_runs_sequential(
     label: Column,
     pattern,
     island_aggs: dict[str, Column],
+    with_match_no: bool = False,
 ) -> DataFrame:
     """The documented escape hatch for patterns ``match_runs`` rejects
     as self-overlapping (label sequences with a nontrivial border /
@@ -472,6 +485,8 @@ def match_runs_sequential(
             )
             for name in agg_names
         ]
+    if with_match_no:
+        fields.append(T.StructField("match_no", T.LongType()))
     schema = T.StructType(fields)
     cols = [f.name for f in fields]
 
@@ -491,6 +506,7 @@ def match_runs_sequential(
                 name: g[f"__a_{name}"].tolist() for name in agg_names
             }
             i = 0
+            mn = 0
             while i < len(labs):
                 hit = None
                 for e in exps:  # present-first greedy preference
@@ -513,6 +529,9 @@ def match_runs_sequential(
                     rec[f"seg{oi}_n"] = ns[i + j]
                     for name in agg_names:
                         rec[f"seg{oi}_{name}"] = aggl[name][i + j]
+                mn += 1
+                if with_match_no:
+                    rec["match_no"] = mn
                 out.append(rec)
                 i += len(hit)  # AFTER MATCH SKIP PAST LAST ROW
         return pd.DataFrame(out, columns=cols)

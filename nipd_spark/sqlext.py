@@ -397,6 +397,10 @@ _MEAS_RE = re.compile(
     r"AS\s+(?P<alias>\w+)\s*$",
     re.IGNORECASE,
 )
+_MATCHNO_RE = re.compile(
+    r"^\s*MATCH_NUMBER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE,
+)
 _DEFINE_RE = re.compile(r"^\s*(?P<lbl>\w+)\s+AS\s+(?P<pred>.+)$", re.DOTALL)
 _PREV_RE = re.compile(r"\bPREV\s*\(", re.IGNORECASE)
 # the alias-looking token after MATCH_RECOGNIZE(...) that is really the
@@ -484,7 +488,9 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
         over the PARTITION BY/ORDER BY window; FIRST/LAST/NEXT
         navigation inside DEFINE is not supported.
       - MEASURES support FIRST/LAST/MIN/MAX/SUM/AVG(L.col),
-        COUNT(L.*) and COUNT(*); the output is PARTITION BY columns + measures
+        COUNT(L.*), COUNT(*) and MATCH_NUMBER() (the 1-based per-key
+        match ordinal, computed as a cumulative count of match ends
+        over the same island window — no extra shuffle); the output is PARTITION BY columns + measures
         (ONE ROW PER MATCH). A label used on several legs aggregates
         across its legs (FIRST = first present leg, COUNT = summed
         rows, ...); legs absent from a match (optional) contribute
@@ -566,6 +572,10 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
         # CLASSIFIER; running-measure semantics are out of scope)
         measures: list[tuple[str, str | None, str, str]] = []
         for item in [] if all_rows else _split_top_commas(bm["meas"]):
+            mnm = _MATCHNO_RE.match(item)
+            if mnm is not None:
+                measures.append(("MATCH_NUMBER", None, "", mnm["alias"]))
+                continue
             mm = _MEAS_RE.match(item)
             if mm is None:
                 raise ValueError(
@@ -653,8 +663,9 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
         # island aggs required by the measures (deduped)
         ostruct = F.struct(*[F.col(c) for c in order])
         aggs: dict[str, object] = {}
+        need_mn = any(fn == "MATCH_NUMBER" for fn, _, _, _ in measures)
         for fn, _lbl, col, _alias in measures:
-            if fn == "COUNT":
+            if fn in ("COUNT", "MATCH_NUMBER"):
                 continue
             if fn == "AVG":
                 # avg across a label's legs needs per-island partials
@@ -677,7 +688,9 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
             if _pat.windows_compilable(legs)
             else _pat.match_runs_sequential
         )
-        matched = matcher(rel, part, order, label, legs, aggs)
+        matched = matcher(
+            rel, part, order, label, legs, aggs, with_match_no=need_mn
+        )
 
         # assemble measures across the legs carrying each label
         legs_of = {
@@ -686,6 +699,10 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
         }
         out_cols = [F.col(c) for c in part]
         for fn, lbl, col, alias in measures:
+            if fn == "MATCH_NUMBER":
+                v = F.col("match_no")
+                out_cols.append(v.alias(alias))
+                continue
             if fn == "COUNT":
                 idxs = (
                     list(range(len(legs))) if lbl is None else legs_of[lbl]

@@ -4490,12 +4490,13 @@ def test_match_recognize_sql_surface(spark):
           MEASURES FIRST(DOWN.pos) AS s, LAST(DOWN.pos) AS b,
                    LAST(UP.pos) AS e, COUNT(DOWN.*) AS nd,
                    COUNT(UP.*) AS nu, SUM(UP.v) AS vsum,
-                   MIN(DOWN.v) AS vmin, MAX(UP.v) AS vmax
+                   MIN(DOWN.v) AS vmin, MAX(UP.v) AS vmax,
+                   MATCH_NUMBER() AS mno
           ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
           PATTERN ( DOWN+ UP+ )
           DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v)
         ) AS m
-        WHERE nd >= 1
+        WHERE nd >= 1 AND mno >= 1
         """,
     )
     prev = F.lag("v").over(
