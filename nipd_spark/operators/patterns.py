@@ -9,13 +9,22 @@ implements the exactly-compilable subset covering the classic
 analytics uses (V/U-shapes, dip-and-recover, escalation runs), with
 ONE ROW PER MATCH and AFTER MATCH SKIP PAST LAST ROW semantics:
 
-    PATTERN (L1[q1] L2[q2] ... Lk[qk])
+    PATTERN (E1 E2 ... Ek)   where  Ei := L[q] | ( BR1 | BR2 | ... )
+                                    BRj := a sequence of L[q]
+                                    | PERMUTE(L1[q], ..., Lm[q])
 
-where each quantifier ``qi`` bounds the ROW length of the i-th
+where each quantifier ``q`` bounds the ROW length of that label's
 maximal same-label run: ``+`` = {1,}, ``*`` = {0,} (leg optional),
-``?`` = {0,1}, ``{m}``, ``{m,}``, ``{m,n}``. The compile target is
-the gaps-and-islands idiom — pure keyed windows + one aggregation, no
-per-row Python, no sequential scan:
+``?`` = {0,1}, ``{m}``, ``{m,}``, ``{m,n}``. Alternation groups
+(one nesting level, ISO ordered-choice semantics) and PERMUTE
+(sugar for the alternation of all orderings) are compiled by
+EXPANSION — each branch choice joins the optional-leg present/absent
+choices in one cross-product of candidate label sequences (see
+below). A group followed by ``?`` gains an empty branch (the whole
+group absent). Group repetition (``(..)+``, ``(..){m,n}``) and
+nested groups are outside the subset and rejected loudly. The
+compile target is the gaps-and-islands idiom — pure keyed windows +
+one aggregation, no per-row Python, no sequential scan:
 
   1. label change-points → per-key island ids (one keyed window);
   2. collapse rows to (key, island) with the caller's island-level
@@ -30,12 +39,18 @@ per-row Python, no sequential scan:
      which is exact only when their max is unbounded, so a finite max
      on an end leg is rejected loudly (see "Exactness" below).
 
-Optional legs (min 0) compile to the set of EXPANSIONS (present/absent
-subsets); the island string is deterministic (adjacent islands never
-share a label), so at most one expansion can match at a given start,
-and the detection ORs the expansions' lag chains, preferring the
-longest at a shared end — exactly the greedy NFA's present-first
-preference.
+Optional legs (min 0) and alternation branches compile to the set of
+EXPANSIONS — the cross-product of branch choices and present/absent
+optional-leg choices, enumerated depth-first in the NFA's
+backtracking preference order (branches in written order, present
+before absent); each expansion's legs keep their ORIGINAL flattened
+pattern positions, so a match through one branch carries NULL seg
+columns for every other branch's legs. The island string is
+deterministic (adjacent islands never share a label), so the
+detection ORs the expansions' lag chains, preferring the longest at
+a shared end (the longer expansion starts strictly earlier — the
+LEFTMOST match wins regardless of branch order) and breaking
+same-length ties in preference order.
 
 Exactness of the skip-past-last semantics WITHOUT sequential state:
 maximal runs mean an occurrence of an expansion's label sequence in
@@ -43,19 +58,22 @@ the island string corresponds 1:1 to a pattern match, and the greedy
 non-overlapping scan equals "emit every satisfying window" exactly
 when no two occurrences with DIFFERENT ends can overlap. The
 constructor therefore REJECTS patterns where any alignment of two
-expansion label sequences (other than same-end nesting, resolved
-longest-first) is label-consistent — for a single quantifier-free
-expansion this reduces to the classic KMP border condition. It also
-rejects (for BOTH matchers, island granularity cannot express them):
+expansion label sequences (other than same-end LABEL-suffix nesting,
+resolved longest-first = leftmost, and same-start original-leg
+PREFIX nesting, resolved by lead lookahead) is label-consistent —
+for a single quantifier-free expansion this reduces to the classic
+KMP border condition. It also rejects (for BOTH matchers, island
+granularity cannot express them):
   - adjacent equal labels in any expansion (greedy run split of one
     island across two legs is row-level state);
   - a finite max bound on the first or last leg of any expansion (the
     true NFA would consume a PARTIAL island there, so island-level
     measures and SKIP PAST LAST would be wrong);
   - patterns whose legs are all optional (empty match).
-Self-overlapping patterns (e.g. W-shapes DOWN UP DOWN UP) pass
-validation only in ``match_runs_sequential`` — the documented escape
-hatch running the greedy scan per key over the ISLAND table.
+Self-overlapping patterns (e.g. W-shapes DOWN UP DOWN UP, and most
+PERMUTE groups — PERMUTE(A, B)'s two orderings overlap on A B A)
+pass validation only in ``match_runs_sequential`` — the documented
+escape hatch running the greedy scan per key over the ISLAND table.
 
 Scale notes (100 TB): one shuffle on the (growing) key + in-partition
 sorts — the cost class of any per-key window; the island collapse
@@ -67,12 +85,16 @@ the SAME island window — no extra shuffle.
 from __future__ import annotations
 
 import re
+from math import prod as _prod
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # a leg: (label, min_rows, max_rows|None for unbounded)
 Leg = tuple[str, int, "int | None"]
+# a pattern ELEMENT is a Leg, or an alternation group: a list of
+# branches, each branch a list of Legs (an empty branch = the whole
+# group absent, i.e. the ISO "(...)?" spelling)
 # an expansion leg: (original_leg_index, label, min_rows>=1, max|None)
 ExpLeg = tuple[int, str, int, "int | None"]
 
@@ -81,16 +103,28 @@ _MAX_EXPANSIONS = 32
 _TOKEN_RE = re.compile(
     r"(?P<lab>\w+)\s*(?P<q>\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?"
 )
+_GROUP_Q_RE = re.compile(r"\s*(\+|\*|\?|\{[^}]*\})")
 
 
-def parse_pattern(text: str) -> list[Leg]:
-    """Parse a MATCH_RECOGNIZE PATTERN body (the run-pattern subset)
-    into legs: ``DOWN{2,} FLAT? UP+`` -> [("DOWN",2,None),
-    ("FLAT",0,1), ("UP",1,None)]. Per ISO, a BARE label means exactly
-    one row ({1,1}); note the difference from the PYTHON API, where a
-    bare string leg keeps its historical one-or-more meaning. Rejects
-    anything outside the subset (alternation, grouping, PERMUTE,
-    anchors) loudly."""
+def _parse_quant(q: "str | None", bare: tuple[int, "int | None"]):
+    if q is None:
+        return bare
+    if q == "+":
+        return 1, None
+    if q == "*":
+        return 0, None
+    if q == "?":
+        return 0, 1
+    body = q.strip("{}").replace(" ", "")
+    if "," in body:
+        a, b = body.split(",")
+        return int(a), (int(b) if b else None)
+    return int(body), int(body)
+
+
+def _parse_seq(text: str, who: str) -> list[Leg]:
+    """A plain sequence of quantified labels (one alternation branch /
+    one PERMUTE item list)."""
     legs: list[Leg] = []
     pos = 0
     text = text.strip()
@@ -99,86 +133,242 @@ def parse_pattern(text: str) -> list[Leg]:
             pos += 1
             continue
         m = _TOKEN_RE.match(text, pos)
-        if not m:
+        if not m or not m["lab"]:
             raise ValueError(
-                "parse_pattern: expected 'LABEL[+*?{m,n}]' at "
-                f"{text[pos:pos + 20]!r} — alternation (|), grouping, "
-                "PERMUTE and anchors are outside the run-pattern "
-                "subset (see operators/patterns.py)"
+                f"{who}: expected 'LABEL[+*?{{m,n}}]' at "
+                f"{text[pos:pos + 20]!r} — nested groups and anchors "
+                "are outside the run-pattern subset "
+                "(see operators/patterns.py)"
             )
-        q = m["q"]
-        if q is None:
-            lo, hi = 1, 1
-        elif q == "+":
-            lo, hi = 1, None
-        elif q == "*":
-            lo, hi = 0, None
-        elif q == "?":
-            lo, hi = 0, 1
-        else:
-            body = q.strip("{}").replace(" ", "")
-            if "," in body:
-                a, b = body.split(",")
-                lo, hi = int(a), (int(b) if b else None)
-            else:
-                lo = hi = int(body)
+        lo, hi = _parse_quant(m["q"], (1, 1))
         legs.append((m["lab"], lo, hi))
         pos = m.end()
-    if not legs:
+    return legs
+
+
+def parse_pattern(text: str) -> list:
+    """Parse a MATCH_RECOGNIZE PATTERN body (the run-pattern subset)
+    into pattern elements: ``DOWN{2,} (FLAT+ | UP+)`` ->
+    [("DOWN",2,None), [[("FLAT",1,None)], [("UP",1,None)]]]. Per ISO,
+    a BARE label means exactly one row ({1,1}); note the difference
+    from the PYTHON API, where a bare string leg keeps its historical
+    one-or-more meaning. Alternation groups ``( BR | BR )`` (ordered
+    choice; one nesting level; a trailing ``?`` adds the empty
+    branch) and ``PERMUTE(item, ...)`` (the alternation of all
+    orderings of its quantified-label items, ISO 9075-2 §R sugar) are
+    supported; group repetition quantifiers, nested groups and
+    anchors are rejected loudly."""
+    import itertools as _it
+
+    elements: list = []
+    pos = 0
+    text = text.strip()
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        pm = re.compile(r"PERMUTE\s*\(", re.IGNORECASE).match(text, pos)
+        if pm or text[pos] == "(":
+            start = pm.end() if pm else pos + 1
+            depth = 1
+            i = start
+            while i < len(text) and depth:
+                if text[i] == "(":
+                    depth += 1
+                    if depth > 1:
+                        raise ValueError(
+                            "parse_pattern: nested groups are outside "
+                            "the run-pattern subset"
+                        )
+                elif text[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ValueError("parse_pattern: unbalanced '(' in PATTERN")
+            inner, pos = text[start : i - 1], i
+            if pm:
+                items = [
+                    _parse_seq(p, "parse_pattern") for p in inner.split(",")
+                ]
+                if any(len(it) != 1 for it in items) or len(items) < 2:
+                    raise ValueError(
+                        "parse_pattern: PERMUTE takes 2+ quantified "
+                        "labels (one per comma-separated item)"
+                    )
+                branches = [
+                    [it[0] for it in perm]
+                    for perm in _it.permutations(items)
+                ]
+            else:
+                branches = [
+                    _parse_seq(b, "parse_pattern") for b in inner.split("|")
+                ]
+                if len(branches) < 2:
+                    raise ValueError(
+                        "parse_pattern: a group must contain '|' "
+                        "alternation (plain grouping has no effect in "
+                        "the run-pattern subset — drop the parens)"
+                    )
+            gq = _GROUP_Q_RE.match(text, pos)
+            if gq:
+                if gq.group(1) != "?":
+                    raise ValueError(
+                        f"parse_pattern: group quantifier "
+                        f"{gq.group(1)!r} (repetition) is outside the "
+                        "run-pattern subset; only '?' (the empty "
+                        "branch) is supported on a group"
+                    )
+                branches.append([])
+                pos = gq.end()
+            elements.append(branches)
+            continue
+        m = _TOKEN_RE.match(text, pos)
+        if not m or not m["lab"]:
+            raise ValueError(
+                "parse_pattern: expected 'LABEL[+*?{m,n}]', "
+                "'( BR | BR )' or 'PERMUTE(...)' at "
+                f"{text[pos:pos + 20]!r} — anchors and nested groups "
+                "are outside the run-pattern subset "
+                "(see operators/patterns.py)"
+            )
+        lo, hi = _parse_quant(m["q"], (1, 1))
+        elements.append((m["lab"], lo, hi))
+        pos = m.end()
+    if not elements:
         raise ValueError("parse_pattern: empty pattern")
-    return legs
+    return elements
 
 
-def _normalize(pattern) -> list[Leg]:
-    """Python-API legs: a bare string keeps the historical one-or-more
-    meaning (["DOWN","UP"] == DOWN+ UP+); tuples are (label, min,
-    max|None)."""
-    legs: list[Leg] = []
-    for p in pattern:
+def _normalize(pattern) -> list:
+    """Python-API pattern elements: a bare string keeps the historical
+    one-or-more meaning (["DOWN","UP"] == DOWN+ UP+); tuples are
+    (label, min, max|None); a LIST element is an alternation group —
+    a list of branches, each branch a list of string/tuple legs (an
+    empty branch makes the group optional)."""
+
+    def leg(p) -> Leg:
         if isinstance(p, str):
-            legs.append((p, 1, None))
+            return (p, 1, None)
+        lab, lo, hi = p
+        return (str(lab), int(lo), None if hi is None else int(hi))
+
+    elements: list = []
+    for p in pattern:
+        if isinstance(p, list):
+            branches = []
+            for br in p:
+                if not isinstance(br, (list, tuple)):
+                    raise ValueError(
+                        "match_runs: an alternation branch must be a "
+                        f"list of legs, got {br!r}"
+                    )
+                branches.append([leg(x) for x in br])
+            if len(branches) < 2:
+                raise ValueError(
+                    "match_runs: an alternation group needs 2+ branches"
+                )
+            elements.append(branches)
         else:
-            lab, lo, hi = p
-            legs.append((str(lab), int(lo), None if hi is None else int(hi)))
-    if not legs:
+            elements.append(leg(p))
+    if not elements:
         raise ValueError("match_runs: empty pattern")
-    return legs
+    return elements
 
 
-def _expansions(legs: list[Leg], who: str) -> list[list[ExpLeg]]:
-    """All present/absent subsets of the optional (min 0) legs, in
-    GREEDY preference order (depth-first, present before absent per
-    optional leg in pattern order — the NFA's quantifier greed), each
-    validated for island-granularity exactness."""
-    for lab, lo, hi in legs:
+def flatten(pattern) -> list[Leg]:
+    """The pattern's legs in ORIGINAL flattened order (elements left to
+    right; within a group, branches then legs in written order) — the
+    order that numbers the output ``seg{i}_*`` columns. Accepts either
+    the Python-API spelling or ``parse_pattern`` output."""
+    out: list[Leg] = []
+    for el in _normalize(pattern):
+        if isinstance(el, tuple):
+            out.append(el)
+        else:
+            for br in el:
+                out.extend(br)
+    return out
+
+
+def _expansions(elements: list, who: str) -> list[list[ExpLeg]]:
+    """All candidate label sequences — the cross-product of alternation
+    branch choices and present/absent choices for the optional (min 0)
+    legs — in GREEDY preference order (depth-first: elements left to
+    right, branches in written order, present before absent — the
+    NFA's backtracking order), each validated for island-granularity
+    exactness. Expansion legs carry their ORIGINAL flattened pattern
+    index."""
+    flat = flatten(elements)
+    for lab, lo, hi in flat:
         if hi is not None and (hi < 1 or hi < lo):
             raise ValueError(
                 f"{who}: leg {lab}{{{lo},{hi}}} has an empty or "
                 "inverted row-length range"
             )
-    n_opt = sum(1 for _, lo, _ in legs if lo == 0)
-    if 2**n_opt > _MAX_EXPANSIONS:
+    # exact expansion count before enumerating
+    total = 1
+    for el in elements:
+        if isinstance(el, tuple):
+            total *= 2 if el[1] == 0 else 1
+        else:
+            total *= sum(
+                _prod(2 if lo == 0 else 1 for _, lo, _ in br)
+                for br in el
+            )
+    if total > _MAX_EXPANSIONS:
         raise ValueError(
-            f"{who}: {n_opt} optional legs expand to {2**n_opt} label "
-            f"sequences (cap {_MAX_EXPANSIONS})"
+            f"{who}: the pattern's branch/optional choices expand to "
+            f"{total} label sequences (cap {_MAX_EXPANSIONS})"
         )
+    # pre-assign original flattened indices
+    idx = 0
+    struct: list = []
+    for el in elements:
+        if isinstance(el, tuple):
+            struct.append(("leg", (idx, *el)))
+            idx += 1
+        else:
+            brs = []
+            for br in el:
+                brs.append([(idx + j, *l) for j, l in enumerate(br)])
+                idx += len(br)
+            struct.append(("grp", brs))
     out: list[list[ExpLeg]] = []
 
-    def rec(i: int, cur: list[ExpLeg]) -> None:
-        if i == len(legs):
+    def rec_el(i: int, cur: list[ExpLeg]) -> None:
+        if i == len(struct):
             if cur:
                 out.append(list(cur))
             return
-        lab, lo, hi = legs[i]
-        cur.append((i, lab, max(lo, 1), hi))
-        rec(i + 1, cur)
+        kind, payload = struct[i]
+        if kind == "leg":
+            oi, lab, lo, hi = payload
+            cur.append((oi, lab, max(lo, 1), hi))
+            rec_el(i + 1, cur)
+            cur.pop()
+            if lo == 0:
+                rec_el(i + 1, cur)
+        else:
+            for br in payload:
+                rec_br(i, br, 0, cur)
+
+    def rec_br(i: int, br: list, j: int, cur: list[ExpLeg]) -> None:
+        if j == len(br):
+            rec_el(i + 1, cur)
+            return
+        oi, lab, lo, hi = br[j]
+        cur.append((oi, lab, max(lo, 1), hi))
+        rec_br(i, br, j + 1, cur)
         cur.pop()
         if lo == 0:
-            rec(i + 1, cur)
+            rec_br(i, br, j + 1, cur)
 
-    rec(0, [])
+    rec_el(0, [])
     if not out:
-        raise ValueError(f"{who}: all legs optional — empty match")
+        raise ValueError(
+            f"{who}: every choice of branches/optional legs is empty — "
+            "the pattern admits the empty match"
+        )
     for e in out:
         labs = [lab for _, lab, _, _ in e]
         for a, b in zip(labs, labs[1:]):
@@ -209,12 +399,20 @@ def _overlap_conflict(p: list[ExpLeg], q: list[ExpLeg]) -> bool:
     """True when some alignment of expansion q against expansion p is
     label-consistent AND not one of the two nestings the detection
     resolves exactly:
-      - same-END alignment where the shorter is an original-leg SUFFIX
-        of the longer (leading optionals absent): the longest-first
-        when-chain picks the greedy NFA's choice;
+      - same-END alignment (the shorter is then a LABEL suffix of the
+        longer): the longer starts strictly earlier, so the leftmost
+        rule prefers it whenever its bound conditions hold, and the
+        longest-first when-chain picks exactly that — falling through
+        to the shorter when the longer's bounds fail, which is also
+        the NFA's behaviour (r12: label-suffix, not original-leg
+        suffix — alternation branches carry distinct original legs);
       - same-START alignment where the shorter is an original-leg
         PREFIX of the longer (trailing optionals absent): the lead
         lookahead suppresses the short form when the long one extends.
+        (A LABEL-only prefix from a different branch is NOT exempt:
+        the lookahead checks only the longer form's extension legs,
+        so differing bounds on the shared prefix would suppress
+        wrongly.)
     Any other label-consistent alignment means two occurrences with
     different ends could overlap on one island string, breaking the
     equivalence of end-anchored detection and the greedy scan — for a
@@ -226,8 +424,8 @@ def _overlap_conflict(p: list[ExpLeg], q: list[ExpLeg]) -> bool:
     qi = [oi for oi, _, _, _ in q]
     for o in range(-(len(ql) - 1), len(pl)):
         if o + len(ql) == len(pl):
-            # same-end: exact only as original-leg suffix nesting
-            if (o >= 0 and qi == pi[o:]) or (o < 0 and pi == qi[-o:]):
+            # same-end: label-suffix nesting, resolved longest-first
+            if (o >= 0 and ql == pl[o:]) or (o < 0 and pl == ql[-o:]):
                 continue
         if o == 0:
             # same-start: exact only as original-leg prefix nesting
@@ -335,15 +533,15 @@ def match_runs(
     MATCH_NUMBER(): 1-based per key in match order (a cumulative
     count of match ends over the SAME island window, no extra
     shuffle)."""
-    legs = _normalize(pattern)
-    exps = _expansions(legs, "match_runs")
+    elements = _normalize(pattern)
+    exps = _expansions(elements, "match_runs")
     _check_windows_compilable(exps, "match_runs")
     # longest-first: at a shared end island the longer expansion is the
     # greedy NFA's choice (its extra legs are present-optionals)
     exps = sorted(exps, key=len, reverse=True)
     keys = [key] if isinstance(key, str) else list(key)
     segs = _islands(df, keys, order, label, island_aggs)
-    k = len(legs)
+    k = len(flatten(elements))
     max_len = max(len(e) for e in exps)
     # trailing-optional extensions need LOOKAHEAD: when expansion e is
     # an original-leg PREFIX of a longer e2, the greedy NFA keeps
@@ -470,11 +668,11 @@ def match_runs_sequential(
     import pandas as pd
     from pyspark.sql import types as T
 
-    legs = _normalize(pattern)
-    exps = _expansions(legs, "match_runs_sequential")
+    elements = _normalize(pattern)
+    exps = _expansions(elements, "match_runs_sequential")
     keys = [key] if isinstance(key, str) else list(key)
     segs = _islands(df, keys, order, label, island_aggs)
-    k = len(legs)
+    k = len(flatten(elements))
     agg_names = list(island_aggs)
     fields = [segs.schema[c] for c in keys]
     for i in range(k):
@@ -581,8 +779,8 @@ def match_runs_all_rows(
     """
     from functools import reduce as _reduce
 
-    legs = _normalize(pattern)
-    exps = _expansions(legs, "match_runs_all_rows")
+    elements = _normalize(pattern)
+    exps = _expansions(elements, "match_runs_all_rows")
     _check_windows_compilable(exps, "match_runs_all_rows")
     exps = sorted(exps, key=len, reverse=True)
     keys = [key] if isinstance(key, str) else list(key)

@@ -375,7 +375,7 @@ _MR_BODY_RE = re.compile(
     \s+MEASURES\s+(?P<meas>.+?)
     (?:\s+ONE\s+ROW\s+PER\s+MATCH)?
     (?:\s+AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW)?
-    \s+PATTERN\s*\(\s*(?P<pat>[^()|^$]*)\)
+    \s+PATTERN\s*\(\s*(?P<pat>[^()^$]*(?:\([^()^$]*\)[^()^$]*)*)\)
     \s+DEFINE\s+(?P<defs>.+?)\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -386,7 +386,7 @@ _MR_BODY_ALL_RE = re.compile(
     \s+ORDER\s+BY\s+(?P<ord>\w+(?:\s*,\s*\w+)*)
     \s+ALL\s+ROWS\s+PER\s+MATCH
     (?:\s+AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW)?
-    \s+PATTERN\s*\(\s*(?P<pat>[^()|^$]*)\)
+    \s+PATTERN\s*\(\s*(?P<pat>[^()^$]*(?:\([^()^$]*\)[^()^$]*)*)\)
     \s+DEFINE\s+(?P<defs>.+?)\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -455,9 +455,18 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
           MEASURES <m> AS <alias> [, ...]
           [ONE ROW PER MATCH]
           [AFTER MATCH SKIP PAST LAST ROW]     -- the only skip mode
-          PATTERN ( L1[q] L2[q] ... )          -- quantifiers + * ? {m[,n]}
+          PATTERN ( E1 E2 ... )                -- E := L[q]
+                                               --    | ( BR | BR ... )[?]
+                                               --    | PERMUTE(L[q], ...)
           DEFINE L AS <predicate> [, ...]
         ) [AS <alias>]
+
+    where quantifiers are + * ? {m[,n]}; an alternation group (one
+    nesting level, ISO ordered choice; a trailing ? adds the empty
+    branch) or PERMUTE (the alternation of all orderings) compiles by
+    branch expansion — a match through one branch leaves the other
+    branches' measures NULL, so COUNT(L.*) = 0 tells branches apart.
+    Group repetition quantifiers and nested groups are rejected.
 
     or, for row-level output, the ALL ROWS PER MATCH form — the same
     clauses WITHOUT a MEASURES list:
@@ -537,7 +546,8 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
             )
         part = [c.strip() for c in bm["part"].split(",")]
         order = [c.strip() for c in bm["ord"].split(",")]
-        legs = _pat.parse_pattern(bm["pat"])
+        elements = _pat.parse_pattern(bm["pat"])
+        legs = _pat.flatten(elements)
         pat_labels = {lab for lab, _, _ in legs}
 
         # DEFINE: label -> predicate (PREV(expr) hoisted to lag columns)
@@ -640,7 +650,7 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
             # helper columns are dropped)
             base_cols = spark.table(m["t"]).columns
             result = _pat.match_runs_all_rows(
-                rel, part, order, label, legs
+                rel, part, order, label, elements
             ).select(*base_cols, "match_no", "classifier")
             view = f"__mr_{next(_VIEW_SEQ)}"
             result.createOrReplaceTempView(view)
@@ -685,11 +695,11 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
 
         matcher = (
             _pat.match_runs
-            if _pat.windows_compilable(legs)
+            if _pat.windows_compilable(elements)
             else _pat.match_runs_sequential
         )
         matched = matcher(
-            rel, part, order, label, legs, aggs, with_match_no=need_mn
+            rel, part, order, label, elements, aggs, with_match_no=need_mn
         )
 
         # assemble measures across the legs carrying each label

@@ -1444,7 +1444,17 @@ _QPATTERNS = [
     [("D", 1, None), ("U", 1, None), ("F", 0, None)],
     [("U", 1, None), ("D", 1, None), ("U", 1, None)],          # border
     [("D", 1, None), ("U", 1, None), ("D", 1, None), ("U", 1, None)],
+    # r12 alternation groups (list element = branches):
+    [("D", 2, None), [[("F", 1, None)], [("U", 1, None)]]],
+    # label-suffix nesting across branches ((D U | U{2,}) — the
+    # longer branch wins at a shared end = leftmost)
+    [[[("D", 1, None), ("U", 1, None)], [("U", 2, None)]]],
+    # PERMUTE(D+, U+): orderings overlap on D U D -> sequential-only
+    [[[("D", 1, None), ("U", 1, None)], [("U", 1, None), ("D", 1, None)]]],
+    # optional group with a bounded interior branch
+    [("F", 1, None), [[("U", 1, 2)], []], ("D", 1, None)],
 ]
+_QPATTERNS_SEQ_ONLY = {5, 6, 9}
 
 
 @given(
@@ -1471,7 +1481,7 @@ def test_match_runs_quantified_vs_regex_nfa(spark, seqs, pidx):
     from nipd_spark.operators import patterns as pat
 
     pattern = _QPATTERNS[pidx]
-    k_legs = len(pattern)
+    k_legs = len(pat.flatten(pattern))
     rows = [
         (k, i, lb)
         for k, labs in enumerate(seqs)
@@ -1479,10 +1489,19 @@ def test_match_runs_quantified_vs_regex_nfa(spark, seqs, pidx):
     ]
     df = spark.createDataFrame(rows, "k int, pos int, lab string")
 
+    def _leg_rx(lab, lo, hi):
+        return f"({lab}{{{lo},{'' if hi is None else hi}}})"
+
     rx = _re.compile(
         "".join(
-            f"({lab}{{{lo},{'' if hi is None else hi}}})"
-            for lab, lo, hi in pattern
+            "(?:"
+            + "|".join(
+                "".join(_leg_rx(*l) for l in br) for br in el
+            )
+            + ")"
+            if isinstance(el, list)
+            else _leg_rx(*el)
+            for el in pattern
         )
     )
 
@@ -1527,7 +1546,8 @@ def test_match_runs_quantified_vs_regex_nfa(spark, seqs, pidx):
         )
         assert got_cmp == want
     else:
-        assert pidx >= 5  # only the border patterns are sequential-only
+        # only the bordered/PERMUTE patterns are sequential-only
+        assert pidx in _QPATTERNS_SEQ_ONLY
         # and the border patterns must NOT silently reach the windows
         # matcher
         import pytest as _pytest
