@@ -203,12 +203,6 @@ def parse_pattern(text: str) -> list:
                 branches = [
                     _parse_seq(b, "parse_pattern") for b in inner.split("|")
                 ]
-                if len(branches) < 2:
-                    raise ValueError(
-                        "parse_pattern: a group must contain '|' "
-                        "alternation (plain grouping has no effect in "
-                        "the run-pattern subset — drop the parens)"
-                    )
             gq = _GROUP_Q_RE.match(text, pos)
             if gq:
                 if gq.group(1) != "?":
@@ -220,6 +214,13 @@ def parse_pattern(text: str) -> list:
                     )
                 branches.append([])
                 pos = gq.end()
+            if len(branches) < 2:
+                raise ValueError(
+                    "parse_pattern: a group must contain '|' "
+                    "alternation or a trailing '?' (plain grouping "
+                    "has no effect in the run-pattern subset — drop "
+                    "the parens)"
+                )
             elements.append(branches)
             continue
         m = _TOKEN_RE.match(text, pos)

@@ -2115,3 +2115,111 @@ from nipd_spark import registry as _registry_mod  # noqa: E402
 _registry_mod._REGISTRY["sql11_match_recognize_all_rows"].sql = (
     _windows_mod.ALL_ROWS_VSHAPE_ORACLE
 )
+
+
+@query(
+    "sql12_match_recognize_alternation",
+    # Oracle: the w27 end-anchored islands detection (the group's two
+    # branches as CASE arms — exact: branch label sequences diverge at
+    # position 1) with the MR measure aliases. Counts exact integers;
+    # timestamps exact µs.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab, lag(lab) OVER wi AS lab1,
+             lag(n) OVER wi AS n1, n,
+             lag(start_ts) OVER wi AS s1, end_ts
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, s1 AS start_ts,
+           end_ts,
+           n1 AS n_down,
+           CASE WHEN lab = 'FLAT' THEN 'stabilize'
+                ELSE 'rebound' END AS resolution,
+           n AS n_res
+    FROM m WHERE lab IN ('FLAT', 'UP') AND lab1 = 'DOWN' AND n1 >= 2
+    """,
+    tags=("W10", "W5"),
+)
+def sql12_match_recognize_alternation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE alternation through the SQL surface (W10 v3,
+    r12): the w27 dip-then-(stabilize|rebound) pattern as ONE SQL
+    string — PATTERN ( DOWN{2,} (FLAT+ | UP+) ) with an ISO ordered-
+    choice group [PK: ISO/IEC 9075-2:2016 §R]. Branch discrimination
+    happens in plain SQL around the block: COUNT(FLAT.*) = 0 exactly
+    when the match took the rebound branch (absent legs contribute
+    zero rows / NULL measures), so the outer SELECT CASEs the
+    resolution and COALESCEs the branch-specific measures — no
+    matcher extension needed beyond the group grammar.
+
+    Plan shape for 100 TB: text-only driver-side rewrite; the spliced
+    plan is w27's — keyed windows on the growing user_id key, the
+    alternation adds WHEN arms over already-lagged columns, zero
+    extra stages or shuffles.
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    ).createOrReplaceTempView("sql12_events")
+    return sqlx(
+        spark,
+        """
+        SELECT mr.user_id, start_ts,
+               COALESCE(flat_end, up_end) AS end_ts,
+               n_down,
+               CASE WHEN n_flat > 0 THEN 'stabilize'
+                    ELSE 'rebound' END AS resolution,
+               CASE WHEN n_flat > 0 THEN n_flat ELSE n_up END AS n_res
+        FROM sql12_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(DOWN.ts) AS start_ts,
+                   LAST(FLAT.ts) AS flat_end,
+                   LAST(UP.ts) AS up_end,
+                   COUNT(DOWN.*) AS n_down,
+                   COUNT(FLAT.*) AS n_flat,
+                   COUNT(UP.*) AS n_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ( DOWN{2,} (FLAT+ | UP+) )
+          DEFINE DOWN AS band < PREV(band),
+                 UP AS band > PREV(band),
+                 FLAT AS band = PREV(band)
+        ) AS mr
+        """,
+    )

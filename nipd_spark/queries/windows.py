@@ -1971,3 +1971,254 @@ def w26_pattern_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=label,
         pattern=["DOWN", "UP"],
     ).select("user_id", "ts", "event_id", "value", "match_no", "classifier")
+
+
+@query(
+    "w27_pattern_alternation",
+    # Oracle: end-anchored detection where the group's two branches
+    # are the CASE arms at the end island — exact because the branch
+    # label sequences diverge at position 1 (FLAT vs UP), so at any
+    # end island at most one branch can match and no two occurrences
+    # with different ends can overlap. Counts exact integers;
+    # timestamps exact µs.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab, lag(lab) OVER wi AS lab1,
+             lag(n) OVER wi AS n1, n,
+             lag(start_ts) OVER wi AS s1, end_ts
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, s1 AS start_ts, end_ts, n1 AS n_down,
+           CASE WHEN lab = 'FLAT' THEN 'stabilize'
+                ELSE 'rebound' END AS resolution,
+           n AS n_res
+    FROM m WHERE lab IN ('FLAT', 'UP') AND lab1 = 'DOWN' AND n1 >= 2
+    """,
+    tags=("W10", "W5"),
+)
+def w27_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternation group (W10 v3, r12): DOWN{2,} (FLAT+ | UP+) — a
+    sustained dip resolving EITHER into stabilization or a rebound,
+    one pattern [PK: ISO/IEC 9075-2:2016 §R alternation; Oracle/
+    Snowflake MATCH_RECOGNIZE '|']. operators/patterns.match_runs
+    compiles the group by branch expansion ([DOWN,FLAT] and
+    [DOWN,UP], distinct flattened leg positions) ORed into one
+    lag-chain detection pass; which branch matched is read off which
+    branch's seg columns are non-NULL — no second pattern pass, no
+    Python. Fuzz-pinned against the regex-NFA ground truth
+    (tests/test_hypothesis_edges.py pattern #7).
+
+    Plan shape for 100 TB: identical to w25 — label + island windows
+    and the detection window all keyed on the growing user_id;
+    alternation adds WHEN arms over already-lagged columns, zero
+    additional stages, zero extra shuffles.
+    """
+    from nipd_spark.operators.patterns import match_runs
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=[
+            ("DOWN", 2, None),
+            [[("FLAT", 1, None)], [("UP", 1, None)]],
+        ],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+        },
+    )
+    return matches.select(
+        "user_id",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.coalesce("seg1_end_ts", "seg2_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_down"),
+        F.when(F.col("seg1_n").isNotNull(), F.lit("stabilize"))
+        .otherwise(F.lit("rebound"))
+        .alias("resolution"),
+        F.coalesce("seg1_n", "seg2_n").alias("n_res"),
+    )
+
+
+@query(
+    "w27b_pattern_permute",
+    # Oracle: the greedy leftmost non-overlapping island scan spelled
+    # as a DuckDB RECURSIVE CTE — the per-key NFA walk itself, advanced
+    # +2 islands on a match and +1 otherwise, so SKIP PAST LAST ROW is
+    # literal, not approximated. The first sequential-matcher query
+    # with a full value-hash oracle (the w24c W-shape stayed
+    # rows-only). Counts exact integers; timestamps exact µs.
+    sql=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl0 AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    isl AS MATERIALIZED (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY island)
+               AS pos
+      FROM isl0 GROUP BY user_id, island
+    ),
+    steps AS MATERIALIZED (
+      SELECT i1.user_id, i1.pos,
+             CASE WHEN i1.lab = 'DOWN' AND i2.lab = 'UP' THEN 'valley'
+                  WHEN i1.lab = 'UP' AND i2.lab = 'DOWN' THEN 'peak'
+             END AS shape,
+             i1.start_ts AS s_ts, i2.end_ts AS e_ts,
+             i1.n + i2.n AS nr
+      FROM isl i1 LEFT JOIN isl i2
+        ON i2.user_id = i1.user_id AND i2.pos = i1.pos + 1
+    ),
+    scan AS (
+      SELECT user_id, CAST(1 AS BIGINT) AS pos,
+             CAST(NULL AS VARCHAR) AS shape,
+             CAST(NULL AS TIMESTAMP) AS start_ts,
+             CAST(NULL AS TIMESTAMP) AS end_ts,
+             CAST(NULL AS BIGINT) AS n_rows
+      FROM (SELECT DISTINCT user_id FROM isl)
+      UNION ALL
+      SELECT t.user_id,
+             s.pos + CASE WHEN t.shape IS NOT NULL THEN 2 ELSE 1 END,
+             t.shape, t.s_ts, t.e_ts, t.nr
+      FROM scan s
+      JOIN steps t ON t.user_id = s.user_id AND t.pos = s.pos
+    )
+    SELECT user_id, shape, start_ts, end_ts, n_rows
+    FROM scan WHERE shape IS NOT NULL
+    """,
+    tags=("W10", "W5"),
+)
+def w27b_pattern_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTE pattern (W10 v3, r12): PERMUTE(DOWN+, UP+) — every
+    maximal band move-pair in EITHER order (a valley DOWN→UP or a
+    peak UP→DOWN) as one pattern [PK: ISO/IEC 9075-2:2016 §R PERMUTE].
+    PERMUTE compiles to the alternation of its orderings; the two
+    branches overlap on the island string D U D (a valley's UP is the
+    next peak's start), so the operator REJECTS the windows
+    compilation and this query routes — deliberately — through
+    match_runs_sequential, the bucketed per-key greedy island scan.
+    The oracle runs the SAME greedy leftmost non-overlapping scan as
+    a DuckDB recursive CTE, making this the first sequential-matcher
+    query whose SKIP PAST LAST semantics are value-hash-verified
+    (w24c stayed rows-only); the matcher itself is also fuzz-pinned
+    to re.finditer (tests/test_hypothesis_edges.py pattern #9).
+
+    Plan shape for 100 TB: the island collapse is the same two keyed
+    window stages as every W10 query (user_id-keyed, growing key);
+    the Python scan sees ISLANDS, never rows, grouped into 256
+    xxhash64 buckets so Python invocations number buckets, not users
+    (the w24c lesson). Matches per user are bounded by the user's
+    island count — linear end to end.
+    """
+    from nipd_spark.operators.patterns import (
+        match_runs_sequential,
+        parse_pattern,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs_sequential(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=parse_pattern("PERMUTE(DOWN+, UP+)"),
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+        },
+    )
+    # seg0/seg1 = DOWN,UP of the valley ordering; seg2/seg3 = UP,DOWN
+    # of the peak ordering — exactly one pair is non-NULL per match
+    return matches.select(
+        "user_id",
+        F.when(F.col("seg0_n").isNotNull(), F.lit("valley"))
+        .otherwise(F.lit("peak"))
+        .alias("shape"),
+        F.coalesce("seg0_start_ts", "seg2_start_ts").alias("start_ts"),
+        F.coalesce("seg1_end_ts", "seg3_end_ts").alias("end_ts"),
+        (
+            F.coalesce("seg0_n", F.lit(0))
+            + F.coalesce("seg1_n", F.lit(0))
+            + F.coalesce("seg2_n", F.lit(0))
+            + F.coalesce("seg3_n", F.lit(0))
+        ).alias("n_rows"),
+    )

@@ -75,7 +75,12 @@ _QUERY_MODULES = (
 # rotation — the changed query moves to the head of category (2) for
 # the next round if the current window can no longer cover it.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # (1) round-12 additions
+    # (1) round-12 additions (w27/w27b/sql12 landed after the first
+    # r12 rotation cut — rotation RE-OPENED per the standing rule and
+    # the front re-cut to cover them; f2/f3/f4 displaced to r13)
+    "w27_pattern_alternation",
+    "w27b_pattern_permute",
+    "sql12_match_recognize_alternation",
     "w25_pattern_quantified",
     "w25b_pattern_optional",
     "sql9_match_recognize",
@@ -105,8 +110,8 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "w1_rank_family",
     "w3_cumsum",
     "w4_moving_avg",
-    # ...then the r03 cohort, alphabetical (f5/f6 displaced to r13 by
-    # the w26/sql11 additions)
+    # ...then the r03 cohort, alphabetical (f2-f6 displaced to r13 by
+    # the w26/sql11 and w27/w27b/sql12 additions)
     "c1_sprt_rhdo",
     "c2_zscore_screen",
     "c3_fetal_fraction",
@@ -127,9 +132,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "d8_cogrouped",
     "d9_pandas_api",
     "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_funcs",
-    "f4_case_ladder",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -4458,6 +4458,101 @@ def test_match_runs_quantified_bounds_and_optional_legs(spark):
         ) == want
 
 
+def test_match_runs_alternation_and_permute(spark):
+    """W10 v3 (r12) deterministic pins: alternation groups compile by
+    branch expansion (the matched branch's seg columns are non-NULL,
+    the other branch's NULL); PERMUTE is the alternation of orderings
+    and — its orderings overlapping on D U D — routes to the
+    sequential matcher only; the group grammar rejections (nested
+    groups, repetition quantifiers on a group, '|'-free groups,
+    too-few PERMUTE items) fire loudly; '(F+|)' == '(F+)?' == the
+    empty-branch spelling."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import patterns as pat
+
+    rows = []
+
+    def seq(k, labs):
+        for i, lb in enumerate(labs):
+            rows.append((k, i, lb))
+
+    seq(1, ["D", "D", "F", "U"])        # D(2) F(1) U(1): stabilize
+    seq(2, ["D", "D", "U", "U"])        # D(2) U(2): rebound
+    seq(3, ["D", "F", "U"])             # D(1): D{2,} fails
+    seq(4, ["U", "D", "D", "D", "F"])   # U(1) D(3) F(1): stabilize
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+    aggs = {"start": F.min("pos")}
+    alt = [("D", 2, None), [[("F", 1, None)], [("U", 1, None)]]]
+    want = sorted(
+        [(1, 2, 1, None), (2, 2, None, 2), (4, 3, 1, None)], key=str
+    )
+    for m in (pat.match_runs, pat.match_runs_sequential):
+        got = sorted(
+            [
+                tuple(r)
+                for r in m(
+                    df, "k", ["pos"], F.col("lab"), alt, aggs
+                ).select("k", "seg0_n", "seg1_n", "seg2_n").collect()
+            ],
+            key=str,
+        )
+        assert got == want, (m.__name__, got)
+
+    # the parsed SQL spelling is the same pattern
+    assert (
+        pat.parse_pattern("D{2,} (F+ | U+)") == alt
+    )
+
+    # PERMUTE: sequential-only; both orderings found
+    perm = pat.parse_pattern("PERMUTE(D+, U+)")
+    assert not pat.windows_compilable(perm)
+    with pytest.raises(ValueError):
+        pat.match_runs(df, "k", ["pos"], F.col("lab"), perm, aggs)
+    got = sorted(
+        [
+            tuple(r)
+            for r in pat.match_runs_sequential(
+                df, "k", ["pos"], F.col("lab"), perm, aggs
+            ).select("k", "seg0_n", "seg1_n", "seg2_n", "seg3_n")
+            .collect()
+        ],
+        key=str,
+    )
+    # k1: D(2) U at end of F? islands D F U -> no adjacent D,U pair
+    #     ... D then F: no; F then U: no -> no match
+    # k2: D(2) U(2) valley; k3: no (D then F); k4: U(1) D(3) peak
+    assert got == sorted([(2, 2, 2, None, None), (4, None, None, 1, 3)], key=str)
+
+    # grammar rejections
+    for bad in ("A (B (C))", "(A | B)+", "(A B)", "PERMUTE(A)"):
+        with pytest.raises(ValueError):
+            pat.parse_pattern(bad)
+    # empty branch == optional group — all three spellings agree
+    labs = ["D", "F", "F", "U"]
+    df2 = spark.createDataFrame(
+        [(0, i, lb) for i, lb in enumerate(labs)],
+        "k int, pos int, lab string",
+    )
+    outs = []
+    for p in (
+        pat.parse_pattern("D+ (F+ |) U+"),
+        pat.parse_pattern("D+ (F+)? U+"),
+        [("D", 1, None), ("F", 0, None), ("U", 1, None)],
+    ):
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in pat.match_runs(
+                    df2, "k", ["pos"], F.col("lab"), p, aggs
+                ).select("k", "seg0_n", "seg1_n", "seg2_n").collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2] == [(0, 1, 2, 1)]
+
+
 def test_match_recognize_sql_surface(spark):
     """The MATCH_RECOGNIZE SQL splice == the DataFrame-API operator on
     the same crafted data (measures FIRST/LAST/MIN/MAX/SUM/COUNT,

@@ -992,6 +992,8 @@ def test_skyline_join_back_strategy_tolerant(spark, sf_dir, name):
         "sql10_match_recognize_quantified",
         "w26_pattern_all_rows",
         "sql11_match_recognize_all_rows",
+        "w27_pattern_alternation",
+        "sql12_match_recognize_alternation",
     ],
 )
 def test_w10_v2_patterns_stay_all_jvm(spark, sf_dir, name):
@@ -1007,3 +1009,23 @@ def test_w10_v2_patterns_stay_all_jvm(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_w27b_permute_python_sees_islands_not_rows(spark, sf_dir):
+    """w27b (PERMUTE) deliberately routes through the sequential
+    matcher: exactly ONE bucketed applyInPandas stage, fed by the
+    keyed island collapse (an aggregate BELOW the Python node — Python
+    sees runs, never raw rows), with the label/island windows still
+    key-partitioned."""
+    jvm, qe = _qe(spark, sf_dir, "w27b_pattern_permute")
+    plan = _fmt(jvm, qe)
+    assert "windowspecdefinition" in plan
+    assert not _qe_has_global_window(qe)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # formatted explain prints each node twice (tree + detail block)
+    assert 1 <= plan.count("FlatMapGroupsInPandas") <= 2
+    # the island collapse exists in the same plan (first() makes it a
+    # Sort/ObjectHashAggregate) — Python's input is the aggregated run
+    # table, not raw events
+    assert "Aggregate" in plan
