@@ -724,6 +724,15 @@ def match_runs_sequential(
                     i += 1
                     continue
                 rec = dict(krec)
+                # explicit None for every absent leg: pandas would
+                # otherwise NaN-fill missing dict keys, collapsing an
+                # all-absent timestamp seg to float64, which Arrow
+                # cannot cast to timestamp (surfaced by PERMUTE at
+                # sf0.01 — one bucket's matches all took one branch)
+                for oi2 in range(k):
+                    rec[f"seg{oi2}_n"] = None
+                    for name in agg_names:
+                        rec[f"seg{oi2}_{name}"] = None
                 for j, (oi, _lab, _lo, _hi) in enumerate(hit):
                     rec[f"seg{oi}_n"] = ns[i + j]
                     for name in agg_names:

@@ -1594,7 +1594,80 @@ def w24b_pattern_dip_stabilize_recover(
     )
 
 
-@query("w24c_pattern_wshape", sql=None, tags=("W10", "D6"))
+@query(
+    "w24c_pattern_wshape",
+    # Oracle (r12, upgraded from rows-only): the greedy leftmost
+    # non-overlapping island scan as a DuckDB RECURSIVE CTE — the
+    # per-key NFA walk itself, advanced +4 islands on a W match and +1
+    # otherwise, so SKIP PAST LAST ROW over the self-overlapping
+    # pattern is literal (the w27b technique). Counts exact integers;
+    # timestamps exact µs.
+    sql=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl0 AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    isl AS MATERIALIZED (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY island)
+               AS pos
+      FROM isl0 GROUP BY user_id, island
+    ),
+    steps AS MATERIALIZED (
+      SELECT i1.user_id, i1.pos,
+             (i1.lab = 'DOWN' AND i2.lab = 'UP'
+              AND i3.lab = 'DOWN' AND i4.lab = 'UP') AS w_match,
+             i1.start_ts AS s_ts, i2.end_ts AS m_ts, i4.end_ts AS e_ts,
+             i1.n + i2.n + i3.n + i4.n AS nr
+      FROM isl i1
+      LEFT JOIN isl i2 ON i2.user_id = i1.user_id AND i2.pos = i1.pos + 1
+      LEFT JOIN isl i3 ON i3.user_id = i1.user_id AND i3.pos = i1.pos + 2
+      LEFT JOIN isl i4 ON i4.user_id = i1.user_id AND i4.pos = i1.pos + 3
+    ),
+    scan AS (
+      SELECT user_id, CAST(1 AS BIGINT) AS pos,
+             CAST(NULL AS TIMESTAMP) AS start_ts,
+             CAST(NULL AS TIMESTAMP) AS mid_ts,
+             CAST(NULL AS TIMESTAMP) AS end_ts,
+             CAST(NULL AS BIGINT) AS n_rows
+      FROM (SELECT DISTINCT user_id FROM isl)
+      UNION ALL
+      SELECT t.user_id,
+             s.pos + CASE WHEN coalesce(t.w_match, FALSE)
+                          THEN 4 ELSE 1 END,
+             CASE WHEN coalesce(t.w_match, FALSE) THEN t.s_ts END,
+             CASE WHEN coalesce(t.w_match, FALSE) THEN t.m_ts END,
+             CASE WHEN coalesce(t.w_match, FALSE) THEN t.e_ts END,
+             CASE WHEN coalesce(t.w_match, FALSE) THEN t.nr END
+      FROM scan s
+      JOIN steps t ON t.user_id = s.user_id AND t.pos = s.pos
+    )
+    SELECT user_id, start_ts, mid_ts, end_ts, n_rows
+    FROM scan WHERE start_ts IS NOT NULL
+    """,
+    tags=("W10", "D6"),
+)
 def w24c_pattern_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The W-shape (double dip: DOWN+ UP+ DOWN+ UP+) per user over the
     banded event values — a SELF-OVERLAPPING pattern (the label
@@ -1604,13 +1677,13 @@ def w24c_pattern_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     island collapse, then one Arrow-batched applyInPandas greedy scan
     per user over the ISLAND sequence (never raw rows).
 
-    rows-only by design: AFTER MATCH SKIP PAST LAST ROW over a
-    self-overlapping pattern is an inherently sequential greedy
-    consumption — not expressible as set-based SQL (the same status as
-    the iterative/EM families). The semantics gate is the property
-    test pinning match_runs_sequential against a from-scratch
-    sequential reference AND against match_runs on border-free
-    patterns (where both must agree exactly).
+    Oracled since r12: AFTER MATCH SKIP PAST LAST ROW over a
+    self-overlapping pattern is inherently sequential greedy
+    consumption — not SET-based SQL, but it IS iterative SQL: a
+    DuckDB recursive CTE walks each user's island sequence exactly
+    like the NFA (the w27b technique), value-hashing the full match
+    set. The matcher is additionally fuzz-pinned to re.finditer and
+    property-pinned to a from-scratch sequential reference.
 
     Plan shape for 100 TB: two keyed window stages + one keyed
     applyInPandas over the collapsed islands — per-user island
