@@ -7,7 +7,12 @@ has no Spark SQL 4.1 surface. The general feature runs an NFA
 sequentially per partition — inherently stateful. This operator
 implements the exactly-compilable subset covering the classic
 analytics uses (V/U-shapes, dip-and-recover, escalation runs), with
-ONE ROW PER MATCH and AFTER MATCH SKIP PAST LAST ROW semantics:
+ONE ROW PER MATCH under BOTH ISO skip modes — AFTER MATCH SKIP PAST
+LAST ROW (non-overlapping greedy scan: ``match_runs`` /
+``match_runs_sequential``) and AFTER MATCH SKIP TO NEXT ROW
+(overlapping, one match per qualifying start row:
+``match_runs_overlapping`` — which needs NO border restriction and NO
+sequential fallback, see its docstring):
 
     PATTERN (E1 E2 ... Ek)   where  Ei := L[q] | ( BR1 | BR2 | ... )
                                     BRj := a sequence of L[q]
@@ -291,7 +296,9 @@ def flatten(pattern) -> list[Leg]:
     return out
 
 
-def _expansions(elements: list, who: str) -> list[list[ExpLeg]]:
+def _expansions(
+    elements: list, who: str, bounded_ends: tuple = (0, -1)
+) -> list[list[ExpLeg]]:
     """All candidate label sequences — the cross-product of alternation
     branch choices and present/absent choices for the optional (min 0)
     legs — in GREEDY preference order (depth-first: elements left to
@@ -381,7 +388,7 @@ def _expansions(elements: list, who: str) -> list[list[ExpLeg]]:
                     "compilation cannot express; merge the legs (or "
                     "make the optional leg between them mandatory)"
                 )
-        for end in (0, -1):
+        for end in bounded_ends:
             _, lab, _, hi = e[end]
             if hi is not None:
                 raise ValueError(
@@ -390,8 +397,11 @@ def _expansions(elements: list, who: str) -> list[list[ExpLeg]]:
                     f"{'start' if end == 0 else 'end'} of the "
                     f"expansion {labs} — the NFA would consume a "
                     "PARTIAL island there, so island-level measures "
-                    "and SKIP PAST LAST ROW cannot be exact; use an "
-                    "unbounded max (+ / {m,}) on end legs"
+                    "and the skip semantics cannot be exact; use an "
+                    "unbounded max (+ / {m,}) there (under SKIP TO "
+                    "NEXT ROW a finite max is allowed on the FIRST "
+                    "leg only: partial-island starts are exact via "
+                    "the per-start-row suffix computation)"
                 )
     return out
 
@@ -917,3 +927,246 @@ def match_runs_all_rows(
         F.col("att.__match_no").alias("match_no"),
         F.col("att.__leg").alias("leg"),
     )
+
+
+def _check_same_start(exps: list[list[ExpLeg]], who: str) -> None:
+    """SKIP TO NEXT ROW validation: the greedy NFA yields at most ONE
+    match per start row, so two expansions must never both label-match
+    at one start unless one is an original-leg PREFIX of the other
+    (trailing optionals — the lead lookahead picks the greedy longer
+    form). Overlaps at other alignments are FINE here: overlapping
+    matches are the point of this skip mode."""
+    for p in exps:
+        for q in exps:
+            if p is q:
+                continue
+            n = min(len(p), len(q))
+            if [oi for oi, *_ in p[:n]] == [oi for oi, *_ in q[:n]]:
+                continue
+            if all(
+                p[i][1] == q[i][1] for i in range(n)
+            ):
+                raise ValueError(
+                    f"{who}: expansions "
+                    f"{[l for _, l, _, _ in p]} and "
+                    f"{[l for _, l, _, _ in q]} can both match at one "
+                    "start row (label-consistent same-start alignment "
+                    "across different branches) — ordered-choice "
+                    "resolution with differing shared-prefix bounds "
+                    "is sequential state; restructure the branches"
+                )
+
+
+def match_runs_overlapping(
+    df: DataFrame,
+    key: str | list[str],
+    order: list[str],
+    label: Column,
+    pattern,
+    island_aggs: dict[str, Column],
+    with_match_no: bool = False,
+) -> DataFrame:
+    """ISO AFTER MATCH SKIP TO NEXT ROW, all-JVM: one row per (start
+    row, greedy match) — matches MAY overlap, and every input row from
+    which the greedy NFA matches emits exactly one. Same pattern
+    grammar and output schema as ``match_runs``; ``match_no`` numbers
+    matches per key in start-row order (the ISO MATCH_NUMBER() for
+    this skip mode).
+
+    Dropping non-overlap REMOVES the border restriction entirely —
+    self-overlapping patterns (W-shapes, many PERMUTEs) compile here
+    with no sequential escape hatch, because end-anchored detection
+    enumerates ALL matches, which is exactly this mode's semantics.
+    What changes vs SKIP PAST LAST:
+
+      - a match may start MID-island (the greedy first leg consumes
+        the start row's island SUFFIX), so each detected island-level
+        match explodes into one row per valid start: the first-leg
+        island's rows join back and carry reverse-running (suffix)
+        aggregates over the SAME (key, island) grouping — exact
+        first-leg measures per start row, pure window functions;
+      - a finite max bound is therefore allowed on the FIRST leg (it
+        filters which start rows qualify: lo <= remaining <= hi); the
+        LAST leg still needs an unbounded max (greedy would consume a
+        partial island there — rejected loudly, as in match_runs);
+      - several expansions may end at ONE island (same-end nesting
+        with different starts — under this mode both are real
+        matches), so detection emits per-expansion structs exploded
+        from an array, not an exclusive when-chain; the only
+        ambiguity that must not exist is two expansions matching at
+        one START (checked, with the original-leg-prefix lookahead
+        resolving trailing-optional nesting toward the greedy form).
+
+    Scale notes (100 TB): the label/island windows and the lag-chain
+    detection are the same keyed stages as match_runs; the start
+    explosion is ONE co-keyed equi join (key, island) of detected
+    matches back to first-leg rows plus suffix windows over the same
+    partitioning — one extra shuffle, output bounded by (matches ×
+    first-leg rows) which is the answer size itself. No Python
+    anywhere, for ANY accepted pattern (no sequential fallback
+    needed in this mode).
+    """
+    from functools import reduce as _reduce
+
+    who = "match_runs_overlapping"
+    elements = _normalize(pattern)
+    exps = _expansions(elements, who, bounded_ends=(-1,))
+    _check_same_start(exps, who)
+    exps = sorted(exps, key=len, reverse=True)
+    keys = [key] if isinstance(key, str) else list(key)
+    flat = flatten(elements)
+    k = len(flat)
+    agg_names = list(island_aggs)
+
+    # rows with island ids (the all_rows realization keeps the rows)
+    w_row = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    rows = df.withColumn("__lab", label)
+    rows = rows.withColumn("__prevlab", F.lag("__lab").over(w_row))
+    change = (
+        F.col("__lab").isNull()
+        | F.col("__prevlab").isNull()
+        | (F.col("__lab") != F.col("__prevlab"))
+    ).cast("long")
+    rows = rows.withColumn(
+        "__island",
+        F.sum(change).over(w_row.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__prevlab")
+
+    segs = rows.groupBy(*keys, "__island").agg(
+        F.first("__lab").alias("__lab"),
+        F.count(F.lit(1)).alias("__n"),
+        *[c.alias(f"__a_{name}") for name, c in island_aggs.items()],
+    )
+    max_len = max(len(e) for e in exps)
+    # trailing-optional prefix nesting -> greedy lookahead suppression
+    exts: dict[int, list[list[ExpLeg]]] = {}
+    max_lead = 0
+    for idx, e in enumerate(exps):
+        ei = [oi for oi, _, _, _ in e]
+        for e2 in exps:
+            if len(e2) > len(e) and [oi for oi, _, _, _ in e2[: len(e)]] == ei:
+                exts.setdefault(idx, []).append(e2[len(e) :])
+                max_lead = max(max_lead, len(e2) - len(e))
+    w_isl = Window.partitionBy(*keys).orderBy("__island")
+    base = ["__lab", "__n"] + [f"__a_{name}" for name in agg_names]
+    proj: list[Column] = [F.col(c) for c in segs.columns]
+    for off in range(1, max_len):
+        proj += [
+            F.lag(c, off).over(w_isl).alias(f"__lag{off}_{c}") for c in base
+        ]
+    for d in range(1, max_lead + 1):
+        proj += [
+            F.lag(c, -d).over(w_isl).alias(f"__lead{d}_{c}")
+            for c in ("__lab", "__n")
+        ]
+    lagged = segs.select(*proj)
+
+    def at(off: int, c: str) -> Column:
+        return F.col(c) if off == 0 else F.col(f"__lag{off}_{c}")
+
+    # per-expansion detection structs (several may fire at one end)
+    structs: list[Column] = []
+    for idx, e in enumerate(exps):
+        L = len(e)
+        first_oi, _first_lab, first_lo, first_hi = e[0]
+        cond = F.lit(True)
+        for j, (_oi, lab, lo, hi) in enumerate(e):
+            off = L - 1 - j
+            if j == 0:
+                # island-level: label + existence of a valid start
+                # (remaining ranges 1..n, so one exists iff n >= lo);
+                # the per-start [lo, hi] filter happens after the join
+                c = at(off, "__lab") == lab
+                if lo > 1:
+                    c = c & (at(off, "__n") >= lo)
+                cond = cond & c
+            else:
+                cond = cond & _leg_cond(at, off, lab, lo, hi)
+        for ext in exts.get(idx, ()):
+            ext_cond = F.lit(True)
+            for d, (_oi, lab, lo, hi) in enumerate(ext, start=1):
+                ext_cond = ext_cond & _leg_cond(
+                    lambda off, c, d=d: F.col(f"__lead{d}_{c}"), 0, lab, lo, hi
+                )
+            cond = cond & ~F.coalesce(ext_cond, F.lit(False))
+        fields = [
+            F.lit(idx).alias("expi"),
+            (F.col("__island") - F.lit(L - 1)).alias("start_isl"),
+            F.lit(first_oi).alias("first_oi"),
+            F.lit(first_lo).alias("lo1"),
+            F.lit(first_hi).cast("long").alias("hi1"),
+        ]
+        of_leg = {oi: j for j, (oi, _, _, _) in enumerate(e)}
+        for i in range(k):
+            j = of_leg.get(i)
+            if j is None or j == 0:
+                fields.append(F.lit(None).cast("long").alias(f"n_{i}"))
+                for name in agg_names:
+                    fields.append(
+                        F.lit(None)
+                        .cast(segs.schema[f"__a_{name}"].dataType)
+                        .alias(f"a_{i}_{name}")
+                    )
+            else:
+                off = L - 1 - j
+                fields.append(at(off, "__n").alias(f"n_{i}"))
+                for name in agg_names:
+                    fields.append(
+                        at(off, f"__a_{name}").alias(f"a_{i}_{name}")
+                    )
+        structs.append(F.when(cond, F.struct(*fields)))
+    det = (
+        lagged.withColumn(
+            "__m", F.explode(F.array_compact(F.array(*structs)))
+        )
+        .select(*keys, "__m.*")
+        .alias("det")
+    )
+
+    # start explosion: join back to the first-leg island's rows, each
+    # carrying suffix (start-row .. island end) measures
+    w_sfx = (
+        Window.partitionBy(*keys, "__island")
+        .orderBy(*[F.col(c).desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows_sfx = rows.withColumn("__rem", F.count(F.lit(1)).over(w_sfx))
+    for name, c in island_aggs.items():
+        rows_sfx = rows_sfx.withColumn(f"__sfx_{name}", c.over(w_sfx))
+    r = rows_sfx.alias("r")
+    jc = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"r.{c}").eqNullSafe(F.col(f"det.{c}")) for c in keys],
+        F.col("r.__island") == F.col("det.start_isl"),
+    )
+    joined = r.join(det, jc).filter(
+        (F.col("r.__rem") >= F.col("det.lo1"))
+        & (
+            F.col("det.hi1").isNull()
+            | (F.col("r.__rem") <= F.col("det.hi1"))
+        )
+    )
+    out_cols: list[Column] = [F.col(f"r.{c}") for c in keys]
+    for i in range(k):
+        is_first = F.col("det.first_oi") == i
+        out_cols.append(
+            F.when(is_first, F.col("r.__rem"))
+            .otherwise(F.col(f"det.n_{i}"))
+            .alias(f"seg{i}_n")
+        )
+        for name in agg_names:
+            out_cols.append(
+                F.when(is_first, F.col(f"r.__sfx_{name}"))
+                .otherwise(F.col(f"det.a_{i}_{name}"))
+                .alias(f"seg{i}_{name}")
+            )
+    if with_match_no:
+        w_mn = Window.partitionBy(
+            *[F.col(f"r.{c}") for c in keys]
+        ).orderBy(
+            F.col("r.__island"), *[F.col(f"r.{c}") for c in order]
+        )
+        out_cols.append(
+            F.row_number().over(w_mn).cast("long").alias("match_no")
+        )
+    return joined.select(*out_cols)

@@ -2223,3 +2223,121 @@ def sql12_match_recognize_alternation(
         ) AS mr
         """,
     )
+
+
+@query(
+    "sql13_match_recognize_skip_to_next",
+    # Oracle: the w28 detection-plus-start-explosion SQL (no recursion
+    # — overlap allowed means every end-anchored match emits, one row
+    # per start row of the first DOWN island) with the MR measure
+    # aliases. Counts exact integers; timestamps exact µs.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl0 AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    isl AS MATERIALIZED (
+      SELECT * FROM isl0
+    ),
+    seg AS MATERIALIZED (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    det AS (
+      SELECT user_id, island - 3 AS start_isl,
+             n_u1, n_d2, n AS n_u2, end_ts
+      FROM (
+        SELECT *, lag(lab) OVER wi AS lab1, lag(lab, 2) OVER wi AS lab2,
+               lag(lab, 3) OVER wi AS lab3,
+               lag(n, 2) OVER wi AS n_u1, lag(n) OVER wi AS n_d2
+        FROM seg
+        WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+      )
+      WHERE lab = 'UP' AND lab1 = 'DOWN' AND lab2 = 'UP'
+        AND lab3 = 'DOWN'
+    ),
+    starts AS (
+      SELECT r.user_id, r.ts AS start_ts, d.end_ts,
+             CAST(count(*) OVER (PARTITION BY r.user_id, r.island
+                                 ORDER BY r.rn DESC) AS BIGINT)
+               AS n_d1,
+             d.n_u1, d.n_d2, d.n_u2, r.island, r.rn
+      FROM isl r JOIN det d
+        ON d.user_id = r.user_id AND d.start_isl = r.island
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY island, rn) AS BIGINT)
+             AS match_no,
+           start_ts, end_ts,
+           n_d1 + n_u1 + n_d2 + n_u2 AS n_rows
+    FROM starts
+    """,
+    tags=("W10", "W5"),
+)
+def sql13_match_recognize_skip_to_next(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW through the SQL surface (W10 v3,
+    r12): overlapping W-shapes as ONE SQL string — the ISO skip mode
+    that tags every qualifying start row with its own greedy match
+    [PK: ISO/IEC 9075-2:2016 §R]. The rewriter routes this mode to
+    match_runs_overlapping, where the W-shape's self-overlap is NOT a
+    restriction (overlap is the semantics), so the
+    sequential-matcher-only pattern of w24c runs all-JVM here.
+    MEASURES aggregate across a label's legs (FIRST(DOWN.ts) = the
+    start row's ts via the first present DOWN leg; COUNT(*) = total
+    rows across all four legs); MATCH_NUMBER() numbers matches per
+    user in start-row order.
+
+    Plan shape for 100 TB: text-only driver-side rewrite; the spliced
+    plan is w28's — keyed windows, lag-chain detection, one co-keyed
+    start-explosion join, suffix windows; no Python.
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    ).createOrReplaceTempView("sql13_events")
+    return sqlx(
+        spark,
+        """
+        SELECT mr.user_id, match_no, start_ts, end_ts, n_rows
+        FROM sql13_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS match_no,
+                   FIRST(DOWN.ts) AS start_ts,
+                   LAST(UP.ts) AS end_ts,
+                   COUNT(*) AS n_rows
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN ( DOWN+ UP+ DOWN+ UP+ )
+          DEFINE DOWN AS band < PREV(band),
+                 UP AS band > PREV(band)
+        ) AS mr
+        """,
+    )

@@ -2295,3 +2295,137 @@ def w27b_pattern_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce("seg3_n", F.lit(0))
         ).alias("n_rows"),
     )
+
+
+@query(
+    "w28_pattern_overlapping",
+    # Oracle: NO recursion needed for this skip mode — detection over
+    # the islands at every end (overlap allowed = emit all ends), then
+    # a join back to the first DOWN island's rows: each row r is one
+    # match start; the suffix row count is island_cnt - pos_in_island
+    # + 1 and the suffix min(ts) is r's own ts (rows are ts-ordered).
+    # Counts exact integers; timestamps exact µs.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl0 AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    isl AS MATERIALIZED (
+      SELECT * FROM isl0
+    ),
+    seg AS MATERIALIZED (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    det AS (
+      SELECT user_id, island - 3 AS start_isl,
+             n_u1, n_d2, n AS n_u2, end_ts
+      FROM (
+        SELECT *, lag(lab) OVER wi AS lab1, lag(lab, 2) OVER wi AS lab2,
+               lag(lab, 3) OVER wi AS lab3,
+               lag(n, 2) OVER wi AS n_u1, lag(n) OVER wi AS n_d2
+        FROM seg
+        WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+      )
+      WHERE lab = 'UP' AND lab1 = 'DOWN' AND lab2 = 'UP'
+        AND lab3 = 'DOWN'
+    ),
+    starts AS (
+      SELECT r.user_id, r.ts AS start_ts, d.end_ts,
+             CAST(count(*) OVER (PARTITION BY r.user_id, r.island
+                                 ORDER BY r.rn DESC) AS BIGINT)
+               AS n_d1,
+             d.n_u1, d.n_d2, d.n_u2, r.island, r.rn
+      FROM isl r JOIN det d
+        ON d.user_id = r.user_id AND d.start_isl = r.island
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY island, rn) AS BIGINT)
+             AS match_no,
+           start_ts, end_ts, n_d1,
+           n_d1 + n_u1 + n_d2 + n_u2 AS n_rows
+    FROM starts
+    """,
+    tags=("W10", "W5"),
+)
+def w28_pattern_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW (W10 v3, r12): every OVERLAPPING
+    W-shape (DOWN+ UP+ DOWN+ UP+) per user — one match per row from
+    which the greedy NFA matches [PK: ISO/IEC 9075-2:2016 §R skip
+    modes]. The overlap-allowed mode REMOVES the border restriction:
+    the W-shape, sequential-only under SKIP PAST LAST (w24c), compiles
+    all-JVM here via operators/patterns.match_runs_overlapping —
+    end-anchored detection emits ALL matches (exactly this mode's
+    semantics), and mid-island starts explode through one co-keyed
+    join back to the first DOWN island's rows carrying suffix
+    (start-row..island-end) measures as reverse-running windows.
+    Fuzz-pinned against the lookahead-regex ground truth
+    (re.finditer of '(?=(pattern))' enumerates overlapping greedy
+    matches — one per qualifying start).
+
+    Plan shape for 100 TB: the same user_id-keyed label/island
+    windows as every W10 query, the lag-chain detection, then ONE
+    (user_id, island) equi join + suffix windows over the same keys —
+    one extra shuffle; output is the answer size itself (matches x
+    first-leg starts). No Python for ANY pattern in this mode.
+    """
+    from nipd_spark.operators.patterns import match_runs_overlapping
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs_overlapping(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "UP", "DOWN", "UP"],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+        },
+        with_match_no=True,
+    )
+    return matches.select(
+        "user_id",
+        "match_no",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg3_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_d1"),
+        (
+            F.col("seg0_n") + F.col("seg1_n")
+            + F.col("seg2_n") + F.col("seg3_n")
+        ).alias("n_rows"),
+    )

@@ -374,7 +374,8 @@ _MR_BODY_RE = re.compile(
     \s+ORDER\s+BY\s+(?P<ord>\w+(?:\s*,\s*\w+)*)
     \s+MEASURES\s+(?P<meas>.+?)
     (?:\s+ONE\s+ROW\s+PER\s+MATCH)?
-    (?:\s+AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW)?
+    (?:\s+AFTER\s+MATCH\s+SKIP\s+
+       (?P<skipmode>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW))?
     \s+PATTERN\s*\(\s*(?P<pat>[^()^$]*(?:\([^()^$]*\)[^()^$]*)*)\)
     \s+DEFINE\s+(?P<defs>.+?)\s*$
     """,
@@ -454,7 +455,8 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
           ORDER BY o [, ...]                   -- plain columns, ASC
           MEASURES <m> AS <alias> [, ...]
           [ONE ROW PER MATCH]
-          [AFTER MATCH SKIP PAST LAST ROW]     -- the only skip mode
+          [AFTER MATCH SKIP PAST LAST ROW      -- default: non-overlap
+           | AFTER MATCH SKIP TO NEXT ROW]     -- overlapping matches
           PATTERN ( E1 E2 ... )                -- E := L[q]
                                                --    | ( BR | BR ... )[?]
                                                --    | PERMUTE(L[q], ...)
@@ -482,7 +484,15 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
     ``match_no`` (MATCH_NUMBER()) and ``classifier`` (CLASSIFIER()) —
     running-measure semantics inside ALL ROWS are out of scope, and
     this form requires an overlap-free pattern (the all-rows
-    compilation has no sequential escape hatch yet).
+    compilation has no sequential escape hatch yet) and the default
+    skip mode (ALL ROWS + SKIP TO NEXT ROW would tag one row into
+    several matches — rejected loudly).
+
+    SKIP TO NEXT ROW routes to ``match_runs_overlapping``: matches may
+    overlap, every qualifying start row emits one, MATCH_NUMBER()
+    numbers them per key in start-row order, and — because overlap is
+    allowed — self-overlapping patterns (W-shapes, PERMUTE) compile
+    all-JVM with no sequential fallback in this mode.
 
     Semantics notes (documented divergences from full ISO):
       - row labelling is deterministic: DEFINE predicates evaluate in
@@ -529,11 +539,25 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
         all_rows = re.search(
             r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE
         )
-        skip = re.search(r"\bSKIP\s+(?!PAST\s+LAST\s+ROW)", body, re.IGNORECASE)
+        skip = re.search(
+            r"\bSKIP\s+(?!PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)",
+            body,
+            re.IGNORECASE,
+        )
         if skip:
             raise ValueError(
                 "match_recognize_sql: only AFTER MATCH SKIP PAST LAST "
-                "ROW is supported"
+                "ROW / SKIP TO NEXT ROW are supported"
+            )
+        to_next = (
+            re.search(r"\bSKIP\s+TO\s+NEXT\s+ROW\b", body, re.IGNORECASE)
+            is not None
+        )
+        if to_next and all_rows:
+            raise ValueError(
+                "match_recognize_sql: ALL ROWS PER MATCH with SKIP TO "
+                "NEXT ROW (overlapping row tagging) is not supported — "
+                "one row would belong to several matches"
             )
         bm = (_MR_BODY_ALL_RE if all_rows else _MR_BODY_RE).match(body)
         if bm is None:
@@ -693,11 +717,14 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
                 "SUM": F.sum(col),
             }[fn]
 
-        matcher = (
-            _pat.match_runs
-            if _pat.windows_compilable(elements)
-            else _pat.match_runs_sequential
-        )
+        if to_next:
+            matcher = _pat.match_runs_overlapping
+        else:
+            matcher = (
+                _pat.match_runs
+                if _pat.windows_compilable(elements)
+                else _pat.match_runs_sequential
+            )
         matched = matcher(
             rel, part, order, label, elements, aggs, with_match_no=need_mn
         )

@@ -1557,3 +1557,95 @@ def test_match_runs_quantified_vs_regex_nfa(spark, seqs, pidx):
                 df, "k", ["pos"], F.col("lab"), pattern,
                 {"start": F.min("pos")},
             )
+
+
+_OPATTERNS = [
+    [("D", 1, None), ("U", 1, None)],
+    # the W-shape: sequential-only under SKIP PAST LAST, all-JVM here
+    [("D", 1, None), ("U", 1, None), ("D", 1, None), ("U", 1, None)],
+    # finite max on the FIRST leg — allowed in this mode only
+    [("D", 2, 4), ("U", 1, None)],
+    [("D", 2, None), [[("F", 1, None)], [("U", 1, None)]]],
+    [("D", 1, None), ("F", 0, 2), ("U", 1, None)],
+    [("U", 1, None), ("D", 1, None), ("U", 1, None)],
+    [("D", 1, None), ("U", 1, None), ("F", 0, None)],
+]
+
+
+@given(
+    seqs=st.lists(
+        st.lists(_lab, min_size=1, max_size=14), min_size=1, max_size=4
+    ),
+    pidx=st.integers(min_value=0, max_value=len(_OPATTERNS) - 1),
+)
+@settings(**_SETTINGS)
+def test_match_runs_overlapping_vs_lookahead_regex(spark, seqs, pidx):
+    """SKIP TO NEXT ROW vs the ROW-LEVEL ground truth: re.finditer of
+    the zero-width lookahead '(?=(pattern))' enumerates every start
+    position whose greedy match succeeds — exactly one overlapping
+    match per qualifying start row, the ISO semantics of this skip
+    mode — with the lookahead's inner capture groups giving per-leg
+    spans. match_runs_overlapping must equal it on counts AND start
+    positions for every leg, including which optional legs / branches
+    participate."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators import patterns as pat
+
+    pattern = _OPATTERNS[pidx]
+    k_legs = len(pat.flatten(pattern))
+    rows = [
+        (k, i, lb)
+        for k, labs in enumerate(seqs)
+        for i, lb in enumerate(labs)
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+
+    def _leg_rx(lab, lo, hi):
+        return f"({lab}{{{lo},{'' if hi is None else hi}}})"
+
+    inner = "".join(
+        "(?:"
+        + "|".join("".join(_leg_rx(*l) for l in br) for br in el)
+        + ")"
+        if isinstance(el, list)
+        else _leg_rx(*el)
+        for el in pattern
+    )
+    rx = _re.compile(f"(?=(?:{inner}))")
+
+    def ref(labs):
+        s = "".join(labs)
+        out = []
+        for m in rx.finditer(s):
+            segs = []
+            any_part = False
+            for g in range(1, k_legs + 1):
+                a, b = m.span(g)
+                if a != b:
+                    any_part = True
+                segs += [None, None] if a == b else [b - a, a]
+            if any_part:  # zero-width lookahead also "matches" empty
+                out.append(tuple(segs))
+        return out
+
+    want = {
+        (k, *m) for k, labs in enumerate(seqs) for m in ref(labs)
+    }
+    got = {
+        tuple(
+            [r.k]
+            + [
+                x
+                for i in range(k_legs)
+                for x in (r[f"seg{i}_n"], r[f"seg{i}_start"])
+            ]
+        )
+        for r in pat.match_runs_overlapping(
+            df, "k", ["pos"], F.col("lab"), pattern,
+            {"start": F.min("pos")},
+        ).collect()
+    }
+    assert got == want

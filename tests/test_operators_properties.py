@@ -4553,6 +4553,95 @@ def test_match_runs_alternation_and_permute(spark):
     assert outs[0] == outs[1] == outs[2] == [(0, 1, 2, 1)]
 
 
+def test_match_runs_overlapping_skip_to_next(spark):
+    """W10 v3 (r12) SKIP TO NEXT ROW pins: every qualifying start row
+    emits its own greedy match (overlaps allowed — the W-shape needs
+    no sequential fallback in this mode); mid-island starts carry
+    exact suffix measures for the first leg; a finite max is legal on
+    the FIRST leg only (it filters start rows); match_no numbers
+    matches per key in start-row order; cross-branch same-start
+    ambiguity and last-leg finite maxes are loudly rejected, as is
+    ALL ROWS + SKIP TO NEXT through the SQL surface."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nipd_spark import sqlext
+    from nipd_spark.operators import patterns as pat
+
+    # k1: D D U D U -> W matches from rows 0 and 1; V matches too
+    rows = [(1, i, lb) for i, lb in enumerate(["D", "D", "U", "D", "U"])]
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+    aggs = {"start": F.min("pos")}
+    wshape = ["DOWN", "UP", "DOWN", "UP"]
+    lab = F.when(F.col("lab") == "D", "DOWN").otherwise("UP")
+    got = sorted(
+        tuple(r)
+        for r in pat.match_runs_overlapping(
+            df, "k", ["pos"], lab, wshape, aggs, with_match_no=True
+        )
+        .select("k", "match_no", "seg0_n", "seg0_start", "seg3_n")
+        .collect()
+    )
+    # starts at row 0 (D-run suffix 2) and row 1 (suffix 1)
+    assert got == [(1, 1, 2, 0, 1), (1, 2, 1, 1, 1)]
+
+    # finite max on the first leg filters starts: D{1,1} U+ from the
+    # D(2) island matches only at row 1 (remaining == 1)
+    got2 = sorted(
+        tuple(r)
+        for r in pat.match_runs_overlapping(
+            df, "k", ["pos"], lab, [("DOWN", 1, 1), ("UP", 1, None)],
+            aggs,
+        )
+        .select("k", "seg0_n", "seg0_start")
+        .collect()
+    )
+    assert got2 == [(1, 1, 1), (1, 1, 3)]
+
+    # last-leg finite max still impossible at island granularity
+    with pytest.raises(ValueError):
+        pat.match_runs_overlapping(
+            df, "k", ["pos"], lab, [("DOWN", 1, None), ("UP", 1, 2)],
+            aggs,
+        )
+    # two branches that can both match at one start: sequential state
+    with pytest.raises(ValueError):
+        pat.match_runs_overlapping(
+            df, "k", ["pos"], lab,
+            [[[("DOWN", 1, None), ("UP", 1, None)], [("DOWN", 1, None)]]],
+            aggs,
+        )
+    # SQL surface: ALL ROWS + SKIP TO NEXT rejected; unknown skip too
+    df.createOrReplaceTempView("ov_ticks")
+    with pytest.raises(ValueError):
+        sqlext.sql(
+            spark,
+            """
+            SELECT * FROM ov_ticks MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              ALL ROWS PER MATCH
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN ( D+ U+ )
+              DEFINE D AS lab = 'D', U AS lab = 'U'
+            )
+            """,
+        )
+    with pytest.raises(ValueError):
+        sqlext.sql(
+            spark,
+            """
+            SELECT * FROM ov_ticks MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES COUNT(*) AS n
+              AFTER MATCH SKIP TO FIRST D
+              PATTERN ( D+ U+ )
+              DEFINE D AS lab = 'D', U AS lab = 'U'
+            )
+            """,
+        )
+
+
 def test_match_recognize_sql_surface(spark):
     """The MATCH_RECOGNIZE SQL splice == the DataFrame-API operator on
     the same crafted data (measures FIRST/LAST/MIN/MAX/SUM/COUNT,

@@ -994,6 +994,8 @@ def test_skyline_join_back_strategy_tolerant(spark, sf_dir, name):
         "sql11_match_recognize_all_rows",
         "w27_pattern_alternation",
         "sql12_match_recognize_alternation",
+        "w28_pattern_overlapping",
+        "sql13_match_recognize_skip_to_next",
     ],
 )
 def test_w10_v2_patterns_stay_all_jvm(spark, sf_dir, name):
