@@ -2341,3 +2341,114 @@ def sql13_match_recognize_skip_to_next(
         ) AS mr
         """,
     )
+
+
+@query(
+    "sql14_recursive_cte",
+    # Oracle: the IDENTICAL recursive fold in DuckDB (UNION ALL
+    # recursion, same base/step expressions). The batch_amt double
+    # accumulates in the SAME sequential order with the same
+    # expression shape in both engines (bit-identical per the float
+    # policy); the hashed outputs are pure counts.
+    sql="""
+    WITH RECURSIVE o AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    pack(o_custkey, rn, batch_id, batch_amt) AS (
+      SELECT o_custkey, rn, CAST(0 AS BIGINT), o_totalprice
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT n.o_custkey, n.rn,
+             CASE WHEN p.batch_amt + n.o_totalprice > 300000.0
+                  THEN p.batch_id + 1 ELSE p.batch_id END,
+             CASE WHEN p.batch_amt + n.o_totalprice > 300000.0
+                  THEN n.o_totalprice ELSE p.batch_amt + n.o_totalprice END
+      FROM pack p JOIN o n
+        ON n.o_custkey = p.o_custkey AND n.rn = p.rn + 1
+    )
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(batch_id) + 1 AS BIGINT) AS n_batches
+    FROM pack GROUP BY o_custkey
+    """,
+    tags=("W3", "J1"),
+)
+def sql14_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (new in Spark 4.0, SPARK-24497 [PK:
+    Apache Spark 4.0 release notes; ISO SQL:1999 recursive query
+    expressions]): per-customer threshold-batch packing — orders in
+    date order accumulate into a batch until the running total would
+    exceed 300k, then a new batch opens. The fold's state (batch id +
+    running amount) depends NON-LINEARLY on the previous row's state,
+    so no window function expresses it — the classic recursive-CTE
+    workload (container packing, billing cycles, session budgets) —
+    and this query certifies Spark's own recursion (UnionLoop
+    execution) against DuckDB's, the first Spark-NATIVE recursive SQL
+    in the suite (all earlier recursion lived in the DuckDB oracles).
+
+    Recursion bounds: depth = the longest per-customer order chain
+    (~25 at sf0.01 — constant under the key-shifted scale replicas,
+    which add CUSTOMERS, not orders per customer; the level limit
+    stays at its default 100); total recursion rows = |orders|, so
+    the 1M-row default safety limit is raised session-wide to cover
+    the 100x replica's 15M orders.
+
+    Plan shape for 100 TB: each of the <=depth iterations is one
+    equi join of the live chain frontier (O(customers) rows) against
+    the rn-indexed orders on (custkey, rn) — key-partitioned,
+    frontier-sized state, no driver-side loop (Catalyst's UnionLoop
+    owns the iteration); the rn precomputation is one keyed window,
+    DISK_ONLY-checkpointed once so the per-iteration rescans hit the
+    materialized table (the multi-consumer-intermediate discipline).
+    Measured cost is per-LEVEL job overhead, not data (SCALE.md r12:
+    ~0.1 s/level at sf0.1, ~0.75 s/level at 100x under the scale
+    profile — frontier broadcasts and pre-partitioning measured
+    no-ops because each level replans independently); for folds over
+    chains whose depth grows with data, the superstep form with a
+    driver loop (c39-style) remains the scale path — this query
+    certifies the NATIVE SQL:1999 surface and its exact semantics.
+    """
+    # total recursion rows = |orders| (one per order) — the default
+    # 1M safety net is smaller than the 100x replica; raise it once
+    from pyspark.sql import Window
+
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # materialize the rn-indexed chain table ONCE: every recursion
+    # iteration rescans this relation, and an un-checkpointed view
+    # would re-run the window per step (measured 12-21 s at sf0.1;
+    # ~1 s checkpointed)
+    spill_checkpoint(
+        o.select(
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+    ).createOrReplaceTempView("sql14_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE pack(o_custkey, rn, batch_id, batch_amt) AS (
+          SELECT o_custkey, rn, CAST(0 AS BIGINT), o_totalprice
+          FROM sql14_orders WHERE rn = 1
+          UNION ALL
+          SELECT n.o_custkey, n.rn,
+                 CASE WHEN p.batch_amt + n.o_totalprice > 300000.0
+                      THEN p.batch_id + 1 ELSE p.batch_id END,
+                 CASE WHEN p.batch_amt + n.o_totalprice > 300000.0
+                      THEN n.o_totalprice
+                      ELSE p.batch_amt + n.o_totalprice END
+          FROM pack p JOIN sql14_orders n
+            ON n.o_custkey = p.o_custkey AND n.rn = p.rn + 1
+        )
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(batch_id) + 1 AS BIGINT) AS n_batches
+        FROM pack GROUP BY o_custkey
+        """
+    )

@@ -4642,6 +4642,59 @@ def test_match_runs_overlapping_skip_to_next(spark):
         )
 
 
+def test_sql14_recursive_fold_matches_python_reference(spark):
+    """sql14's native WITH RECURSIVE batch packing == a from-scratch
+    sequential Python fold on a crafted order book covering the edge
+    cases: a single order over the cap (its own batch), an exact-cap
+    batch (closes only when EXCEEDED), one-order customers, and a
+    chain long enough for several batches."""
+    import datetime as _dt
+    import unittest.mock as mock
+
+    from nipd_spark.queries import sources as _s
+
+    rows = []
+    book = {
+        1: [100000.0, 100000.0, 100000.0, 1.0],      # exact 300k + spill
+        2: [400000.0],                               # single over-cap
+        3: [250000.0, 100000.0, 100000.0, 250000.0],
+        4: [1.0],
+    }
+    for ck, prices in book.items():
+        for i, p in enumerate(prices):
+            rows.append(
+                (100 * ck + i, ck, p, _dt.datetime(2024, 1, 1 + i))
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    with mock.patch.object(_s, "load", lambda s, d, n: orders):
+        got = {
+            r.custkey: (r.n_orders, r.n_batches)
+            for r in _s.sql14_recursive_cte(spark, "unused").collect()
+        }
+
+    # python reference: the first order seeds batch 0 (even over-cap
+    # on its own), then the strict-> fold
+    want = {}
+    for ck, ps in book.items():
+        batches, amt = 0, ps[0]
+        for p in ps[1:]:
+            if amt + p > 300000.0:
+                batches += 1
+                amt = p
+            else:
+                amt += p
+        want[ck] = (len(ps), batches + 1)
+    assert got == want, (got, want)
+    # exact-cap semantics: 100k+100k+100k == 300000.0 exactly does NOT
+    # close the batch (strict >); the 4th order spills to batch 2
+    assert got[1] == (4, 2)
+    assert got[2] == (1, 1)
+
+
 def test_match_recognize_sql_surface(spark):
     """The MATCH_RECOGNIZE SQL splice == the DataFrame-API operator on
     the same crafted data (measures FIRST/LAST/MIN/MAX/SUM/COUNT,
@@ -4715,8 +4768,10 @@ def test_match_recognize_sql_surface(spark):
         "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
         "pos MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (D+ U+)"
         " DEFINE D AS v < PREV(v), U AS v > PREV(v))",
+        # SKIP TO NEXT ROW became a supported mode in r12 (routed to
+        # match_runs_overlapping) — label-anchored skips remain out
         "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
-        "pos MEASURES COUNT(*) AS n AFTER MATCH SKIP TO NEXT ROW "
+        "pos MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST U "
         "PATTERN (D+ U+) DEFINE D AS v < PREV(v), U AS v > PREV(v))",
         "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY k ORDER BY "
         "pos MEASURES COUNT(D.*) AS n PATTERN (D+ U+) DEFINE D AS "
