@@ -779,8 +779,9 @@ def match_runs_all_rows(
     outside any match are omitted (the ISO default; no SHOW EMPTY /
     WITH UNMATCHED options). Same pattern grammar, validation, and
     greedy semantics as ``match_runs`` (overlap-free patterns only —
-    self-overlapping patterns raise toward the sequential matcher,
-    which has no all-rows form yet).
+    self-overlapping patterns raise toward
+    ``match_runs_all_rows_sequential``, the bucketed escape hatch
+    with the identical output contract).
 
     Realization, all-JVM: label + island windows on the raw rows; the
     SAME end-anchored lag-chain detection as match_runs on the
@@ -1170,3 +1171,127 @@ def match_runs_overlapping(
             F.row_number().over(w_mn).cast("long").alias("match_no")
         )
     return joined.select(*out_cols)
+
+
+def match_runs_all_rows_sequential(
+    df: DataFrame,
+    key: str | list[str],
+    order: list[str],
+    label: Column,
+    pattern,
+) -> DataFrame:
+    """ISO ALL ROWS PER MATCH for SELF-OVERLAPPING patterns (the ones
+    ``match_runs_all_rows`` rejects toward sequential state — W-shapes,
+    PERMUTE): the sequential escape hatch's row-level output mode,
+    closing the asymmetry documented since r12's all-rows landing.
+    Same contract and output schema as ``match_runs_all_rows``
+    (input rows + ``classifier`` / ``match_no`` / ``leg``), same
+    greedy SKIP PAST LAST semantics as ``match_runs_sequential``.
+
+    Realization: the SAME distributed island collapse; the bucketed
+    per-key greedy island scan emits the tiny ATTRIBUTION table
+    (key, island, match_no, leg) instead of measures — Python still
+    sees runs, never rows — and one co-keyed equi join on
+    (key, island) carries the attribution back to the raw rows
+    (NULL keys join null-safely, matching the window path).
+
+    Scale notes (100 TB): identical stages to match_runs_sequential
+    plus the one join-back shuffle match_runs_all_rows already pays —
+    every stage keyed on the growing caller key; the Python stage's
+    output is islands-participating-in-matches, bounded by the island
+    count, never row-sized.
+    """
+    from functools import reduce as _reduce
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    who = "match_runs_all_rows_sequential"
+    elements = _normalize(pattern)
+    exps = _expansions(elements, who)
+    keys = [key] if isinstance(key, str) else list(key)
+    in_cols = df.columns
+
+    w_row = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    rows = df.withColumn("__lab", label)
+    rows = rows.withColumn("__prevlab", F.lag("__lab").over(w_row))
+    change = (
+        F.col("__lab").isNull()
+        | F.col("__prevlab").isNull()
+        | (F.col("__lab") != F.col("__prevlab"))
+    ).cast("long")
+    rows = rows.withColumn(
+        "__island",
+        F.sum(change).over(w_row.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__prevlab")
+
+    segs = rows.groupBy(*keys, "__island").agg(
+        F.first("__lab").alias("__lab"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    fields = [segs.schema[c] for c in keys]
+    fields += [
+        T.StructField("__island", T.LongType()),
+        T.StructField("__match_no", T.LongType()),
+        T.StructField("__leg", T.IntegerType()),
+    ]
+    schema = T.StructType(fields)
+    cols = [f.name for f in fields]
+
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[dict] = []
+        pdf = pdf.sort_values([*keys, "__island"])
+        for kv, g in pdf.groupby(keys, sort=False, dropna=False):
+            kt = kv if isinstance(kv, tuple) else (kv,)
+            krec = dict(zip(keys, kt))
+            labs = g["__lab"].tolist()
+            ns = g["__n"].tolist()
+            isls = g["__island"].tolist()
+            i = 0
+            mn = 0
+            while i < len(labs):
+                hit = None
+                for e in exps:  # present-first greedy preference
+                    L = len(e)
+                    if i + L > len(labs):
+                        continue
+                    if all(
+                        labs[i + j] == lab
+                        and ns[i + j] >= lo
+                        and (hi is None or ns[i + j] <= hi)
+                        for j, (_oi, lab, lo, hi) in enumerate(e)
+                    ):
+                        hit = e
+                        break
+                if hit is None:
+                    i += 1
+                    continue
+                mn += 1
+                for j, (oi, _lab, _lo, _hi) in enumerate(hit):
+                    rec = dict(krec)
+                    rec["__island"] = isls[i + j]
+                    rec["__match_no"] = mn
+                    rec["__leg"] = oi
+                    out.append(rec)
+                i += len(hit)  # AFTER MATCH SKIP PAST LAST ROW
+        return pd.DataFrame(out, columns=cols)
+
+    bkt = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(256))
+    att = (
+        segs.withColumn("__bkt", bkt)
+        .groupBy("__bkt")
+        .applyInPandas(scan_bucket, schema)
+        .alias("att")
+    )
+    r = rows.alias("r")
+    jc = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"r.{c}").eqNullSafe(F.col(f"att.{c}")) for c in keys],
+        F.col("r.__island") == F.col("att.__island"),
+    )
+    return r.join(att, jc).select(
+        *[F.col(f"r.{c}") for c in in_cols],
+        F.col("r.__lab").alias("classifier"),
+        F.col("att.__match_no").alias("match_no"),
+        F.col("att.__leg").alias("leg"),
+    )

@@ -2429,3 +2429,136 @@ def w28_pattern_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("seg2_n") + F.col("seg3_n")
         ).alias("n_rows"),
     )
+
+
+@query(
+    "w26b_pattern_all_rows_wshape",
+    # Oracle: the w24c recursive-CTE greedy scan EMITTING each match's
+    # start position, then attribution in plain SQL — a matched row's
+    # leg is its island's offset from the match start (matches under
+    # SKIP PAST LAST are disjoint, so the join is 1:1), match_no is
+    # the per-user rank of start positions. Counts exact; µs exact.
+    sql=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl0 AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    isl AS MATERIALIZED (
+      SELECT * FROM isl0
+    ),
+    seg AS MATERIALIZED (
+      SELECT user_id, island, min(lab) AS lab,
+             row_number() OVER (PARTITION BY user_id ORDER BY island)
+               AS pos
+      FROM isl GROUP BY user_id, island
+    ),
+    steps AS MATERIALIZED (
+      SELECT i1.user_id, i1.pos,
+             (i1.lab = 'DOWN' AND i2.lab = 'UP'
+              AND i3.lab = 'DOWN' AND i4.lab = 'UP') AS w_match,
+             i1.island AS start_isl
+      FROM seg i1
+      LEFT JOIN seg i2 ON i2.user_id = i1.user_id AND i2.pos = i1.pos + 1
+      LEFT JOIN seg i3 ON i3.user_id = i1.user_id AND i3.pos = i1.pos + 2
+      LEFT JOIN seg i4 ON i4.user_id = i1.user_id AND i4.pos = i1.pos + 3
+    ),
+    scan AS (
+      SELECT user_id, CAST(1 AS BIGINT) AS pos,
+             CAST(NULL AS BIGINT) AS start_isl
+      FROM (SELECT DISTINCT user_id FROM seg)
+      UNION ALL
+      SELECT t.user_id,
+             s.pos + CASE WHEN coalesce(t.w_match, FALSE)
+                          THEN 4 ELSE 1 END,
+             CASE WHEN coalesce(t.w_match, FALSE) THEN t.start_isl END
+      FROM scan s
+      JOIN steps t ON t.user_id = s.user_id AND t.pos = s.pos
+    ),
+    matches AS (
+      SELECT user_id, start_isl,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY start_isl) AS BIGINT)
+               AS match_no
+      FROM scan WHERE start_isl IS NOT NULL
+    )
+    SELECT r.user_id, r.ts, r.event_id, r.band, r.lab AS classifier,
+           m.match_no,
+           CAST(r.island - m.start_isl AS INT) AS leg
+    FROM isl r JOIN matches m
+      ON m.user_id = r.user_id
+     AND r.island BETWEEN m.start_isl AND m.start_isl + 3
+    """,
+    tags=("W10", "D6"),
+)
+def w26b_pattern_all_rows_wshape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL ROWS PER MATCH for a SELF-OVERLAPPING pattern (W10 v3,
+    r12): every event row inside a W-shape (DOWN+ UP+ DOWN+ UP+),
+    tagged with MATCH_NUMBER/CLASSIFIER and its pattern leg — the
+    row-level output mode the sequential escape hatch lacked until
+    this round (operators/patterns.match_runs_all_rows_sequential).
+    The bucketed island scan emits only the ATTRIBUTION table
+    (user, island, match_no, leg); one co-keyed join carries it back
+    to the raw rows. The oracle extends the w24c recursive-CTE greedy
+    scan to emit match START positions, attributing rows in plain SQL
+    (disjoint matches make the island-range join 1:1) — value-hashing
+    the complete row-level output of the sequential path.
+
+    Plan shape for 100 TB: the match_runs_sequential stages plus the
+    (user_id, island) join-back match_runs_all_rows already pays; the
+    Python stage's output is bounded by islands-in-matches, never
+    rows.
+    """
+    from nipd_spark.operators.patterns import (
+        match_runs_all_rows_sequential,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    return match_runs_all_rows_sequential(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "UP", "DOWN", "UP"],
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "band",
+        "classifier",
+        "match_no",
+        F.col("leg").cast("int").alias("leg"),
+    )

@@ -483,10 +483,11 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
     which emits every input row participating in a match plus
     ``match_no`` (MATCH_NUMBER()) and ``classifier`` (CLASSIFIER()) —
     running-measure semantics inside ALL ROWS are out of scope, and
-    this form requires an overlap-free pattern (the all-rows
-    compilation has no sequential escape hatch yet) and the default
-    skip mode (ALL ROWS + SKIP TO NEXT ROW would tag one row into
-    several matches — rejected loudly).
+    this form requires the default skip mode (ALL ROWS + SKIP TO NEXT
+    ROW would tag one row into several matches — rejected loudly).
+    Self-overlapping patterns auto-route to the bucketed sequential
+    all-rows matcher (match_runs_all_rows_sequential, r12), exactly
+    like the ONE-ROW form.
 
     SKIP TO NEXT ROW routes to ``match_runs_overlapping``: matches may
     overlap, every qualifying start row emits one, MATCH_NUMBER()
@@ -673,7 +674,12 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
             # match_no + CLASSIFIER() AS classifier (the __mr_prev
             # helper columns are dropped)
             base_cols = spark.table(m["t"]).columns
-            result = _pat.match_runs_all_rows(
+            all_rows_matcher = (
+                _pat.match_runs_all_rows
+                if _pat.windows_compilable(elements)
+                else _pat.match_runs_all_rows_sequential
+            )
+            result = all_rows_matcher(
                 rel, part, order, label, elements
             ).select(*base_cols, "match_no", "classifier")
             view = f"__mr_{next(_VIEW_SEQ)}"

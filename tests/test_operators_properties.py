@@ -4800,8 +4800,10 @@ def test_match_runs_all_rows_matches_regex_nfa(spark):
     (re.finditer group spans give exactly the rows each leg consumes,
     match enumeration order gives MATCH_NUMBER) on crafted sequences
     covering back-to-back matches, quantifier bounds, and an optional
-    leg; self-overlapping patterns are loudly rejected (no sequential
-    all-rows form)."""
+    leg; match_runs_all_rows_sequential (the r12 escape hatch) must
+    agree on every pattern it shares, plus the W-shape the windows
+    form rejects — and the SQL surface must auto-route the bordered
+    ALL ROWS pattern there."""
     import re
 
     import pytest
@@ -4838,15 +4840,58 @@ def test_match_runs_all_rows_matches_regex_nfa(spark):
                     a, b = m.span(g)
                     for p in range(a, b):
                         want.add((k, p, labs[p], mn, g - 1))
-        got = {
-            (r.k, r.pos, r.classifier, r.match_no, r.leg)
-            for r in pat.match_runs_all_rows(
-                df, "k", ["pos"], F.col("lab"), pattern
-            ).collect()
-        }
-        assert got == want, (pattern, got ^ want)
+        for fn in (
+            pat.match_runs_all_rows,
+            pat.match_runs_all_rows_sequential,
+        ):
+            got = {
+                (r.k, r.pos, r.classifier, r.match_no, r.leg)
+                for r in fn(
+                    df, "k", ["pos"], F.col("lab"), pattern
+                ).collect()
+            }
+            assert got == want, (fn.__name__, pattern, got ^ want)
 
     with pytest.raises(ValueError):
         pat.match_runs_all_rows(
             df, "k", ["pos"], F.col("lab"), ["D", "U", "D", "U"]
         )
+    # the W-shape through the sequential all-rows form vs the regex
+    wshape = ["D", "U", "D", "U"]
+    rx = re.compile(r"(D+)(U+)(D+)(U+)")
+    want = set()
+    for k, labs in seqs.items():
+        for mn, m in enumerate(rx.finditer(labs), start=1):
+            for g in range(1, 5):
+                a, b = m.span(g)
+                for p in range(a, b):
+                    want.add((k, p, labs[p], mn, g - 1))
+    got = {
+        (r.k, r.pos, r.classifier, r.match_no, r.leg)
+        for r in pat.match_runs_all_rows_sequential(
+            df, "k", ["pos"], F.col("lab"), wshape
+        ).collect()
+    }
+    assert got == want
+    # SQL surface: bordered ALL ROWS auto-routes to the sequential
+    # form instead of raising
+    from nipd_spark import sqlext
+
+    df.createOrReplaceTempView("ar_ticks")
+    got_sql = {
+        (r.k, r.pos, r.lab, r.match_no, r.classifier)
+        for r in sqlext.sql(
+            spark,
+            """
+            SELECT * FROM ar_ticks MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              ALL ROWS PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN ( D+ U+ D+ U+ )
+              DEFINE D AS lab = 'D', U AS lab = 'U'
+            )
+            """,
+        ).collect()
+    }
+    want_sql = {(k, p, lb, mn, lb) for (k, p, lb, mn, _g) in want}
+    assert got_sql == want_sql
