@@ -403,7 +403,7 @@ _MATCHNO_RE = re.compile(
     re.IGNORECASE,
 )
 _DEFINE_RE = re.compile(r"^\s*(?P<lbl>\w+)\s+AS\s+(?P<pred>.+)$", re.DOTALL)
-_PREV_RE = re.compile(r"\bPREV\s*\(", re.IGNORECASE)
+_PREV_RE = re.compile(r"\b(?P<kind>PREV|NEXT)\s*\(", re.IGNORECASE)
 # the alias-looking token after MATCH_RECOGNIZE(...) that is really the
 # start of the next clause
 _MR_STOPWORDS = frozenset(
@@ -504,8 +504,11 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
         (value > PREV(value) / < / =) are unaffected. Every PATTERN
         label must be DEFINEd (an undefined label in ISO means TRUE,
         which under first-wins would shadow everything — rejected).
-      - predicates may call PREV(<expr>) (offset 1), compiled to a lag
-        over the PARTITION BY/ORDER BY window; FIRST/LAST/NEXT
+      - predicates may call PREV(<expr>[, n]) and NEXT(<expr>[, n])
+        (integer-literal offsets, default 1), compiled to lag/lead
+        columns over the PARTITION BY/ORDER BY window and evaluated
+        per ROW during labelling (consistent with the deterministic
+        first-wins rule above); FIRST/LAST (match-anchored)
         navigation inside DEFINE is not supported.
       - MEASURES support FIRST/LAST/MIN/MAX/SUM/AVG(L.col),
         COUNT(L.*), COUNT(*) and MATCH_NUMBER() (the 1-based per-key
@@ -575,7 +578,8 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
         legs = _pat.flatten(elements)
         pat_labels = {lab for lab, _, _ in legs}
 
-        # DEFINE: label -> predicate (PREV(expr) hoisted to lag columns)
+        # DEFINE: label -> predicate (PREV/NEXT(expr[, n]) hoisted to
+        # lag/lead columns over the partition/order window)
         defines: list[tuple[str, str]] = []
         for item in _split_top_commas(bm["defs"]):
             dm = _DEFINE_RE.match(item)
@@ -651,15 +655,31 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
                     return out
                 end = _scan_balanced(out, pm.end())
                 inner = out[pm.end() : end - 1].strip()
-                name = prev_map.get(inner)
+                parts = _split_top_commas(inner)
+                if len(parts) == 1:
+                    expr, off = inner, 1
+                elif len(parts) == 2 and parts[1].strip().isdigit():
+                    expr, off = parts[0].strip(), int(parts[1])
+                else:
+                    raise ValueError(
+                        "match_recognize_sql: "
+                        f"{pm.group('kind').upper()}({inner!r}) — the "
+                        "navigation offset must be an integer literal "
+                        "(PREV/NEXT(<expr>[, n]))"
+                    )
+                key = (pm.group("kind").upper(), expr, off)
+                name = prev_map.get(key)
                 if name is None:
-                    name = f"__mr_prev{len(prev_map)}"
-                    prev_map[inner] = name
+                    name = f"__mr_nav{len(prev_map)}"
+                    prev_map[key] = name
                 out = out[: pm.start()] + name + out[end:]
 
         preds = [(lbl, hoist_prev(pred)) for lbl, pred in defines]
-        for inner, name in prev_map.items():
-            rel = rel.withColumn(name, F.lag(F.expr(inner)).over(w_row))
+        for (kind, expr, off), name in prev_map.items():
+            nav = F.lag(F.expr(expr), off) if kind == "PREV" else F.lead(
+                F.expr(expr), off
+            )
+            rel = rel.withColumn(name, nav.over(w_row))
         label = None
         for lbl, pred in preds:
             cond = F.expr(pred)

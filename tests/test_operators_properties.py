@@ -4642,6 +4642,54 @@ def test_match_runs_overlapping_skip_to_next(spark):
         )
 
 
+def test_match_recognize_define_navigation_offsets(spark):
+    """DEFINE navigation (r12): PREV(expr, n) and NEXT(expr[, n])
+    compile to lag/lead columns over the partition window and evaluate
+    per row during labelling; non-literal offsets are rejected
+    loudly."""
+    import pytest
+
+    from nipd_spark import sqlext
+
+    rows = [(1, i, v) for i, v in enumerate([5.0, 4.0, 3.0, 7.0, 9.0, 2.0])]
+    spark.createDataFrame(rows, "k int, pos int, v double") \
+        .createOrReplaceTempView("nav_t")
+    got = [
+        tuple(r)
+        for r in sqlext.sql(
+            spark,
+            """
+            SELECT k, s, n_d, n_u FROM nav_t MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES FIRST(D.pos) AS s, COUNT(D.*) AS n_d,
+                       COUNT(U.*) AS n_u
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN ( D+ U+ )
+              DEFINE D AS v < PREV(v) AND v < PREV(v, 2),
+                     U AS v > PREV(v) AND NEXT(v) IS NOT NULL
+            )
+            """,
+        ).collect()
+    ]
+    # v: 5 4 3 7 9 2 — D needs a 2-step fall (only pos 2: 3<4, 3<5);
+    # U needs a rise with a successor (pos 3: 7>3 next 9; pos 4: 9>7
+    # next 2) -> one match D(1) U(2)
+    assert got == [(1, 2, 1, 2)]
+    with pytest.raises(ValueError):
+        sqlext.sql(
+            spark,
+            """
+            SELECT k FROM nav_t MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES COUNT(*) AS n
+              PATTERN ( D+ U+ )
+              DEFINE D AS v < PREV(v, pos), U AS v > PREV(v)
+            )
+            """,
+        )
+
+
 def test_sql14_recursive_fold_matches_python_reference(spark):
     """sql14's native WITH RECURSIVE batch packing == a from-scratch
     sequential Python fold on a crafted order book covering the edge
