@@ -644,6 +644,7 @@ def match_runs_sequential(
     pattern,
     island_aggs: dict[str, Column],
     with_match_no: bool = False,
+    skip_to_first: "str | None" = None,
 ) -> DataFrame:
     """The documented escape hatch for patterns ``match_runs`` rejects
     as self-overlapping (label sequences with a nontrivial border /
@@ -652,6 +653,20 @@ def match_runs_sequential(
     support, and output schema as ``match_runs``; the island-
     granularity exactness rules (adjacent-distinct labels, unbounded
     max on end legs) apply identically.
+
+    ``skip_to_first=<label>`` switches AFTER MATCH SKIP PAST LAST ROW
+    to the ISO AFTER MATCH SKIP TO FIRST <label> mode: after a match,
+    scanning resumes AT the first row mapped to <label> — which is an
+    island START (the leg consumed its whole maximal run), so the
+    resumption is island-exact; successive matches may then share a
+    tail/head (chained shapes). ISO's no-progress rule is enforced
+    statically: every expansion must carry <label> on a NON-FIRST leg
+    (a first-leg target would restart at the match start — ISO's
+    runtime error — and a missing target has no resumption point);
+    both are rejected loudly. SKIP TO LAST <label> stays unsupported
+    everywhere: it resumes at the last row of an island, and a match
+    from a mid-island row consumes a PARTIAL first island (the
+    exactness rule both matchers reject).
 
     Realization: the SAME distributed island collapse (the two keyed
     stages — nothing Python touches raw rows), then ONE
@@ -681,6 +696,26 @@ def match_runs_sequential(
 
     elements = _normalize(pattern)
     exps = _expansions(elements, "match_runs_sequential")
+    if skip_to_first is not None:
+        for e in exps:
+            js = [j for j, (_oi, lab, _lo, _hi) in enumerate(e)
+                  if lab == skip_to_first]
+            if not js:
+                raise ValueError(
+                    "match_runs_sequential: SKIP TO FIRST "
+                    f"{skip_to_first!r} — the label is absent from the "
+                    f"expansion {[l for _, l, _, _ in e]}, so a match "
+                    "through it would have no resumption row (ISO "
+                    "raises at runtime; rejected statically — make "
+                    "the target leg mandatory in every branch)"
+                )
+            if js[0] == 0:
+                raise ValueError(
+                    "match_runs_sequential: SKIP TO FIRST "
+                    f"{skip_to_first!r} would resume at the match's "
+                    "own start row (the ISO no-progress error) — the "
+                    "target must be a non-first leg in every expansion"
+                )
     keys = [key] if isinstance(key, str) else list(key)
     segs = _islands(df, keys, order, label, island_aggs)
     k = len(flatten(elements))
@@ -751,7 +786,16 @@ def match_runs_sequential(
                 if with_match_no:
                     rec["match_no"] = mn
                 out.append(rec)
-                i += len(hit)  # AFTER MATCH SKIP PAST LAST ROW
+                if skip_to_first is not None:
+                    # resume AT the first island mapped to the target
+                    # label (strictly after i by validation)
+                    i += next(
+                        j
+                        for j, (_oi, lab, _lo, _hi) in enumerate(hit)
+                        if lab == skip_to_first
+                    )
+                else:
+                    i += len(hit)  # AFTER MATCH SKIP PAST LAST ROW
         return pd.DataFrame(out, columns=cols)
 
     bkt = F.pmod(

@@ -2562,3 +2562,126 @@ def w26b_pattern_all_rows_wshape(
         "match_no",
         F.col("leg").cast("int").alias("leg"),
     )
+
+
+@query(
+    "w29_pattern_skip_to_first",
+    # Oracle: for THIS pattern the resumption row (first UP row =
+    # match start + 1 island) trails every later occurrence's start,
+    # so the chained scan provably emits EVERY island-string
+    # occurrence of DOWN UP DOWN — plain end-anchored detection, no
+    # recursion needed; match_no = per-user rank of start islands.
+    # (The operator runs the general resumption scan; the equivalence
+    # is pattern-specific and row-reference-fuzzed in tests.)
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab, lag(lab) OVER wi AS lab1,
+             lag(lab, 2) OVER wi AS lab2,
+             lag(n, 2) OVER wi AS n_d1, lag(n) OVER wi AS n_u,
+             n AS n_d2,
+             lag(start_ts, 2) OVER wi AS start_ts,
+             lag(end_ts) OVER wi AS mid_ts, end_ts,
+             island
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    ),
+    det AS (
+      SELECT * FROM m
+      WHERE lab = 'DOWN' AND lab1 = 'UP' AND lab2 = 'DOWN'
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY island) AS BIGINT)
+             AS match_no,
+           start_ts, mid_ts, end_ts, n_d1, n_u, n_d2
+    FROM det
+    """,
+    tags=("W10", "D6"),
+)
+def w29_pattern_skip_to_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AFTER MATCH SKIP TO FIRST <label> (W10 v3, r12): chained
+    dip-recover-dip shapes — DOWN+ UP+ DOWN+ where each match's
+    trailing DOWN may seed the NEXT match (scanning resumes AT the
+    first UP row, inside the previous match) [PK: ISO/IEC 9075-2:2016
+    §R skip modes]. The resumption row is always an island START (the
+    UP leg consumed its whole maximal run), so the mode is
+    island-exact in match_runs_sequential; a first-leg or absent
+    target is the ISO no-progress/no-resumption error, rejected
+    statically. Fuzzed against a row-level reference (regex search
+    from each resumption point) in tests.
+
+    Plan shape for 100 TB: identical stages to every sequential W10
+    query — two keyed windows, island collapse, the 256-bucket scan
+    over runs; resumption only changes the scan's cursor arithmetic,
+    zero extra stages.
+    """
+    from nipd_spark.operators.patterns import match_runs_sequential
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    label = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("band") > prev, F.lit("UP"))
+        .when(F.col("band") < prev, F.lit("DOWN"))
+        .otherwise(F.lit("FLAT"))
+    )
+    matches = match_runs_sequential(
+        ev,
+        key="user_id",
+        order=["ts", "event_id"],
+        label=label,
+        pattern=["DOWN", "UP", "DOWN"],
+        island_aggs={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+        },
+        with_match_no=True,
+        skip_to_first="UP",
+    )
+    return matches.select(
+        "user_id",
+        "match_no",
+        F.col("seg0_start_ts").alias("start_ts"),
+        F.col("seg1_end_ts").alias("mid_ts"),
+        F.col("seg2_end_ts").alias("end_ts"),
+        F.col("seg0_n").alias("n_d1"),
+        F.col("seg1_n").alias("n_u"),
+        F.col("seg2_n").alias("n_d2"),
+    )

@@ -375,7 +375,8 @@ _MR_BODY_RE = re.compile(
     \s+MEASURES\s+(?P<meas>.+?)
     (?:\s+ONE\s+ROW\s+PER\s+MATCH)?
     (?:\s+AFTER\s+MATCH\s+SKIP\s+
-       (?P<skipmode>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW))?
+       (?P<skipmode>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW
+        |TO\s+FIRST\s+\w+))?
     \s+PATTERN\s*\(\s*(?P<pat>[^()^$]*(?:\([^()^$]*\)[^()^$]*)*)\)
     \s+DEFINE\s+(?P<defs>.+?)\s*$
     """,
@@ -456,7 +457,8 @@ def match_recognize_sql(spark: SparkSession, text: str) -> DataFrame:
           MEASURES <m> AS <alias> [, ...]
           [ONE ROW PER MATCH]
           [AFTER MATCH SKIP PAST LAST ROW      -- default: non-overlap
-           | AFTER MATCH SKIP TO NEXT ROW]     -- overlapping matches
+           | AFTER MATCH SKIP TO NEXT ROW      -- overlapping matches
+           | AFTER MATCH SKIP TO FIRST <lbl>]  -- chained matches
           PATTERN ( E1 E2 ... )                -- E := L[q]
                                                --    | ( BR | BR ... )[?]
                                                --    | PERMUTE(L[q], ...)
@@ -544,24 +546,32 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
             r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE
         )
         skip = re.search(
-            r"\bSKIP\s+(?!PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)",
+            r"\bSKIP\s+(?!PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+            r"|TO\s+FIRST\s+\w+)",
             body,
             re.IGNORECASE,
         )
         if skip:
             raise ValueError(
                 "match_recognize_sql: only AFTER MATCH SKIP PAST LAST "
-                "ROW / SKIP TO NEXT ROW are supported"
+                "ROW / SKIP TO NEXT ROW / SKIP TO FIRST <label> are "
+                "supported (SKIP TO LAST resumes mid-island — the "
+                "partial-first-island exactness rule rejects it)"
             )
         to_next = (
             re.search(r"\bSKIP\s+TO\s+NEXT\s+ROW\b", body, re.IGNORECASE)
             is not None
         )
-        if to_next and all_rows:
+        tf = re.search(
+            r"\bSKIP\s+TO\s+FIRST\s+(\w+)\b", body, re.IGNORECASE
+        )
+        to_first = tf.group(1) if tf else None
+        if (to_next or to_first) and all_rows:
             raise ValueError(
-                "match_recognize_sql: ALL ROWS PER MATCH with SKIP TO "
-                "NEXT ROW (overlapping row tagging) is not supported — "
-                "one row would belong to several matches"
+                "match_recognize_sql: ALL ROWS PER MATCH with an "
+                "overlapping skip mode (TO NEXT ROW / TO FIRST) is "
+                "not supported — one row would belong to several "
+                "matches"
             )
         bm = (_MR_BODY_ALL_RE if all_rows else _MR_BODY_RE).match(body)
         if bm is None:
@@ -745,6 +755,14 @@ def _rewrite_match_recognize(spark: SparkSession, text: str) -> str:
 
         if to_next:
             matcher = _pat.match_runs_overlapping
+        elif to_first is not None:
+            # label case-matching: DEFINE labels are the authority
+
+            def matcher(*a, **kw):
+                return _pat.match_runs_sequential(
+                    *a, **kw, skip_to_first=to_first
+                )
+
         else:
             matcher = (
                 _pat.match_runs

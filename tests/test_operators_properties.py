@@ -4642,6 +4642,98 @@ def test_match_runs_overlapping_skip_to_next(spark):
         )
 
 
+def test_match_runs_skip_to_first(spark):
+    """AFTER MATCH SKIP TO FIRST <label> (r12): the chained scan ==
+    a row-level reference (regex search from each resumption row —
+    the first row the target label mapped to); first-leg targets
+    (ISO no-progress) and absent targets are rejected statically;
+    the SQL surface routes the spelling to the sequential matcher."""
+    import random
+    import re
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nipd_spark import sqlext
+    from nipd_spark.operators import patterns as pat
+
+    pattern = [("D", 1, None), ("U", 1, None), ("D", 1, None)]
+    rx = re.compile(r"(D+)(U+)(D+)")
+
+    def ref(s):
+        out, p = [], 0
+        while p < len(s):
+            m = rx.search(s, p)
+            if not m:
+                break
+            segs = []
+            for g in (1, 2, 3):
+                a, b = m.span(g)
+                segs += [b - a, a]
+            out.append(tuple(segs))
+            p = m.start(2)  # resume AT the first U row
+        return out
+
+    rng = random.Random(3)
+    seqs = [
+        "".join(rng.choice("DUF") for _ in range(rng.randint(1, 16)))
+        for _ in range(200)
+    ]
+    rows = [(k, i, lb) for k, s in enumerate(seqs) for i, lb in enumerate(s)]
+    df = spark.createDataFrame(rows, "k int, pos int, lab string")
+    want = sorted(
+        [(k,) + m for k, s in enumerate(seqs) for m in ref(s)], key=str
+    )
+    got = sorted(
+        [
+            tuple(
+                [r.k]
+                + [
+                    x
+                    for i in range(3)
+                    for x in (r[f"seg{i}_n"], r[f"seg{i}_start"])
+                ]
+            )
+            for r in pat.match_runs_sequential(
+                df, "k", ["pos"], F.col("lab"), pattern,
+                {"start": F.min("pos")}, skip_to_first="U",
+            ).collect()
+        ],
+        key=str,
+    )
+    assert got == want
+    for bad_target in ("D", "X"):
+        with pytest.raises(ValueError):
+            pat.match_runs_sequential(
+                df, "k", ["pos"], F.col("lab"), pattern,
+                {"start": F.min("pos")}, skip_to_first=bad_target,
+            )
+    # SQL spelling end-to-end (tiny slice)
+    df.filter(F.col("k") < 20).createOrReplaceTempView("stf_ticks")
+    got_sql = sorted(
+        tuple(r)
+        for r in sqlext.sql(
+            spark,
+            """
+            SELECT k, s0, n1 FROM stf_ticks MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES FIRST(D.pos) AS s0, COUNT(U.*) AS n1
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP TO FIRST U
+              PATTERN ( D+ U+ D+ )
+              DEFINE D AS lab = 'D', U AS lab = 'U'
+            )
+            """,
+        ).collect()
+    )
+    want_sql = sorted(
+        (k, m[1], m[2])
+        for k, s in enumerate(seqs[:20])
+        for m in ref(s)
+    )
+    assert got_sql == want_sql
+
+
 def test_match_recognize_define_navigation_offsets(spark):
     """DEFINE navigation (r12): PREV(expr, n) and NEXT(expr[, n])
     compile to lag/lead columns over the partition window and evaluate
