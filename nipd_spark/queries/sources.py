@@ -2452,3 +2452,123 @@ def sql14_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pack GROUP BY o_custkey
         """
     )
+
+
+@query(
+    "sql15_match_recognize_optional_group",
+    # Oracle: end-anchored detection with the optional group's THREE
+    # expansion forms as CASE arms — [JUMP,FLAT,DOWN], [JUMP,UP,DOWN]
+    # and the group-absent [JUMP,DOWN]; exact because every pair of
+    # forms diverges at position 1 (FLAT/UP/DOWN are distinct), so at
+    # any end island at most one form matches and no two occurrences
+    # with different ends can overlap. Counts exact; µs exact.
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {ts_us()} AS ts, event_id,
+             CAST(floor(value / 25) AS BIGINT) AS band,
+             row_number() OVER w AS rn,
+             lag(CAST(floor(value / 25) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ts_us()}, event_id)
+    ),
+    lbl AS (
+      SELECT *, CASE WHEN prev IS NULL THEN NULL
+                     WHEN band > prev + 1 THEN 'JUMP'
+                     WHEN band > prev THEN 'UP'
+                     WHEN band < prev THEN 'DOWN'
+                     ELSE 'FLAT' END AS lab
+      FROM e
+    ),
+    isl AS (
+      SELECT *, sum(CASE WHEN lab IS NULL OR plab IS NULL
+                          OR lab <> plab THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM (SELECT *, lag(lab) OVER (PARTITION BY user_id ORDER BY rn)
+                        AS plab
+            FROM lbl)
+    ),
+    seg AS (
+      SELECT user_id, island, min(lab) AS lab,
+             CAST(count(*) AS BIGINT) AS n,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM isl GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT user_id, lab, lag(lab) OVER wi AS lab1,
+             lag(lab, 2) OVER wi AS lab2,
+             lag(n) OVER wi AS n1, lag(n, 2) OVER wi AS n2,
+             n AS n_down,
+             lag(start_ts) OVER wi AS s1, lag(start_ts, 2) OVER wi AS s2,
+             end_ts
+      FROM seg
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    ),
+    det AS (
+      SELECT *,
+             CASE WHEN lab = 'DOWN' AND lab1 IN ('FLAT', 'UP')
+                       AND lab2 = 'JUMP' THEN 2
+                  WHEN lab = 'DOWN' AND lab1 = 'JUMP' THEN 1
+             END AS form
+      FROM m
+    )
+    SELECT user_id,
+           CASE WHEN form = 2 THEN s2 ELSE s1 END AS start_ts,
+           end_ts,
+           CASE WHEN form = 2 THEN n2 ELSE n1 END AS n_jump,
+           CASE WHEN form = 2 THEN n1 ELSE CAST(0 AS BIGINT) END
+             AS n_drift,
+           n_down
+    FROM det WHERE form IS NOT NULL
+    """,
+    tags=("W10", "W5"),
+)
+def sql15_match_recognize_optional_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optional alternation group through the SQL surface (W10 v3,
+    r12): PATTERN ( JUMP+ (FLAT+ | UP+)? DOWN+ ) — a band spike,
+    optionally some drift (flat or mild rise), then a decline; the
+    trailing '?' on the group adds the empty branch, so the pattern
+    expands to three candidate forms ORed into one detection pass
+    [PK: ISO/IEC 9075-2:2016 §R]. Exercises the two group features
+    the other SQL queries don't: the group-absent branch (COUNT over
+    the group's labels = 0 for direct JUMP->DOWN matches) and a
+    4-label DEFINE with an arithmetic PREV predicate
+    (band > PREV(band) + 1).
+
+    Plan shape for 100 TB: identical to w27/sql12 — keyed windows on
+    the growing user_id, the expansion forms are WHEN arms over
+    already-lagged columns, zero extra stages.
+    """
+    from nipd_spark.sqlext import sql as sqlx
+
+    load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("band"),
+    ).createOrReplaceTempView("sql15_events")
+    return sqlx(
+        spark,
+        """
+        SELECT mr.user_id, start_ts, end_ts, n_jump,
+               n_flat + n_up AS n_drift, n_down
+        FROM sql15_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(JUMP.ts) AS start_ts,
+                   LAST(DOWN.ts) AS end_ts,
+                   COUNT(JUMP.*) AS n_jump,
+                   COUNT(FLAT.*) AS n_flat,
+                   COUNT(UP.*) AS n_up,
+                   COUNT(DOWN.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ( JUMP+ (FLAT+ | UP+)? DOWN+ )
+          DEFINE JUMP AS band > PREV(band) + 1,
+                 UP AS band > PREV(band),
+                 DOWN AS band < PREV(band),
+                 FLAT AS band = PREV(band)
+        ) AS mr
+        """,
+    )

@@ -78,12 +78,13 @@ _FRONT_QUERIES: tuple[str, ...] = (
     # (1) round-12 additions (w27/w27b/sql12/w28/sql13 and the w24c
     # oracle landed after the first r12 rotation cut — rotation
     # RE-OPENED per the standing rule and the front re-cut to cover
-    # them; f2/f3/f4, d6-d9 and f1 displaced to r13)
+    # them; f2/f3/f4, d5-d9 and f1 displaced to r13)
     "w28_pattern_overlapping",
     "sql13_match_recognize_skip_to_next",
     "sql14_recursive_cte",
     "w26b_pattern_all_rows_wshape",
     "w29_pattern_skip_to_first",
+    "sql15_match_recognize_optional_group",
     "w27_pattern_alternation",
     "w27b_pattern_permute",
     "sql12_match_recognize_alternation",
@@ -132,7 +133,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "d2_pandas_udf",
     "d3_iterator_udf",
     "d4_grouped_zscore",
-    "d5_grouped_agg_udf",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

@@ -996,6 +996,7 @@ def test_skyline_join_back_strategy_tolerant(spark, sf_dir, name):
         "sql12_match_recognize_alternation",
         "w28_pattern_overlapping",
         "sql13_match_recognize_skip_to_next",
+        "sql15_match_recognize_optional_group",
     ],
 )
 def test_w10_v2_patterns_stay_all_jvm(spark, sf_dir, name):
