@@ -56,8 +56,18 @@ def main() -> None:
                 c = c.set_column(c.schema.get_field_index(k), k, shifted)
             copies.append(c)
         big = pa.concat_tables(copies)
-        pq.write_table(big, f"{out}/{t}.parquet", row_group_size=1_000_000)
-        print(f"{t}: {src.num_rows} -> {big.num_rows}")
+        # Byte-targeted row groups (~8 MB compressed) instead of a fixed
+        # 1M rows: a Spark scan task can split a file only at row-group
+        # boundaries, and the old fixed-row sizing left e.g. the 100x
+        # documents table as ONE 57 MB row group — every downstream text
+        # query scanned (and tokenized) on a single thread regardless of
+        # maxPartitionBytes (r12 optimization round; guide §6 file
+        # layout). DuckDB parallelizes over row groups the same way, so
+        # the twin baseline benefits identically — the layout is neutral.
+        bpr = max(1, os.path.getsize(f"{SRC}/{t}.parquet") // src.num_rows)
+        rows_per_rg = max(20_000, (8 << 20) // bpr)
+        pq.write_table(big, f"{out}/{t}.parquet", row_group_size=rows_per_rg)
+        print(f"{t}: {src.num_rows} -> {big.num_rows} (rg={rows_per_rg})")
 
 
 if __name__ == "__main__":
