@@ -1417,27 +1417,44 @@ def c20_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-partitioned passes over the customer-grain aggregate, no
     unpartitioned window anywhere, bit-identical to Window ntile
     (property-tested).
+
+    r12 optimization: the three rank passes are built as independent
+    (o_custkey, rn) MAPS over the once-checkpointed customer-grain
+    aggregate and joined at the end — the multi-column rank-map idiom
+    (operators/ranks.grouped_avg_rank_map's lineage note; CLAUDE.md).
+    The previous form CHAINED with_global_rn calls, so pass #2's
+    range/totals aggregations re-executed pass #1's whole join+window
+    lineage and pass #3 re-executed both — measured 31 s at sf0.001 /
+    39 output rows; the map-join form is 2.9 s (10.7x) with
+    bit-identical output (row_number over (key, o_custkey) is
+    deterministic per pass regardless of composition order).
     """
     from nipd_spark.operators import ranks
+    from nipd_spark.operators.materialize import spill_checkpoint
 
     o = load(spark, sf_dir, "orders")
-    rfm = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
-    ).withColumn(
-        # numeric rank key; NTZ -> TZ cast is UTC-pinned and monotone
-        "last_us", F.unix_micros(F.col("last_order").cast("timestamp"))
+    rfm = spill_checkpoint(
+        o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        ).withColumn(
+            # numeric rank key; NTZ -> TZ cast is UTC-pinned and monotone
+            "last_us", F.unix_micros(F.col("last_order").cast("timestamp"))
+        ),
+        eager=False,
     )
     cnt = rfm.agg(F.count("*").alias("__n"))
-    ranked = ranks.with_global_rn(
-        rfm, "last_us", ["o_custkey"], out="__r_rn"
-    )
-    ranked = ranks.with_global_rn(
-        ranked, "frequency", ["o_custkey"], out="__f_rn"
-    )
-    ranked = ranks.with_global_rn(
-        ranked, "monetary", ["o_custkey"], out="__m_rn"
+
+    def rank_map(key: str, out: str) -> DataFrame:
+        return ranks.with_global_rn(
+            rfm.select("o_custkey", key), key, ["o_custkey"], out=out
+        ).select("o_custkey", out)
+
+    ranked = (
+        rank_map("last_us", "__r_rn")
+        .join(rank_map("frequency", "__f_rn"), "o_custkey")
+        .join(rank_map("monetary", "__m_rn"), "o_custkey")
     )
     n = F.col("__n")
     scored = ranked.crossJoin(F.broadcast(cnt)).select(
