@@ -593,36 +593,44 @@ def o4_pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: 3-way join, filtered, grouped, global top-10.
 
-    Scale note: customer is the small side (broadcast); lineitem⋈orders
-    shuffles on orderkey. The fact-join strategy is PROFILE-SPLIT (r11
-    VERDICT item 2 — one global choice kept costing one posture or the
-    other): under the default ``local`` profile (one shared JVM heap,
-    hash builds cheap, sorts pure overhead) the filtered-orders side
-    carries a ``shuffle_hash`` hint — measured 8.4-10.0 → 5.3-5.8 s
-    fresh at the 100× replica (r12 ×3; SCALE.md "r12: q3"); under
-    ``SPARK_GRAFT_PROFILE=scale`` the join stays SORT-MERGE: the date
-    filter keeps ~97% of orders, the build side is fully fact-sized,
-    and a per-executor hash build of multi-GB orders OOMs where SMJ's
-    sort spills gracefully (the r10 advice that prompted the revert) —
-    and with AQE on, the SMJ plan measured FASTER anyway (4.5-4.8 s at
-    100×), so the safe cluster plan costs nothing. q5 keeps its hint in both
-    profiles (year-filtered ~1/7 build, bounded). Top-10 via
-    TakeOrderedAndProject (no full sort). Deterministic tie-breaks
-    (o_orderdate, l_orderkey) keep the oracle stable at the LIMIT
-    boundary.
+    Scale note (r12 reorder): the broadcast customer-segment filter is
+    applied to ORDERS before the fact join, so whatever join strategy
+    the fact join uses sees only orders of BUILDING-segment customers
+    (~1/5) instead of ~97% of orders (guide §2.3 "shuffle fewer bytes",
+    §3.2 semi-join pre-reduction). The fact-join strategy stays
+    PROFILE-SPLIT (r11 VERDICT item 2): under the default ``local``
+    profile the filtered pairing (~1/5 of orders) is itself BROADCAST,
+    so lineitem is never exchanged at all (one shared JVM — the
+    "broadcast the plan" move of guide §8.4; measured 4.5 → 4.2-4.4 s
+    fresh noop at the 100× replica, with the orderkey Exchange pair
+    gone from the plan); under ``SPARK_GRAFT_PROFILE=scale`` no
+    broadcast is forced — segment-filtered orders are still fact-sized
+    at 100 TB, so the join stays SORT-MERGE with AQE handling
+    skew/strategy, now over a 5× smaller orders side than the r11
+    plan. Top-10 via TakeOrderedAndProject (no full sort).
+    Deterministic tie-breaks (o_orderdate, l_orderkey) keep the oracle
+    stable at the LIMIT boundary.
     """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        # r12 optimization (guide §2.3/§3.2): apply the broadcast
+        # customer-segment filter to ORDERS before the fact join instead
+        # of after it — the BUILDING segment keeps ~1/5 of customers, so
+        # the orderkey exchange (and the local profile's hash build)
+        # carries ~1/5 of orders instead of ~97% of them. Join reorder
+        # only: the predicate set is unchanged, results identical.
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
-        o = o.hint("shuffle_hash")
+        o = F.broadcast(o)
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -687,20 +695,23 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation for intra-nation (customer nation == supplier nation) orders
     in one region and year.
 
-    Plan shape at scale: region/nation/supplier are broadcast dims;
-    orders⋈lineitem and ⋈customer shuffle on their equi keys (customer
-    is fact-sized at 100 TB — AQE may still demote it to broadcast at
-    small SF). The o_orderdate filter is pushed to the orders scan and
-    the r_name filter shrinks the supplier build side before shuffle.
-    The lineitem⋈orders join carries a shuffle_hash hint on the
-    FILTERED orders side: sort-merge would sort the full unfiltered
-    lineitem stream, while hash-building the year-filtered orders
-    partition (~1/7 of orders per shuffle partition) streams lineitem
-    unsorted — measured 10.3→6.7 s / 27.8→7.3 s on the 100× replica
-    in r10, re-measured 4.3 s in r11 (the customer join stays SMJ: a
-    fact-sized build side should sort and spill gracefully, not
-    hash-build; q3's and j6's hints were reverted in r11 for exactly
-    that reason — their build sides are fact-sized).
+    Plan shape at scale (r12 reorder): region/nation/supplier are
+    broadcast dims. orders⋈customer is resolved FIRST — both sides
+    dimension-filtered before their custkey exchange (orders to the
+    year ~1/7, customer to the region's nations ~1/5; the latter is
+    implied by c_nationkey = s_nationkey ∧ s_nationkey ∈ ASIA, so the
+    result set is unchanged) — and only then joined to lineitem on
+    orderkey. Under the local profile the surviving (o_orderkey,
+    c_nationkey) pairs (~1/35 of orders) are BROADCAST, so lineitem is
+    never shuffled at all (measured 6.4 → 1.8 s fresh noop at the 100×
+    replica; the old plan shuffle-hashed all of lineitem against the
+    year-filtered orders). Under SPARK_GRAFT_PROFILE=scale the pairing
+    is fact-sized, so no broadcast is forced: the lineitem join stays a
+    shuffle join with AQE choosing strategy — still strictly better
+    than the pre-r12 shape because the custkey exchange carries
+    filtered inputs instead of applying the customer filter after the
+    fact join. The intra-nation predicate c_nationkey = s_nationkey
+    rides the supplier broadcast join.
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -718,13 +729,34 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = supplier.join(
         F.broadcast(dim), supplier.s_nationkey == dim.n_nationkey
     ).select("s_suppkey", "s_nationkey", "n_name")
-    orders = orders.hint("shuffle_hash")
+    # r12 optimization (guide §2.3/§3.2, §8's "decide with small rows"):
+    # resolve orders⋈customer FIRST, with customer pre-filtered to the
+    # region's nations (implied by c_nationkey = s_nationkey ∧
+    # s_nationkey ∈ ASIA — a redundant predicate, so results are
+    # identical). The custkey exchange then carries the year-filtered
+    # orders (~1/7) against ~1/5 of customers, and the (o_orderkey,
+    # c_nationkey) pairing that survives is ~1/35 of orders — small
+    # enough to BROADCAST under the local profile, which removes the
+    # lineitem exchange entirely (the old plan shuffled all of lineitem
+    # on orderkey). Under SPARK_GRAFT_PROFILE=scale no hint is attached:
+    # orders⋈customer is fact-sized at 100 TB, so the lineitem join
+    # stays a shuffle join and AQE picks strategy/handles skew — still
+    # strictly better than before, because both custkey inputs are
+    # dimension-filtered before their exchange.
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(dim.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
+        oc = F.broadcast(oc)
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        lineitem.join(oc, lineitem.l_orderkey == F.col("o_orderkey"))
         .join(
-            customer.select("c_custkey", "c_nationkey"),
-            (F.col("o_custkey") == F.col("c_custkey"))
+            F.broadcast(sup),
+            (lineitem.l_suppkey == sup.s_suppkey)
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")

@@ -62,17 +62,19 @@ def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
 
 
 def test_q3_broadcasts_dims_no_sort_merge(spark, sf_dir):
-    """q3's fact-join strategy is profile-split (r11 VERDICT item 2):
-    under the default local profile the filtered-orders side carries a
-    shuffle_hash hint (single shared heap — hash build cheap, sort
-    overhead), so the li⋈o join is ShuffledHashJoin and customer still
-    broadcasts; under SPARK_GRAFT_PROFILE=scale the hint is absent and
-    the join stays sort-merge (fact-sized build would OOM executors).
-    Tests run under the local profile — pin that shape."""
+    """q3's fact-join strategy is profile-split (r11 VERDICT item 2,
+    re-shaped in the r12 optimization round): under the default local
+    profile the segment-filtered orders⋈customer pairing (~1/5 of
+    orders) is broadcast, so the lineitem side is never exchanged —
+    the plan is two BroadcastHashJoins and zero fact Exchanges before
+    the aggregation; under SPARK_GRAFT_PROFILE=scale no broadcast is
+    forced and the fact join stays sort-merge (fact-sized build would
+    OOM executors). Tests run under the local profile — pin that
+    shape."""
     plan = _plan(spark, sf_dir, "q3_shipping_priority")
-    assert "ShuffledHashJoin" in plan    # local-profile fact join
-    assert "BroadcastHashJoin" in plan   # customer dim broadcast
+    assert "BroadcastHashJoin" in plan   # dim + pairing broadcasts
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
