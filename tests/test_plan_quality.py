@@ -884,11 +884,16 @@ def test_l72_estep_is_map_in_pandas_over_collapsed_vocab(spark, sf_dir):
 def test_l73_postings_filtered_before_shuffle(spark, sf_dir):
     """l73's adjacency join must be hash/broadcast equi — never a
     nested loop over raw postings — and per-phrase ranking must not
-    window raw posting lists."""
+    window raw posting lists. Since the r12 optimization the 3-row
+    phrase table is localCheckpointed (two broadcast consumers must not
+    re-run the fact-sized selection aggregate), so its
+    TakeOrderedAndProject subplan is materialized separately and the
+    main plan reads it as an RDD scan; both adjacency sides derive from
+    the single checkpointed phrase-word postings table."""
     plan = _plan(spark, sf_dir, "l73_phrase_search")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "TakeOrderedAndProject" in plan  # top-3 phrase selection
+    assert "Scan ExistingRDD" in plan  # checkpointed phrase/postings feed
 
 
 def test_a32_no_global_raw_row_window(spark, sf_dir):
