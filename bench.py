@@ -148,6 +148,30 @@ def _bench_specs_fresh(spark, specs, sf_dir, n_runs, skip=frozenset()):
     return timings
 
 
+def _bench_specs_fresh_noop(spark, specs, sf_dir, n_runs, skip=frozenset()):
+    """Compute-only twin of the fresh metric (r12 optimization round,
+    guide §1.4): same fresh lineage per run, but the action is the noop
+    sink — every column of every row is computed and discarded, so the
+    number excludes Arrow collection of the result set. Added because
+    o4's 100× fresh number proved to be ~70% driver-side collection of
+    its 4.5M-row result (noisy ±2×), which buried the engine's actual
+    compute scaling. ADDITIVE metric: the existing queries/fresh_queries
+    keys keep their exact methodology."""
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE:
+        spec = specs.get(name)
+        if spec is None or key in skip:
+            continue
+        runs = []
+        for _ in range(n_runs):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[key] = round(min(runs), 4)
+    return timings
+
+
 def _bench_duck(specs, sf_dir, n_runs, skip=frozenset()):
     """DuckDB oracle twins on the same parquet dir — the warm-best
     baseline methodology of BASELINE.md, re-measured at this tier so
@@ -261,6 +285,9 @@ def main() -> None:
             try:
                 q16, _ = _bench_specs(spark, specs, t16, n_runs=4, skip=TIER16_SKIP)
                 f16 = _bench_specs_fresh(spark, specs, t16, n_runs=2, skip=TIER16_SKIP)
+                fn16 = _bench_specs_fresh_noop(
+                    spark, specs, t16, n_runs=2, skip=TIER16_SKIP
+                )
                 d16 = _bench_duck(specs, t16, n_runs=4, skip=TIER16_SKIP)
                 out["tier16x"] = {
                     "sf_dir": t16,
@@ -269,6 +296,8 @@ def main() -> None:
                     "queries": q16,
                     "fresh_value": round(sum(f16.values()), 4),
                     "fresh_queries": f16,
+                    "fresh_noop_value": round(sum(fn16.values()), 4),
+                    "fresh_noop_queries": fn16,
                     "skipped": sorted(TIER16_SKIP),
                     "duckdb_value": round(sum(d16.values()), 4),
                     "duckdb_queries": d16,
@@ -294,6 +323,9 @@ def main() -> None:
                 f100 = _bench_specs_fresh(
                     spark, specs, t100, n_runs=2, skip=TIER16_SKIP
                 )
+                fn100 = _bench_specs_fresh_noop(
+                    spark, specs, t100, n_runs=2, skip=TIER16_SKIP
+                )
                 d100 = _bench_duck(specs, t100, n_runs=2, skip=TIER16_SKIP)
                 out["tier100x"] = {
                     "sf_dir": t100,
@@ -302,6 +334,8 @@ def main() -> None:
                     "queries": q100,
                     "fresh_value": round(sum(f100.values()), 4),
                     "fresh_queries": f100,
+                    "fresh_noop_value": round(sum(fn100.values()), 4),
+                    "fresh_noop_queries": fn100,
                     "skipped": sorted(TIER16_SKIP),
                     "duckdb_value": round(sum(d100.values()), 4),
                     "duckdb_queries": d100,

@@ -96,8 +96,14 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "sql11_match_recognize_all_rows",
     "l3b_lsh_recall_certificate",
     "l5_recall_certificate",
-    # (2) changed since last attestation
+    # (2) changed since last attestation (q5/c20/l73 re-shaped in the
+    # r12 OPTIMIZATION pass — join reorder / rank-map rewrite / postings
+    # pre-filter; results oracle-identical but plan-affecting, so they
+    # displace the last three r03-cohort padders d2/d3/d4 to r13)
     "q3_shipping_priority",
+    "q5_local_supplier",
+    "c20_rfm_segmentation",
+    "l73_phrase_search",
     "w24_pattern_vshape",
     "w24b_pattern_dip_stabilize_recover",
     "w24c_pattern_wshape",
@@ -130,9 +136,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "cbo1_stats_join_reorder",
     "cbo2_filter_cardinality",
     "d1_scalar_udf",
-    "d2_pandas_udf",
-    "d3_iterator_udf",
-    "d4_grouped_zscore",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list
