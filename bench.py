@@ -162,6 +162,10 @@ def _bench_specs_fresh_noop(spark, specs, sf_dir, n_runs, skip=frozenset()):
         spec = specs.get(name)
         if spec is None or key in skip:
             continue
+        # warm-up (r13, mirrors _bench_specs_fresh): footers/JIT/broadcast
+        # caches — without it a standalone or reordered call folds
+        # cold-start into the min-of-n number
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(n_runs):
             df = spec.fn(spark, sf_dir)
@@ -256,6 +260,12 @@ def main() -> None:
     calib = _calibrate(spark)
     timings, build_total = _bench_specs(spark, specs, sf_dir, n_runs=8)
     fresh = _bench_specs_fresh(spark, specs, sf_dir, n_runs=2)
+    # compute-only split at the HEADLINE sf too (r13, VERDICT r12 item 2):
+    # the warm per-query values sit at/below the measured noop_floor_sec,
+    # so the longitudinal regression/scaling flags computed on them read
+    # collection latency, not the engine. fresh_noop is the floor-proof
+    # twin. ADDITIVE key — queries/fresh_queries keep their methodology.
+    fresh_noop = _bench_specs_fresh_noop(spark, specs, sf_dir, n_runs=3)
     out = {
         "metric": "headline_warm_total",
         "value": round(sum(timings.values()), 4),
@@ -268,12 +278,21 @@ def main() -> None:
         # on the record (the 16x/100x tiers carry the same pair)
         "fresh_value": round(sum(fresh.values()), 4),
         "fresh_queries": fresh,
+        "fresh_noop_value": round(sum(fresh_noop.values()), 4),
+        "fresh_noop_queries": fresh_noop,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host-drift attribution: fixed workloads with zero repo code
         # (see _calibrate) — compare these across BENCH_r{N}.json before
         # reading a headline delta as an engine change
         **calib,
     }
+    # Floor-bound declaration (r13): a warm per-query value within 2x of
+    # the measured per-action floor times job submit + Arrow collect, not
+    # the plan — round-over-round deltas and core-scaling ratios on those
+    # entries are NOT engine signals; use fresh_noop_queries instead.
+    out["warm_floor_bound_queries"] = sorted(
+        k for k, v in timings.items() if v <= 2 * calib["noop_floor_sec"]
+    )
     # 16× tier (VERDICT r8 item 6): at sf0.1 several headline queries
     # are floor-bound — Spark's fixed per-action cost (~0.04 s on this
     # host) dwarfs ~6 ms of work, so their ratio measures scheduling

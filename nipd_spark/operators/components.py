@@ -78,21 +78,89 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("component"))
     )
+
+    def nbr_min_of(labels: DataFrame) -> DataFrame:
+        # min label over the (open) neighborhood of each node
+        return (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+
+    return _label_loop(nbr_min_of, labels, max_iter, rounds_per_job, jumps)
+
+
+def connected_components_adjacency(
+    adj: DataFrame,
+    node: str = "node",
+    nbrs: str = "nbrs",
+    max_iter: int = 50,
+    rounds_per_job: int = 1,
+    jumps: int = 4,
+) -> DataFrame:
+    """(node, component) from a pre-built SYMMETRIC, deduped,
+    self-loop-free adjacency list ``(node, array<neighbor>)`` (r13).
+
+    The caller materializes ``adj`` (spill_checkpoint) — it is consumed
+    every propagation round. Symmetry is what makes the cheap round
+    shape valid: min-over-in-neighbors equals min-over-out-neighbors,
+    so each round SENDS every node's label along its out-edges — a
+    node-sized join (|nodes| adjacency rows ⋈ |nodes| labels,
+    co-partitioned when both exchanges share the session partition
+    count) followed by a map-side explode + partial-min — instead of
+    probing a fact-sized pair list with the label table (guide §2.3:
+    the edge-sized stream never crosses an exchange un-aggregated).
+    Fixpoint, labels, and output are identical to
+    ``connected_components`` on the exploded pair list.
+    """
+    a = adj.select(F.col(node).alias("_n"), F.col(nbrs).alias("_vs"))
+    labels = a.select(
+        F.col("_n").alias("node"), F.col("_n").alias("component")
+    )
+
+    def nbr_min_of(labels: DataFrame) -> DataFrame:
+        return (
+            a.join(labels, a["_n"] == labels["node"])
+            .select(F.explode("_vs").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+
+    return _label_loop(nbr_min_of, labels, max_iter, rounds_per_job, jumps)
+
+
+def _label_loop(
+    nbr_min_of,
+    labels: DataFrame,
+    max_iter: int,
+    rounds_per_job: int,
+    jumps: int,
+) -> DataFrame:
+    """Shared superstep loop: ``rounds_per_job`` propagation rounds
+    (neighborhood min supplied by ``nbr_min_of``), ``jumps`` pointer
+    jumps each, one checkpoint+sum action per superstep, monotone-sum
+    fixpoint test (module docstring)."""
     prev_sum: object = object()  # sentinel != any first-superstep sum
     for _ in range(max_iter):
         for _ in range(rounds_per_job):
-            # min label over the closed neighborhood of each node
-            nbr_min = (
-                sym.join(labels, sym["b"] == labels["node"])
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.min("component").alias("nbr_component"))
-            )
+            nbr_min = nbr_min_of(labels)
             labels = labels.join(nbr_min, "node", "left").select(
                 "node",
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
+            # LAZY checkpoint before the jumps (r13): each jump below
+            # references `labels` TWICE, so 4 lazily-composed jumps
+            # embed 2^4 copies of the propagation subtree — the one
+            # plan fragment that touches the fact-sized edge relation.
+            # Plan-level exchange reuse covered the pair-join spelling
+            # but NOT the adjacency explode+agg spelling (measured at
+            # the 100× replica: 321 s/superstep vs 76 s). An RDD-backed
+            # scan is shared by construction — every reference hits the
+            # SAME RDD, computed once inside the superstep's single
+            # action (eager=False: no extra job, no barrier).
+            labels = labels.localCheckpoint(eager=False)
             # Pointer jumping (path compression): component <-
             # label(component). Every label is itself a node id, so each
             # extra equi-join halves the remaining distance to the
@@ -111,6 +179,11 @@ def connected_components(
                         "component", F.coalesce("p_comp", "component")
                     ).alias("component"),
                 )
+                # same sharing argument per jump: jump k+1 references
+                # jump k's output twice; without the RDD cut the last
+                # jump's plan holds 2^(k-1) copies of the first jump's
+                # vertex join (15 joins instead of 4 per superstep)
+                labels = labels.localCheckpoint(eager=False)
         # ONE action per superstep: the sum both materializes the lazy
         # checkpoint and tests convergence (labels are monotone
         # non-increasing, so an unchanged sum IS the fixpoint). decimal

@@ -1439,11 +1439,28 @@ def a4b_hll_error_certificate(
     with no Expand, so the audit shares the scan's shuffle; the
     two-column spelling Expand-multiplied the shuffle and OOMed the
     16× probe on this host's single shared heap (measured r9).
+
+    r13 (guide §5; VERDICT r12 item 4): the MIXED approx+exact
+    spelling made planAggregateWithOneDistinct key the first-level
+    aggregate by (l_returnflag, l_orderkey) while ALSO carrying a
+    partial_approx_count_distinct buffer — 1,639 sketch words
+    (rsd 0.01 ⇒ 2^14 registers) PER DISTINCT PAIR through the first
+    exchange (plans/r13/a4b_..._before.txt node (3): Results [1641]).
+    At the 100× tier that is ~45M × 13 KB of agg state — the GC death
+    spiral behind the 311-373 s row. HLL register updates are maxes of
+    hashed values, so inserting a value twice is idempotent:
+    approx_count_distinct over the DEDUPED (flag, orderkey) pairs is
+    bit-identical to over the raw rows, and countDistinct over them is
+    plain count. The explicit dropDuplicates pays the same pair
+    exchange the distinct rewrite already paid — but with 2 narrow
+    columns and no sketch — and the agg that follows holds 3 sketches
+    per task, not one per pair.
     """
     li = load(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    d = li.select("l_returnflag", "l_orderkey").dropDuplicates()
+    g = d.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
-        F.countDistinct("l_orderkey").alias("eo"),
+        F.count("l_orderkey").alias("eo"),
     )
     bound = F.lit(3 * 0.01)
     return g.select(

@@ -32,6 +32,65 @@ from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str, symmetric: bool) -> DataFrame:
+    """Co-purchase part pairs via per-order ``collect_set`` + codegen'd
+    explode expansion (r13, guide §2.3/§2.4) — NOT deduped across
+    orders: (u, v) with u != v when ``symmetric`` else u < v.
+
+    Replaces the op-distinct + orderkey self-join edge build: that shape
+    paid a fact exchange for the (orderkey, partkey) distinct, a second
+    fact exchange for the join key, and sort-merge sorts of BOTH sides.
+    This shape pays ONE exchange — groupBy(orderkey) with map-side
+    partial ``collect_set`` (which also absorbs the op-level dedup) —
+    and the pair expansion is two chained codegen'd Generate(explode)
+    nodes over ≤ basket-sized arrays (baskets are small and bounded, so
+    the in-row n² is a constant). The r6 probe that rejected in-row
+    expansion used nested ``transform`` HOFs (interpreted struct
+    construction, 67 s vs 26 s at 100×); Generate is codegen'd and
+    measures 1.4× FASTER than the self-join on the same replica
+    (157.7 → 113.4 s for the full symmetric deduped build+checkpoint,
+    identical 239.2M edges and content hash).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select("ps")
+    )
+    cond = (
+        (F.col("u") != F.col("v")) if symmetric else (F.col("u") < F.col("v"))
+    )
+    return (
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(cond)
+    )
+
+
+def _copurchase_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric deduped co-purchase ADJACENCY (u, vs: array<partkey>),
+    DISK_ONLY-checkpointed (r13, guide §2.3 "shuffle keys and metadata
+    instead of payloads" applied to the edge table itself).
+
+    Dedup rides the ``collect_set`` aggregate — no separate pair
+    exchange + dropDuplicates pass — and the checkpoint holds O(nodes)
+    array rows instead of O(edges) pair rows (~2M vs 239M at the 100×
+    replica), so every downstream consumer (PageRank iterations, BFS
+    supersteps, label propagation) joins a NODE-sized relation and
+    explodes edge-sized data map-side AFTER the join. The groupBy(u)
+    exchange uses the session shuffle-partition count, so iteration
+    aggregates keyed the same way co-partition against the checkpoint
+    (the old explicit repartition(defaultParallelism) stopped matching
+    once autosize derived the count from data size — every g2 iteration
+    re-shuffled the 239M-edge side, measured 254 s of iteration time).
+    """
+    pairs = _basket_pairs(spark, sf_dir, symmetric=True)
+    return spill_checkpoint(
+        pairs.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    )
+
+
 @query(
     "g1_triangle_count",
     sql="""
@@ -76,23 +135,16 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed triangles — the ingredients of the global clustering
     coefficient 3·Δ/wedges.
     """
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        # r13: oriented pair build via per-order collect_set + codegen'd
+        # explode (_basket_pairs) — same distinct u<v edge SET as the
+        # old op-distinct + orderkey self-join, one fact exchange
+        # instead of two plus both SMJ sorts.
+        _basket_pairs(spark, sf_dir, symmetric=False)
         .distinct()
         # e feeds deg, o and ecnt, and o feeds three wedge-join legs;
         # column pruning specializes each consumer's subtree so
-        # ReusedExchange never fires and the co-purchase self-join would
+        # ReusedExchange never fires and the co-purchase pair build would
         # recompute ~6x (measured: 20 s at sf0.1). Materialize once on
         # executors — at 100 TB this is the standard cut for any
         # multi-consumer subplan; DISK_ONLY keeps the fact-sized blocks
@@ -188,73 +240,46 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     conserved and ranks converge toward degree-proportionality.
 
     Scale notes: the rank vector is O(nodes) — orders of magnitude
-    smaller than the edge list — so at 100 TB each iteration shuffles
-    edges once on the join key (or zero times if edges are pre-bucketed
-    by u: the rank side broadcasts when nodes fit, or co-partitions
-    otherwise). The edge list (a distinct self-join — the expensive
-    part) is localCheckpoint()ed ONCE: without it each unrolled
-    iteration re-derives the self-join, multiplying the dominant cost
-    by the iteration count (exchange reuse does not always cover a
-    subplan consumed at different join depths). For deep iteration
-    counts, checkpoint the rank vector every few rounds too — at 3
-    rounds the DAG stays shallow. Ranks are rounded at 6 dp only on
-    output (order-dependent double sums; oracle.py discipline) —
+    smaller than the edge list — and since r13 the edge table itself is
+    stored as the O(nodes) ADJACENCY list (_copurchase_adjacency,
+    checkpointed ONCE: without it each unrolled iteration re-derives
+    the build, multiplying the dominant cost by the iteration count),
+    so at 100 TB each iteration joins two node-sized relations
+    co-partitioned on the same key and the edge-sized stream exists
+    only map-side between the explode and the partial sum. For deep
+    iteration counts, checkpoint the rank vector every few rounds too —
+    at 3 rounds the DAG stays shallow. Ranks are rounded at 6 dp only
+    on output (order-dependent double sums; oracle.py discipline) —
     iteration-internal values stay full precision, and a 1-ulp
     cross-engine wobble cannot survive the 0.85³ contraction at 6 dp.
     """
-    li = load(spark, sf_dir, "lineitem")
-    # The distinct + self-join stays: both sides share one exchange
-    # (ReusedExchange) and the pairing runs in JVM codegen. The r6
-    # probe measured the tempting alternative — per-order collect_set
-    # + in-row nested-transform pair expansion — at 67.4 s vs 25.6 s
-    # for this plan at the 100x tier: interpreted-HOF struct
-    # construction costs more than a co-partitioned sort-merge join.
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    e = (
-        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # Hash-partition by the iteration join key BEFORE freezing the
-        # checkpoint: localCheckpoint preserves the partitioning, so
-        # each of the 3 rank joins co-partitions against it and only
-        # the O(nodes) rank vector shuffles per iteration — the edge
-        # list (the fact-sized side) shuffles exactly once, ever.
-        # Width = cluster parallelism (defaultParallelism), the same
-        # sizing a bucketed-table write would use.
-        #
-        # Dedup rides the SAME exchange: hash(u) colocates equal (u, v)
-        # pairs, so HashPartitioning(u) satisfies the dropDuplicates
-        # ClusteredDistribution(u, v) and Catalyst inserts no second
-        # edge-sized shuffle (deduping the directed list after
-        # symmetrizing ≡ deduping the undirected list before — the
-        # reverse of a duplicate is a duplicate).
-        .repartition(spark.sparkContext.defaultParallelism, "u")
-        .dropDuplicates(["u", "v"])
-        # DISK_ONLY + EAGER: the edge list is fact-sized; in-pool blocks
-        # starve the iteration joins' execution memory (materialize.py).
-        # Eager matters too — an r6 experiment made this lazy for
-        # honest single-action timing and the 100x tier then died with
-        # UNABLE_TO_ACQUIRE_MEMORY: materializing the blocks INSIDE the
-        # iteration job co-schedules block writes with the join/agg
-        # pipelines on all 32 task slots, the exact contention the
-        # eager build avoids by running as its own job. SCALE.md
-        # reports build and iteration costs separately instead.
-        .transform(spill_checkpoint)
-    )
-    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    # r13 edge build: per-order collect_set + codegen'd explode pairs,
+    # aggregated straight into the symmetric deduped ADJACENCY list —
+    # see _basket_pairs/_copurchase_adjacency for the full argument and
+    # the measured numbers (the r6 probe-rejection applied to the
+    # interpreted-HOF expansion, not to Generate). DISK_ONLY + EAGER
+    # checkpoint as before: the adjacency is consumed by deg + 3
+    # iterations, and eager materialization runs as its own job instead
+    # of contending with the iteration pipelines for execution memory.
+    adj = _copurchase_adjacency(spark, sf_dir)
+    # out-degree = |distinct neighbors| — a map over O(nodes) array
+    # rows, where the pair-list shape paid a 239M-row groupBy
+    deg = adj.select(F.col("u").alias("node"), F.size("vs").alias("d"))
 
     ranks = deg.select("node", F.lit(1.0).alias("r"), "d")
     for _ in range(3):
-        contrib = e.join(
+        # join the O(nodes) rank vector onto the O(nodes) adjacency and
+        # only THEN explode to edge granularity: the per-iteration join
+        # streams ~2M array rows instead of 239M pair rows, and the
+        # exploded (node, contribution) stream collapses map-side in
+        # the partial sum before its exchange (guide §2.3 "aggregate
+        # before you shuffle")
+        contrib = adj.join(
             ranks.select(
                 F.col("node").alias("u"), (F.col("r") / F.col("d")).alias("c")
             ),
             "u",
-        ).select(F.col("v").alias("node"), "c")
+        ).select(F.explode("vs").alias("node"), "c")
         ranks = (
             contrib.groupBy("node")
             .agg((F.lit(0.15) + 0.85 * F.sum("c")).alias("r"))
@@ -329,21 +354,17 @@ def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component id and size — a strong cross-check for iterative
     DataFrame algorithms beyond what single-pass oracles exercise.
     """
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    from nipd_spark.operators.components import connected_components
+    # r13 edge build: the symmetric deduped adjacency replaces the
+    # basket self-join + the operator's own pair distinct + pair
+    # checkpoint (_copurchase_adjacency builds the same edge SET the
+    # operator's preamble would have, already symmetrized, deduped and
+    # checkpointed — and every propagation round joins node-sized
+    # relations instead of probing the 239M-row pair list; see
+    # connected_components_adjacency). Identical fixpoint and output.
+    from nipd_spark.operators.components import connected_components_adjacency
 
-    comp = connected_components(und, "u", "v")
+    adj = _copurchase_adjacency(spark, sf_dir)
+    comp = connected_components_adjacency(adj, "u", "vs")
     return (
         comp.groupBy("component")
         .agg(
@@ -394,39 +415,31 @@ def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree on every hop bucket — the distance-label complement of
     g3's component-label cross-check.
 
-    Plan shape for 100 TB: the fact-sized symmetric edge list is
-    hash-partitioned once and DISK_ONLY-checkpointed (the g2/g3
-    discipline), so each of the ≤ 4 supersteps shuffles only the
-    O(frontier) node set: frontier ⋈ edges (equi on node id) → distinct
+    Plan shape for 100 TB: the symmetric deduped edge table is built
+    ONCE as the O(nodes) adjacency list and DISK_ONLY-checkpointed
+    (r13, the g2 discipline — _copurchase_adjacency), so each of the
+    ≤ 4 supersteps shuffles only the O(frontier) node set: frontier ⋈
+    adjacency (equi on node id, node-sized probe) → explode → distinct
     → anti-join against visited. Superstep count is a constant, not
     data-dependent; the visited/distance vector is O(nodes), never
     edge-sized. The driver holds only the 1-row source id.
     """
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    sym = spill_checkpoint(
-        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
+    # r13 edge build: symmetric deduped adjacency via per-order
+    # collect_set + codegen'd explode (_copurchase_adjacency) — the
+    # basket self-join + pair-list checkpoint this replaced was the
+    # dominant cost of the whole query (229.8 of 231.0 s at 100×)
+    adj = _copurchase_adjacency(spark, sf_dir)
     # smallest graph node, read from the ALREADY-MATERIALIZED checkpoint
-    # (min over und would rebuild the whole distinct pair join — the
-    # dominant stage — a second time; sym ⊇ und gives the same min)
-    src = sym.agg(F.min("u").alias("s")).collect()[0].s
+    # (adj's u domain == the symmetric edge list's u domain, so the min
+    # is unchanged; re-deriving it from the raw pairs would rebuild the
+    # dominant stage a second time)
+    src = adj.agg(F.min("u").alias("s")).collect()[0].s
     dist = spark.createDataFrame([(src, 0)], "node long, hop long")
     frontier = dist.select("node")
     for d in range(1, 5):
         nxt = (
-            sym.join(frontier.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"))
+            adj.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.explode("vs").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(d).cast("long"))

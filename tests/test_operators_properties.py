@@ -783,6 +783,39 @@ def test_connected_components_invariants(spark, sf_dir):
         assert c <= node
 
 
+def test_connected_components_adjacency_matches_pairs(spark, sf_dir):
+    """The r13 adjacency-input variant reaches the identical fixpoint
+    as the pair-input operator on the same graph (symmetric deduped
+    adjacency built from the pair list; includes an isolated 2-cycle
+    and a chain so pointer jumping is exercised)."""
+    from pyspark.sql import functions as F
+
+    from nipd_spark.operators.components import (
+        connected_components,
+        connected_components_adjacency,
+    )
+    from nipd_spark.operators.materialize import spill_checkpoint
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22),
+             (22, 20), (5, 6), (6, 7), (7, 8), (8, 9)]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    want = {
+        (r.node, r.component)
+        for r in connected_components(pairs, "a_id", "b_id").collect()
+    }
+    sym = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    adj = spill_checkpoint(
+        sym.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components_adjacency(adj, "u", "vs").collect()
+    }
+    assert got == want
+
+
 def test_kmeans_assignment_total_and_stable(spark, sf_dir):
     """Every vector gets exactly one cluster; cluster ids are within
     [0, C); re-running the deterministic trainer reproduces the
