@@ -85,7 +85,23 @@ def autosize(spark: SparkSession, sf_dir: str) -> None:
     """Set scan-split size and shuffle-partition count from ``sf_dir``'s
     on-disk bytes (see module comment). No-op under AQE, under an
     explicit SPARK_GRAFT_SHUFFLE_PARTITIONS, below the engage floor,
-    or when the target values are already applied to this session."""
+    or when the target values are already applied to this session.
+
+    SINGLE-TIER-PER-ACTION-WINDOW ASSUMPTION (r12 ADVICE, documented
+    loudly): autosize mutates SESSION-GLOBAL conf at DataFrame-BUILD
+    time, but Spark reads both keys at ACTION time. Build a big-tier
+    plan, then load a sub-floor dir (which restores the local
+    defaults), then execute the big-tier plan — and it silently runs
+    at 8 partitions, the exact pathology autosize exists to fix.
+    Every bench/probe loop in this repo is tier-sequential (all
+    actions on a tier complete before another tier is loaded); keep it
+    that way, or re-invoke autosize(spark, sf_dir) immediately before
+    the action. The restore constants below are session.py's LOCAL
+    profile defaults (shuffle.partitions=8) and Spark's own
+    maxPartitionBytes default (128 MB) — update them together with
+    session.py if those ever change (covered by
+    tests/test_operators_properties.py::test_autosize_restores_...).
+    """
     import os
 
     if os.environ.get("NIPD_SPARK_AUTOSIZE", "1") == "0":
@@ -114,6 +130,18 @@ def autosize(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", want[0])
     spark.conf.set("spark.sql.shuffle.partitions", want[1])
     _AUTOSIZE_APPLIED[sid] = want
+
+
+def is_big_tier(sf_dir: str) -> bool:
+    """True when ``sf_dir`` is at/above the autosize engage floor (r13).
+
+    The one size-gate queries may branch on for SCALE-ADAPTIVE plan
+    shapes (the same 64 MB floor autosize uses, so the driver's
+    sf<=0.1 bench/gate plans stay byte-identical while the 16x/100x
+    tiers — and any real deployment — get the shape that scales).
+    A query that branches on this MUST prove both branches equivalent
+    against its oracle (q3's big-tier test is the template)."""
+    return _dir_bytes(sf_dir) >= _AUTOSIZE_MIN_BYTES
 
 
 def dataset_tag(sf_dir: str, salt: str = "") -> str:

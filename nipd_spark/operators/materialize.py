@@ -27,12 +27,39 @@ local disk (or a shuffle-like spill path), exactly what DISK_ONLY does.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def _no_checkpoint() -> bool:
+    """NIPD_SPARK_NO_CHECKPOINT=1 turns both checkpoint helpers into
+    identity (r13, r12 ADVICE): a localCheckpoint truncates the plan to
+    a ``Scan ExistingRDD``, so tools/plan_lint.py and the plan-quality
+    pins could no longer see the subplans BEHIND a checkpoint (l73's
+    phrase selection, c20's rfm aggregate — the r11 vacuous-probe
+    lesson). The lint sweep sets this flag to inspect the FULL
+    pre-checkpoint plan; never set it for real execution — the
+    checkpoints exist for memory/correctness reasons documented at
+    each call site."""
+    return os.environ.get("NIPD_SPARK_NO_CHECKPOINT") == "1"
 
 
 def spill_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Local checkpoint with DISK_ONLY blocks: lineage cut + single
     computation, zero unified-memory-pool footprint.  Use for any
     materialized intermediate whose size scales with the input data."""
+    if _no_checkpoint():
+        return df
     return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+
+
+def plan_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Plain-storage localCheckpoint for vertex/tiny-sized state that
+    also honors the lint flag (use instead of a bare
+    ``df.localCheckpoint()`` when the truncated subplan carries shape
+    the lint should keep seeing)."""
+    if _no_checkpoint():
+        return df
+    return df.localCheckpoint(eager=eager)

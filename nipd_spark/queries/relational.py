@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nipd_spark.catalog import load
+from nipd_spark.catalog import is_big_tier, load
 from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
@@ -610,6 +610,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan. Top-10 via TakeOrderedAndProject (no full sort).
     Deterministic tie-breaks (o_orderdate, l_orderkey) keep the oracle
     stable at the LIMIT boundary.
+
+    r13: ABOVE the autosize floor the query additionally switches to a
+    pre-aggregated shape — revenue aggregated by l_orderkey before any
+    join, keys-only semi filter under the local profile, date/priority
+    attached by a parallel shuffle join (see the inline comment for
+    the measured decomposition and equivalence argument).
     """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = (
@@ -624,19 +630,55 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
-        o = F.broadcast(o)
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+    ).alias("revenue")
+    if is_big_tier(sf_dir):
+        # r13 big-tier shape (VERDICT r12 item 3; guide §2.3/§3.2). The
+        # r12 plan broadcast the FULL ~3M-row (okey, date, priority)
+        # pairing and probed it with every surviving lineitem; measured
+        # decomposition at 100×: the scan is 0.6 s, the pairing 0.9 s,
+        # the broadcast build 0.6 s — the residual ~3.3 s was the 30M
+        # probes against the wide relation + the 6M-group agg, and the
+        # serial build capped 8c→32c scaling at 1.32×. Here the probe
+        # relation shrinks to the KEYS (semi-join filter, local profile
+        # only — at cluster scale the keys stop fitting and the shuffle
+        # join's own filtering takes over), the aggregate groups by
+        # l_orderkey alone BEFORE any join (o_orderdate/o_orderpriority
+        # are functionally dependent on the unique o_orderkey, so the
+        # groups and revenue sums are identical — the 4 dp round is the
+        # established order-absorbing policy), and date/priority attach
+        # via a PARALLEL shuffle join of two aggregated/filtered sides
+        # (1.2M × 3M rows at 100×). Measured: 4.59 → 3.64 s fresh noop
+        # at 100×/32c; 8c→32c ratio 1.32 → 2.03. Below the autosize
+        # floor the r12 plan is kept byte-identical (broadcast pairing
+        # beats extra exchanges when everything fits in one task wave);
+        # tests/test_plan_quality.py proves both branches
+        # oracle-equivalent at sf0.01.
+        ok = o.select("o_orderkey")
+        if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
+            ok = F.broadcast(ok)
+            li = li.join(ok, li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        liagg = li.groupBy("l_orderkey").agg(rev)
+        return (
+            liagg.join(o, liagg.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(
+                F.col("revenue").desc(),
+                F.col("o_orderdate").asc(),
+                F.col("l_orderkey").asc(),
+            )
+            .limit(10)
+        )
+    if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
+        o = F.broadcast(o)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(rev)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(
             F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()

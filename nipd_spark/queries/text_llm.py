@@ -3712,13 +3712,14 @@ def l73_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~3 target terms. Checkpointing the 3-row phrase table lets both
     # consumers share one materialization instead of re-running the
     # fact-sized phrase-selection aggregate per broadcast.
-    ph = ph.localCheckpoint(eager=False)
+    from nipd_spark.operators.materialize import plan_checkpoint, spill_checkpoint
+
+    ph = plan_checkpoint(ph, eager=False)  # lint-transparent (r13)
     # One positional-index scan serves both adjacency sides: postings of
     # the ≤6 phrase words (w1 ∪ w2) are extracted once and checkpointed
     # DISK_ONLY (phrase words are frequent by construction, so this is
     # a few % of tokens — far cheaper to re-read than to re-run the
     # 50M-token posexplode per consumer).
-    from nipd_spark.operators.materialize import spill_checkpoint
 
     pw = (
         ph.select(F.col("w1").alias("term"))

@@ -783,6 +783,36 @@ def test_connected_components_invariants(spark, sf_dir):
         assert c <= node
 
 
+def test_autosize_restores_local_defaults_on_small_tier(spark, monkeypatch):
+    """Big-tier autosize must be UNDONE when a sub-floor dir is loaded
+    next (r12 ADVICE): the restore path re-applies the shipped local
+    defaults, so a later small-tier action does not run with big-tier
+    splits — and, conversely, interleaved big-tier plans executed after
+    a small load would silently run at 8 partitions (autosize is
+    applied at load time but READ at action time; harnesses must stay
+    tier-sequential within an action window)."""
+    from nipd_spark import catalog
+
+    monkeypatch.delenv("NIPD_SPARK_AUTOSIZE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_PROFILE", raising=False)
+    big, small = "/fake/big", "/fake/small"
+    monkeypatch.setattr(
+        catalog, "_dir_bytes",
+        lambda d: 2 * 1024**3 if d == big else 1024,
+    )
+    catalog.autosize(spark, big)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "128"
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(
+        min(max(2 * 1024**3 // 128, 8 * 1024**2), 128 * 1024**2)
+    )
+    catalog.autosize(spark, small)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert (
+        spark.conf.get("spark.sql.files.maxPartitionBytes") == "134217728"
+    )
+
+
 def test_connected_components_adjacency_matches_pairs(spark, sf_dir):
     """The r13 adjacency-input variant reaches the identical fixpoint
     as the pair-input operator on the same graph (symmetric deduped

@@ -89,6 +89,31 @@ def test_q3_scale_profile_stays_sort_merge(spark, sf_dir, monkeypatch):
     assert "CartesianProduct" not in plan
 
 
+def test_q3_big_tier_shape_oracle_equivalent(spark, monkeypatch):
+    """The r13 big-tier q3 (pre-agg by l_orderkey + keys-only semi +
+    shuffle-join attach) must return EXACTLY what the oracle returns —
+    the branch only executes at >=64MB dirs, which the sf0.01 gate
+    never reaches, so equivalence is proven here by forcing the gate.
+    Also pins the big-tier plan: aggregate BELOW the pairing join
+    (SortMergeJoin/ShuffledHashJoin allowed for the small attach join),
+    no cartesian."""
+    import nipd_spark.queries.relational as rel
+    from nipd_spark.testing import compare_spec, make_duck
+
+    sf01 = "/root/testdata/sf0.01"
+    monkeypatch.setattr(rel, "is_big_tier", lambda _sf: True)
+    spec = registry.all_specs()["q3_shipping_priority"]
+    ok, detail = compare_spec(spark, make_duck(sf01), spec, sf01)
+    assert ok, detail
+    df = spec.fn(spark, sf01)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    # the revenue aggregate is keyed by l_orderkey alone (pre-join)
+    assert "Keys [1]: [l_orderkey" in plan
+
+
 def test_q5_six_way_join_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q5_local_supplier")
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in plan
@@ -125,13 +150,17 @@ def test_minhash_band_join_is_equi(spark, sf_dir):
         "c27_pareto_abc",
     ],
 )
-def test_no_unpartitioned_window(spark, sf_dir, name):
+def test_no_unpartitioned_window(spark, sf_dir, name, monkeypatch):
     """Global ranks / ntiles / running sums must come from the two-pass
     histogram rank (operators/ranks.py: bucket-partitioned prefixes +
     offset join), never an unpartitioned Window — Window.orderBy(...)
     with no partition spec moves the whole input to a single partition.
     Checked by node walk (partitionSpec().size()) — the old formatted-
-    text probe ', [], [' was vacuous (r11 finding)."""
+    text probe ', [], [' was vacuous (r11 finding). Runs with
+    checkpoints disabled (r13) so subplans behind a localCheckpoint
+    (c20's rfm aggregate since the r12 rank-map rewrite) are walked
+    too, not just the truncated RDD-scan plan."""
+    monkeypatch.setenv("NIPD_SPARK_NO_CHECKPOINT", "1")
     jvm, qe = _qe(spark, sf_dir, name)
     plan = _fmt(jvm, qe)
     assert "windowspecdefinition" in plan  # the local pass exists
@@ -894,6 +923,22 @@ def test_l73_postings_filtered_before_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan  # checkpointed phrase/postings feed
+
+
+def test_l73_precheckpoint_shape_pinned(spark, sf_dir, monkeypatch):
+    """The subplans BEHIND l73's checkpoints, re-pinned (r12 ADVICE:
+    the generic RDD-scan check above is satisfiable by ANY checkpoint —
+    the r11 vacuous-probe lesson). NIPD_SPARK_NO_CHECKPOINT makes the
+    checkpoint helpers identity, so the FULL plan is visible: the
+    top-3 phrase selection must be a TakeOrderedAndProject (no full
+    sort of the candidate aggregate), the adjacency joins stay
+    equi/broadcast, and no checkpoint-hidden cartesian sneaks in."""
+    monkeypatch.setenv("NIPD_SPARK_NO_CHECKPOINT", "1")
+    plan = _plan(spark, sf_dir, "l73_phrase_search")
+    assert "TakeOrderedAndProject" in plan   # phrase selection, visible again
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" not in plan    # nothing left hidden
 
 
 def test_a32_no_global_raw_row_window(spark, sf_dir):

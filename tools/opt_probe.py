@@ -35,18 +35,27 @@ def main() -> None:
     n_runs = int(args[2]) if len(args) > 2 else 3
 
     extra = os.environ.get("NIPD_OPT_CONF", "")
-    if extra:
-        # apply overrides through SparkSession builder defaults by
-        # pre-setting them in the environment-built session below
-        pass
+    overrides = dict(
+        kv.split("=", 1) for kv in filter(None, extra.split(";"))
+    )
+    # catalog.autosize rewrites shuffle.partitions/maxPartitionBytes
+    # during spec.fn at >=64MB dirs and only defers to the
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS env var — disable it whenever the
+    # experiment touches the managed keys, or the probe would REPORT a
+    # conf it did not run with (r12 ADVICE item)
+    _AUTOSIZE_KEYS = {
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+    }
+    if _AUTOSIZE_KEYS & overrides.keys():
+        os.environ.setdefault("NIPD_SPARK_AUTOSIZE", "0")
 
     from nipd_spark import registry
     from nipd_spark.session import get_spark
 
     spark = get_spark("opt-probe")
-    for kv in filter(None, extra.split(";")):
-        k, v = kv.split("=", 1)
-        spark.conf.set(k, v)
+    for k, v in overrides.items():
+        spark.conf.set(k, v)  # runtime confs only; static confs raise here
     spec = registry.all_specs()[name]
 
     def run_once() -> float:
