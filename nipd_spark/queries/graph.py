@@ -23,6 +23,8 @@ node ids: shuffle-partitionable, AQE-splittable, no cross product.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -174,6 +176,20 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     o2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
     o3 = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    # r13 (guide §3.1): the wedge stream (o1⋈o2 output — Σ C(outdeg,2)
+    # rows, ~2B at the 16× replica) is the probe side of the closure
+    # join; sort-merge SORTS it by (a, c) before matching, which
+    # dominated the whole query (measured 158 → 44 s closure time with
+    # shuffle_hash on both edge-list sides, identical count). The hash
+    # build sides are the O(edges) oriented list split across the
+    # shuffle partitions (~10-30 MB per partition under autosize) —
+    # bounded as long as partition count tracks data size. LOCAL
+    # profile only: at cluster scale SMJ's graceful sort-spill is the
+    # safe default and AQE's maxShuffledHashJoinLocalMapThreshold makes
+    # the same rewrite when per-partition sizes allow.
+    if os.environ.get("SPARK_GRAFT_PROFILE", "local") != "scale":
+        o2 = o2.hint("shuffle_hash")
+        o3 = o3.hint("shuffle_hash")
     tri = (
         o1.join(o2, "b")
         .join(o3, ["a", "c"])
