@@ -46,96 +46,88 @@ _QUERY_MODULES = (
     "graph",
 )
 
-# Verification rotation (round 12): the driver hash-checks the FIRST
-# 50 queries() entries per round. Every registered name carries a
-# passing (or clean rows-only) driver row cumulatively, so the
-# standing rule applies:
-# (1) this round's additions first — w25/w25b (W10 v2: quantified and
-# optional pattern legs), sql9/sql10 (MATCH_RECOGNIZE SQL surface,
-# plain and quantified), w26/sql11 (ALL ROWS PER MATCH, operator and
-# SQL spellings), l3b/l5 recall certificates (r11 VERDICT item 6 —
-# LSH/IVF accuracy contracts made driver-hashable);
+# Verification rotation (round 13, OPTIMIZATION): the driver
+# hash-checks the FIRST 50 queries() entries per round. Every
+# registered name carries a passing (or clean rows-only) driver row
+# cumulatively, so the standing rule applies:
+# (1) this round's additions — none (optimization round, no new
+# features);
 # (2) re-checks of queries whose implementation changed since their
-# last attestation — q3 (the shuffle_hash hint returned as a
-# PROFILE-SPLIT: local keeps it, scale stays SMJ — r11 VERDICT item
-# 2), w24/w24b/w24c (operators/patterns.py rewritten for quantifier
-# expansions; the detection lag machinery is shared), j22/j22b
-# (asof nearest gained ordering-type validation), sql8 (sqlext.sql()
-# now composes the MATCH_RECOGNIZE splice first). Deliberately NOT
-# re-fronted: sql7 and the j21 family call qualify_sql/asof_sql
-# directly — neither rewriter changed this round; l3b/l5b/l5 are
-# rows-only and their new certificates carry the hash evidence;
-# (3) padding with the LONGEST-unattested names: the entire r02
-# cohort (12 — closing the r11 VERDICT item 5 staleness tail), then
-# the r03 cohort alphabetically. The full-sweep ritual
-# (tools/diffcheck.py at sf0.001 AND sf0.01) still gates every query
-# every round regardless.
+# last attestation — q3 (size-gated pre-agg shape; the big-tier
+# branch is additionally oracle-proven by the forced-gate test),
+# a4b (dedup-before-distinct-agg), g1-g4 (collect_set+explode edge
+# build, adjacency iterations, g1 closure SHJ hints), l16/l16b
+# (operators/components.py superstep loop gained mid-superstep lazy
+# checkpoints — results identical, plan-affecting). Deliberately NOT
+# re-fronted: l73 — its plan_checkpoint change is call-site renaming
+# of the identical localCheckpoint(eager=False), runtime plan
+# unchanged (and it was attested r12);
+# (3) padding: the 12-name cohort DISPLACED from the r12 front
+# (d2-d9, f1-f4 — the owed re-attestations VERDICT r12 item 6 named),
+# then the LONGEST-unattested names from the CORRECTNESS_r* ledger:
+# the r03-cohort remainder (f5-f8, j8, l10/l10c, the t1-t9 streaming
+# block, u1-u4, w5/w6/w8/w9) and the oldest r05 names (c10-c16
+# composites). The full-sweep ritual (tools/diffcheck.py at sf0.001
+# AND sf0.01) still gates every query every round regardless.
 # Standing rule (adopted r11 after the r10 miss): a plan-affecting
 # change landing AFTER the round's rotation is frozen RE-OPENS the
 # rotation — the changed query moves to the head of category (2) for
 # the next round if the current window can no longer cover it.
 _FRONT_QUERIES: tuple[str, ...] = (
-    # (1) round-12 additions (w27/w27b/sql12/w28/sql13 and the w24c
-    # oracle landed after the first r12 rotation cut — rotation
-    # RE-OPENED per the standing rule and the front re-cut to cover
-    # them; f2/f3/f4, d5-d9 and f1 displaced to r13)
-    "w28_pattern_overlapping",
-    "sql13_match_recognize_skip_to_next",
-    "sql14_recursive_cte",
-    "w26b_pattern_all_rows_wshape",
-    "w29_pattern_skip_to_first",
-    "sql15_match_recognize_optional_group",
-    "w27_pattern_alternation",
-    "w27b_pattern_permute",
-    "sql12_match_recognize_alternation",
-    "w25_pattern_quantified",
-    "w25b_pattern_optional",
-    "sql9_match_recognize",
-    "sql10_match_recognize_quantified",
-    "w26_pattern_all_rows",
-    "sql11_match_recognize_all_rows",
-    "l3b_lsh_recall_certificate",
-    "l5_recall_certificate",
-    # (2) changed since last attestation (q5/c20/l73 re-shaped in the
-    # r12 OPTIMIZATION pass — join reorder / rank-map rewrite / postings
-    # pre-filter; results oracle-identical but plan-affecting, so they
-    # displace the last three r03-cohort padders d2/d3/d4 to r13)
+    # (2) changed this round
     "q3_shipping_priority",
-    "q5_local_supplier",
-    "c20_rfm_segmentation",
-    "l73_phrase_search",
-    "w24_pattern_vshape",
-    "w24b_pattern_dip_stabilize_recover",
-    "w24c_pattern_wshape",
-    "j22_asof_nearest",
-    "j22b_asof_nearest_sql",
-    "sql8_asof_qualify",
-    # (3) longest-unattested padding: the whole r02 cohort...
-    "l5b_ann_ivf",
-    "l6_token_tf",
-    "l7_tfidf",
-    "l8_ngrams",
-    "l9_doc_stats",
-    "l9b_quality_score",
-    "q12_late_lines",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "w1_rank_family",
-    "w3_cumsum",
-    "w4_moving_avg",
-    # ...then the r03 cohort, alphabetical (f2-f6 displaced to r13 by
-    # the w26/sql11 and w27/w27b/sql12 additions)
-    "c1_sprt_rhdo",
-    "c2_zscore_screen",
-    "c3_fetal_fraction",
-    "c4_coverage_qc",
-    "c5_version_diff",
-    "c6_rmd",
-    "c7_funnel",
-    "c8_lexical_semantic",
-    "cbo1_stats_join_reorder",
-    "cbo2_filter_cardinality",
-    "d1_scalar_udf",
+    "a4b_hll_error_certificate",
+    "g1_triangle_count",
+    "g2_pagerank",
+    "g3_connected_components",
+    "g4_bfs_hops",
+    "l16_dedup_clusters",
+    "l16b_canonical_rep",
+    # (3a) displaced-from-r12 cohort (owed)
+    "d2_pandas_udf",
+    "d3_iterator_udf",
+    "d4_grouped_zscore",
+    "d5_grouped_agg_udf",
+    "d6_mapinpandas",
+    "d7_udtf",
+    "d8_cogrouped",
+    "d9_pandas_api",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_funcs",
+    "f4_case_ladder",
+    # (3b) longest-unattested: r03 cohort remainder...
+    "f5_array_ops",
+    "f6_map_ops",
+    "f7_json_extract",
+    "f8_casts",
+    "j8_range_join",
+    "l10_multimodal_decode",
+    "l10c_frame_sample",
+    "t1_tumbling_hourly",
+    "t2_sliding_window",
+    "t3_session_window",
+    "t4_stream_tumbling_watermark",
+    "t5_stream_dedup",
+    "t6_stream_static_join",
+    "t7_stream_session_window",
+    "t7b_stream_stream_join",
+    "t8_stateful_user_tracker",
+    "t9_stream_parquet_sink",
+    "u1_union_all",
+    "u2_union_distinct",
+    "u3_intersect",
+    "u4_except",
+    "w5_range_frame",
+    "w6_first_last",
+    "w8_zscore",
+    "w9_threshold_crossing",
+    # ...then the oldest r05 names
+    "c10_retention_cohorts",
+    "c11_scd2_merge",
+    "c12_touch_attribution",
+    "c15_ab_test_ztest",
+    "c16_pretraining_pipeline",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list
