@@ -53,6 +53,10 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 #   scan split  = clamp(T/128, 8 MB, 128 MB) (~128 splits across the set)
 #   shuffle     = clamp(T/16 MB, 8, 1024)    (~16 MB compressed per reduce
 #                                            partition)
+#   scan floor  = minPartitionNum = shuffle count, openCost 1 MB (r13:
+#                                            per-scan split floor so SMALL
+#                                            tables of a mixed-size set
+#                                            still fan out; see autosize)
 #
 # Both are pure functions of DATA SIZE, never of core count, so the
 # driver's lower-core bench runs plan identically and per-core scaling
@@ -120,6 +124,11 @@ def autosize(spark: SparkSession, sf_dir: str) -> None:
         if prev is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
             spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+            try:
+                spark.conf.unset("spark.sql.files.minPartitionNum")
+            except Exception:
+                pass  # never set in this session
             _AUTOSIZE_APPLIED[sid] = None
         return
     mpb = min(max(total // 128, 8 * 1024 * 1024), 128 * 1024 * 1024)
@@ -129,6 +138,22 @@ def autosize(spark: SparkSession, sf_dir: str) -> None:
         return
     spark.conf.set("spark.sql.files.maxPartitionBytes", want[0])
     spark.conf.set("spark.sql.shuffle.partitions", want[1])
+    # Per-SCAN split floor (r13; guide §6 "minPartitionNum sets a floor
+    # on scan parallelism"): ONE global maxPartitionBytes cannot serve a
+    # mixed-size table set — total/128 = 12.6 MB at the 100x replica
+    # split the 1.1 GB lineitem 90 ways but the 58 MB documents table
+    # only 5 ways, so every tokenize-heavy text scan ran at 5/32 cores
+    # no matter how fine its row groups were. minPartitionNum is applied
+    # per scan (maxSplitBytes = min(mpb, max(openCost, scanBytes/N))),
+    # so it raises ONLY the under-split small-table scans; reusing the
+    # byte-derived reduce count keeps it a pure function of data size
+    # (core-independent — the driver's 8c bench plans identically). The
+    # 4 MB openCostInBytes default would floor small-table splits at
+    # 4 MB; 1 MB matches these one-file-per-table fixtures (measured
+    # paired at 100x, both orderings: l6 1.4x, a17 1.2x, l20/a32 1.1x,
+    # q3/w22/o4/l50/l62/l67 neutral).
+    spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
+    spark.conf.set("spark.sql.files.minPartitionNum", want[1])
     _AUTOSIZE_APPLIED[sid] = want
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from nipd_spark.catalog import load
 from nipd_spark.operators import text, vector
+from nipd_spark.operators.materialize import plan_checkpoint
 from nipd_spark.oracle import dround
 from nipd_spark.registry import query
 
@@ -2952,7 +2953,23 @@ def l67_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob): the shared KN-bigram scoring
-    core behind l67 (per-doc) and l67b (per-source profile)."""
+    core behind l67 (per-doc) and l67b (per-source profile).
+
+    r13 shape: the bigram-TYPE table ``cb`` is vocab²-bounded output of
+    a fact-sized scan, and every LM table (cu, cw, nb, p) derives from
+    it — the r12 spelling re-derived cb per consumer, so the physical
+    plan ran FIVE full scan+tokenize+Generate passes over documents
+    (plans/r13/l67_*_before.txt: scans (1)(10)(20)(36)(52)) and
+    sort-merge-joined the raw bigram stream against p (Exchange+Sort of
+    every bigram instance by (u, w)). Now cb is plan_checkpoint'ed
+    (computed once, tiny, in-memory; identity under the lint flag) and
+    the scoring join BROADCASTS p — the same vocab-boundedness argument
+    the r12 code already made for broadcast(cu)/broadcast(cw). Two
+    scans total, and the only remaining fact exchange is the per-doc
+    partial aggregate (~1 row per doc after map-side collapse).
+    Results identical: the checkpoint is semantics-free and a broadcast
+    hint changes only the physical strategy of the same inner equi-join
+    (measured 2.0x end-to-end at the 100x tier)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
@@ -2967,7 +2984,9 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("uw"),
     ).select("doc_id", "uw.u", "uw.w")
-    cb = bg.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    cb = plan_checkpoint(
+        bg.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
     cu = cb.groupBy("u").agg(
         F.sum("c").cast("long").alias("cu"),
         F.count(F.lit(1)).alias("n1p_fwd"),
@@ -2990,7 +3009,7 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "w", pkn.alias("pkn"))
     )
     return (
-        bg.join(p, ["u", "w"])
+        bg.join(F.broadcast(p), ["u", "w"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -53,7 +53,9 @@ _QUERY_MODULES = (
 # (1) this round's additions — none (optimization round, no new
 # features);
 # (2) re-checks of queries whose implementation changed since their
-# last attestation — q3 (size-gated pre-agg shape; the big-tier
+# last attestation — l67/l67b (r13 late change, re-opened the frozen
+# rotation per the standing rule: checkpointed cb + broadcast scoring
+# join), q3 (size-gated pre-agg shape; the big-tier
 # branch is additionally oracle-proven by the forced-gate test),
 # a4b (dedup-before-distinct-agg), g1-g4 (collect_set+explode edge
 # build, adjacency iterations, g1 closure SHJ hints), l16/l16b
@@ -66,8 +68,9 @@ _QUERY_MODULES = (
 # (d2-d9, f1-f4 — the owed re-attestations VERDICT r12 item 6 named),
 # then the LONGEST-unattested names from the CORRECTNESS_r* ledger:
 # the r03-cohort remainder (f5-f8, j8, l10/l10c, the t1-t9 streaming
-# block, u1-u4, w5/w6/w8/w9) and the oldest r05 names (c10-c16
-# composites). The full-sweep ritual (tools/diffcheck.py at sf0.001
+# block, u1-u4, w5/w6/w8/w9) and the oldest r05 names (c10-c12;
+# c15/c16 displaced by the l67/l67b re-open — they move to the head
+# of r14's category (3)). The full-sweep ritual (tools/diffcheck.py at sf0.001
 # AND sf0.01) still gates every query every round regardless.
 # Standing rule (adopted r11 after the r10 miss): a plan-affecting
 # change landing AFTER the round's rotation is frozen RE-OPENS the
@@ -75,6 +78,8 @@ _QUERY_MODULES = (
 # the next round if the current window can no longer cover it.
 _FRONT_QUERIES: tuple[str, ...] = (
     # (2) changed this round
+    "l67_kneser_ney_logprob",
+    "l67b_kneser_ney_source_profile",
     "q3_shipping_priority",
     "a4b_hll_error_certificate",
     "g1_triangle_count",
@@ -126,8 +131,6 @@ _FRONT_QUERIES: tuple[str, ...] = (
     "c10_retention_cohorts",
     "c11_scd2_merge",
     "c12_touch_attribution",
-    "c15_ab_test_ztest",
-    "c16_pretraining_pipeline",
 )
 _MODULE_PRIORITY: tuple[str, ...] = (
     # deferred never-checked b-variants surface right after the front list

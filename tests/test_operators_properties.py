@@ -806,10 +806,17 @@ def test_autosize_restores_local_defaults_on_small_tier(spark, monkeypatch):
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(
         min(max(2 * 1024**3 // 128, 8 * 1024**2), 128 * 1024**2)
     )
+    # r13 per-scan split floor: applied alongside the two r12 knobs
+    assert spark.conf.get("spark.sql.files.minPartitionNum") == "128"
+    assert spark.conf.get("spark.sql.files.openCostInBytes") == "1048576"
     catalog.autosize(spark, small)
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     assert (
         spark.conf.get("spark.sql.files.maxPartitionBytes") == "134217728"
+    )
+    assert spark.conf.get("spark.sql.files.openCostInBytes") == "4194304"
+    assert (
+        spark.conf.get("spark.sql.files.minPartitionNum", None) is None
     )
 
 

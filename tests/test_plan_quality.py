@@ -941,6 +941,37 @@ def test_l73_precheckpoint_shape_pinned(spark, sf_dir, monkeypatch):
     assert "Scan ExistingRDD" not in plan    # nothing left hidden
 
 
+def test_l67_single_scan_broadcast_scoring(spark, sf_dir):
+    """r13 KN shape: the vocab²-bounded bigram-type table cb is
+    plan_checkpoint'ed (computed once) and every LM table derives from
+    it, so the main plan must carry exactly ONE parquet scan — the
+    scoring bigram stream; the r12 spelling re-ran the fact scan FIVE
+    times (one per cb re-derivation). The scoring join must be a
+    broadcast, never a SortMergeJoin that exchanges+sorts every bigram
+    instance by (u, w)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "l67_kneser_ney_logprob")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed cb feed
+
+
+def test_l67_precheckpoint_shape_pinned(spark, sf_dir, monkeypatch):
+    """The subplan BEHIND l67's cb checkpoint, pinned under
+    NIPD_SPARK_NO_CHECKPOINT (the r11/r12 lesson: a generic RDD-scan
+    probe is satisfiable by any checkpoint): with the helpers as
+    identity the FULL plan is visible and must still contain no
+    SortMergeJoin (the scoring join stays broadcast), no cartesian,
+    and a partial_count bigram-type aggregate keyed (u, w)."""
+    monkeypatch.setenv("NIPD_SPARK_NO_CHECKPOINT", "1")
+    plan = _plan(spark, sf_dir, "l67_kneser_ney_logprob")
+    assert "Scan ExistingRDD" not in plan  # nothing left hidden
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Keys [2]: [u" in plan  # the (u, w) type aggregate
+
+
 def test_a32_no_global_raw_row_window(spark, sf_dir):
     """a32's global row number must come from the bucketed two-pass
     rank, never Window.orderBy over the raw table (single partition)."""

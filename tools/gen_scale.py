@@ -56,16 +56,25 @@ def main() -> None:
                 c = c.set_column(c.schema.get_field_index(k), k, shifted)
             copies.append(c)
         big = pa.concat_tables(copies)
-        # Byte-targeted row groups (~8 MB compressed) instead of a fixed
-        # 1M rows: a Spark scan task can split a file only at row-group
-        # boundaries, and the old fixed-row sizing left e.g. the 100x
-        # documents table as ONE 57 MB row group — every downstream text
-        # query scanned (and tokenized) on a single thread regardless of
-        # maxPartitionBytes (r12 optimization round; guide §6 file
-        # layout). DuckDB parallelizes over row groups the same way, so
-        # the twin baseline benefits identically — the layout is neutral.
-        bpr = max(1, os.path.getsize(f"{SRC}/{t}.parquet") // src.num_rows)
-        rows_per_rg = max(20_000, (8 << 20) // bpr)
+        # Byte-targeted row groups instead of a fixed 1M rows: a Spark
+        # scan task can split a file only at row-group boundaries, and
+        # the old fixed-row sizing left e.g. the 100x documents table as
+        # ONE 57 MB row group — every downstream text query scanned (and
+        # tokenized) on a single thread regardless of maxPartitionBytes
+        # (r12 optimization round; guide §6 file layout). The r12 flat
+        # ~8 MB target still capped the SMALLER replicated tables: 100x
+        # documents came out as 8 row groups / 58 MB, so every
+        # tokenize-heavy text query ran its scan stages at ≤8-way
+        # parallelism on 32 cores (r13 measurement: l67's scan stages ran
+        # 5 tasks). Per-table target = clamp(replica_bytes/32, 1 MB, 8 MB):
+        # big tables keep the 8 MB groups, small-but-hot ones (documents,
+        # embeddings, events) become ≥~32-way splittable. DuckDB
+        # parallelizes over row groups the same way, so the twin baseline
+        # benefits identically — the layout is neutral.
+        src_bytes = os.path.getsize(f"{SRC}/{t}.parquet")
+        bpr = max(1, src_bytes // src.num_rows)
+        rg_bytes = min(max((src_bytes * n) // 32, 1 << 20), 8 << 20)
+        rows_per_rg = max(5_000, rg_bytes // bpr)
         pq.write_table(big, f"{out}/{t}.parquet", row_group_size=rows_per_rg)
         print(f"{t}: {src.num_rows} -> {big.num_rows} (rg={rows_per_rg})")
 

@@ -46,6 +46,8 @@ def main() -> None:
     _AUTOSIZE_KEYS = {
         "spark.sql.shuffle.partitions",
         "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.minPartitionNum",
+        "spark.sql.files.openCostInBytes",
     }
     if _AUTOSIZE_KEYS & overrides.keys():
         os.environ.setdefault("NIPD_SPARK_AUTOSIZE", "0")
