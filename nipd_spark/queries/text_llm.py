@@ -1740,9 +1740,11 @@ def l50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rule and all-rules pass counts.
 
     Scale shape: rules 1-2 are in-row higher-order array math (zero
-    shuffles); the function-word set is 8 rows (broadcast semi-join);
-    the repetition rule is the only explode+groupBy pass. A 100 TB
-    gate runs one scan + one doc-keyed shuffle, then a 1-row reduce.
+    shuffles); the function-word set is an 8-row broadcast; rules 3-4
+    share ONE (doc, token) count aggregate (r13 — dedup rides the
+    aggregate, so the former countDistinct pass and its distinct
+    exchange are gone) folded per doc. A 100 TB gate runs the scans +
+    one pair-keyed shuffle + one doc-keyed fold, then a 1-row reduce.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
@@ -1766,25 +1768,36 @@ def l50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(8)
         .select("token")
     )
-    fw = (
-        exploded.join(F.broadcast(freq), "token", "left_semi")
+    # r13 (guide §2.3/§2.4): rules 3 and 4 both reduce over the DISTINCT
+    # (doc, token) pairs — one shared count pass serves both. The r12
+    # spelling ran the exploded stream twice more (a broadcast-semi +
+    # countDistinct pass for the function-word rule — 6.0 s isolated at
+    # the 100x replica, the most expensive leg of the query — and a
+    # separate (doc, token) agg for repetition). Now ONE (doc, token)
+    # count agg (dedup rides the aggregate, so countDistinct and its
+    # two-level distinct exchange disappear) is flagged against the
+    # 8-row broadcast and folded per doc: top_c = max(c), n_fw = count
+    # of flagged rows (rows are distinct pairs, so the count IS the
+    # distinct count). Integer-exact, same rows: docs without tokens
+    # had no fw/toptok row before and have no per_doc row now.
+    dt = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = (
+        dt.join(
+            F.broadcast(freq.withColumn("is_fw", F.lit(1))), "token", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.countDistinct("token").alias("n_fw"))
-    )
-    toptok = (
-        exploded.groupBy("doc_id", "token")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
+        .agg(
+            F.max("c").alias("top_c"),
+            F.count(F.when(F.col("is_fw") == 1, 1)).alias("n_fw"),
+        )
     )
     rules = (
-        stats.join(fw, "doc_id", "left")
-        .join(toptok, "doc_id")
+        stats.join(per_doc, "doc_id")
         .select(
             "doc_id",
             F.col("n_words").between(30, 90).alias("r_words"),
             F.col("mwl").between(4.0, 5.0).alias("r_mwl"),
-            (F.coalesce("n_fw", F.lit(0)) >= 2).alias("r_function_words"),
+            (F.col("n_fw") >= 2).alias("r_function_words"),
             (F.col("top_c").cast("double") / F.col("n_words") <= 0.2).alias(
                 "r_repetition"
             ),

@@ -941,6 +941,20 @@ def test_l73_precheckpoint_shape_pinned(spark, sf_dir, monkeypatch):
     assert "Scan ExistingRDD" not in plan    # nothing left hidden
 
 
+def test_l50_shared_pair_agg_no_distinct(spark, sf_dir):
+    """r13 gopher-rules shape: the function-word and repetition rules
+    fold out of ONE (doc, token) count aggregate — the former
+    broadcast-semi + countDistinct pass (6.0 s isolated at the 100x
+    replica, the query's most expensive leg) must not reappear, and
+    the corpus is scanned exactly three times (stats, freq, pair agg),
+    not four."""
+    import re
+
+    plan = _plan(spark, sf_dir, "l50_gopher_rules")
+    assert "(distinct" not in plan  # no two-level distinct aggregate
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+
+
 def test_l67_single_scan_broadcast_scoring(spark, sf_dir):
     """r13 KN shape: the vocab²-bounded bigram-type table cb is
     plan_checkpoint'ed (computed once) and every LM table derives from
